@@ -1,0 +1,438 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.core.Tables
+
+/** Relational operator inventory (SURVEY.md §2.1–§2.8) demonstrated on
+  * the harness tables, each with a DuckDB-checkable oracle.
+  *
+  * Oracle-parity conventions used throughout:
+  *  - money/double SUM/AVG go through DecimalType(18,4) so the result is
+  *    order-independent (double summation is not associative; decimal is
+  *    exact), then cast back to double — both engines produce identical
+  *    bits;
+  *  - every computed column is aliased identically in the Spark code and
+  *    the oracle SQL (the driver compares columns by name);
+  *  - nondeterministic "keep first" dedup is made deterministic with an
+  *    explicit row_number tiebreak.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Exact, order-independent sum of a double column. */
+  def dsum(c: Column): Column = sum(c.cast(DecimalType(18, 4))).cast(DoubleType)
+  /** Exact average: decimal-exact sum divided by count, in double. */
+  def davg(c: Column): Column = dsum(c) / count(lit(1))
+  /** Epoch seconds (with fraction) — matches DuckDB epoch(ts). Parquet
+    * ms-timestamps arrive as TIMESTAMP_NTZ, which has no direct double
+    * cast; route through TIMESTAMP (identity under the UTC session TZ). */
+  def epochs(c: Column): Column = c.cast("timestamp").cast(DoubleType)
+
+  val queries: Map[String, Q] = Map(
+    // ---- §2.4 A-class: the flagship pricing-summary aggregation -------
+    "q1_agg" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.lineitem
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"), // integer-valued doubles: exact
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // ---- §2.1 scans / sinks --------------------------------------------
+    "s3_full_scan" -> ((s, dir) => Tables(s, dir).region),
+    "s5_incremental_scan" -> ((s, dir) =>
+      Tables(s, dir).events
+        .filter(to_date(col("ts")) >= lit("2024-01-30").cast("date"))
+        .select("event_id", "ts", "user_id", "event_type", "value")),
+    "s8_upsert" -> ((s, dir) => {
+      // MERGE-equivalent without Delta: union(base, updates) then keep the
+      // newest row per key (updates win). Pure shuffle-on-key; scales.
+      val t = Tables(s, dir)
+      val base = t.part.withColumn("_src", lit(0))
+      val updates = t.part
+        .filter(col("p_partkey") % 10 === 0)
+        .withColumn("p_retailprice", round(col("p_retailprice") * 1.1, 2))
+        .withColumn("_src", lit(1))
+      val w = Window.partitionBy(col("p_partkey")).orderBy(col("_src").desc)
+      base.unionByName(updates)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .drop("_rn", "_src")
+    }),
+    "s9_keyed_delete" -> ((s, dir) => {
+      // keyed DELETE as a left_anti join (S9): drop parts ever returned.
+      val t = Tables(s, dir)
+      val returned = t.lineitem.filter(col("l_returnflag") === "R")
+        .select(col("l_partkey").as("p_partkey")).distinct()
+      t.part.join(returned, Seq("p_partkey"), "left_anti")
+    }),
+
+    // ---- §2.2 projections / filters / null handling ---------------------
+    "p1_projection" -> ((s, dir) =>
+      Tables(s, dir).customer.select("c_custkey", "c_mktsegment")),
+    "p5_null_fill" -> ((s, dir) =>
+      // P5/P6: constant null-fill + cast (nullif manufactures the nulls —
+      // the harness tables are fully populated).
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        coalesce(nullif(col("lang"), lit("en")), lit("unknown")).as("lang_filled"),
+        coalesce(nullif(col("n_chars"), lit(0L)), lit(1L)).cast("int").as("n_chars_i"))),
+    "p7_dedup_key" -> ((s, dir) => {
+      // dedup on a key subset keeping a deterministic "first" (earliest
+      // ts, then event_id): the order-stabilized form of P7.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, dir).events
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    }),
+    "p9_distinct" -> ((s, dir) =>
+      Tables(s, dir).lineitem.select("l_returnflag", "l_linestatus").distinct()),
+    "p10_date_predicate" -> ((s, dir) =>
+      Tables(s, dir).orders
+        .filter(to_date(col("o_orderdate")) >= lit("2000-01-01").cast("date"))
+        .select("o_orderkey", "o_orderdate")),
+
+    // ---- §2.3 joins ------------------------------------------------------
+    "j1_left_join_broadcast" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.nation.join(broadcast(t.region),
+          t.nation("n_regionkey") === t.region("r_regionkey"), "left")
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+    }),
+    "j2_fact_join_chain" -> ((s, dir) => {
+      // The fact-build join chain (J2): orders ⟕ lineitem (1:N grain
+      // explosion) ⟕ customer projection (N:1), with the reference's
+      // derivations: total amount (M0) and fractional-day latency (D2).
+      val t = Tables(s, dir)
+      val custProj = t.customer.select("c_custkey", "c_mktsegment")
+      t.orders
+        .join(t.lineitem, t.orders("o_orderkey") === t.lineitem("l_orderkey"), "left")
+        .join(custProj, t.orders("o_custkey") === custProj("c_custkey"), "left")
+        .select(
+          col("o_orderkey"), col("l_linenumber"), col("c_mktsegment"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_amount"),
+          ((epochs(col("l_shipdate")) - epochs(col("o_orderdate"))) / 86400.0)
+            .as("ship_latency_days"))
+    }),
+    "j3_inner_join_agg" -> ((s, dir) => {
+      // the reference's exemplar ad-hoc query (postgres_reader.py:290-295):
+      // COUNT + AVG over an order ⋈ payment-like join.
+      val t = Tables(s, dir)
+      t.orders.join(t.lineitem,
+          t.orders("o_orderkey") === t.lineitem("l_orderkey"))
+        .agg(count(lit(1)).as("total_rows"),
+             davg(col("l_extendedprice")).as("avg_price"))
+    }),
+    "j4_semi_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.join(
+          t.orders.select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+    "j5_anti_join" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      t.customer.join(
+          t.orders.select(col("o_custkey").as("c_custkey")),
+          Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // ---- §2.4 aggregations ----------------------------------------------
+    "a1_count" -> ((s, dir) =>
+      Tables(s, dir).lineitem.agg(count(lit(1)).as("n_rows"))),
+    "a3_collect_set" -> ((s, dir) =>
+      Tables(s, dir).lineitem.groupBy(col("l_orderkey"))
+        .agg(array_sort(collect_set(col("l_returnflag"))).as("flags"))),
+    "a4_summary_stats" -> ((s, dir) => {
+      // df.describe() semantics, computed from exact sums so the oracle
+      // matches bit-for-bit (l_quantity is integer-valued).
+      Tables(s, dir).lineitem.agg(
+        count(col("l_quantity")).as("cnt"),
+        davg(col("l_quantity")).as("mean"),
+        min(col("l_quantity")).as("min_q"),
+        max(col("l_quantity")).as("max_q"),
+        dsum(col("l_quantity") * col("l_quantity")).as("sum_sq"))
+    }),
+    "a5_null_counts" -> ((s, dir) => {
+      val t = Tables(s, dir).events
+      t.agg(
+        sum(col("user_id").isNull.cast("int")).as("null_user_id"),
+        sum(col("event_type").isNull.cast("int")).as("null_event_type"),
+        sum(col("value").isNull.cast("int")).as("null_value"),
+        sum(col("props").isNull.cast("int")).as("null_props"))
+    }),
+    "a6_distinct_count" -> ((s, dir) =>
+      Tables(s, dir).lineitem.agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"))),
+
+    // ---- §2.5 window functions --------------------------------------------
+    "w1_surrogate_key" -> ((s, dir) =>
+      // dense 1..n surrogate key by natural-key order (W1). Single-window
+      // global sort: fine at dimension scale; zipWithIndex at fact scale.
+      Tables(s, dir).customer
+        .withColumn("customer_key", row_number().over(Window.orderBy(col("c_custkey"))))
+        .select("customer_key", "c_custkey", "c_name")),
+    "w2_dense_code" -> ((s, dir) =>
+      // categorical dense coding (W2): alphabetical dense_rank, the exact
+      // semantics of pandas .astype('category').cat.codes + 1.
+      Tables(s, dir).orders
+        .withColumn("priority_key", dense_rank().over(Window.orderBy(col("o_orderpriority"))))
+        .select("o_orderpriority", "priority_key")
+        .distinct()),
+    "w4_analytics" -> ((s, dir) => {
+      // beyond-reference window analytics: lag + moving aggregate.
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, dir).events.select(
+        col("user_id"), col("event_id"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)).as("event_seq"))
+    }),
+
+    // ---- §2.6 sorts / limits / top-k ---------------------------------------
+    "t1_order_by" -> ((s, dir) =>
+      Tables(s, dir).region.orderBy(col("r_name"))),
+    "t3_topk" -> ((s, dir) =>
+      Tables(s, dir).orders
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")),
+    "t4_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      Tables(s, dir).lineitem
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("l_suppkey", "rk", "l_orderkey", "l_linenumber", "l_extendedprice")
+    }),
+    "t6_deterministic_sample" -> ((s, dir) =>
+      // scalable deterministic sampler (key-mod) standing in for the
+      // reference's seeded random sampling (T6) — reproducible across
+      // engines and cluster sizes, unlike rand(seed).
+      Tables(s, dir).orders
+        .filter(col("o_orderkey") % 37 === 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")),
+
+    // ---- §2.7 set operations ------------------------------------------------
+    "u1_union" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val a = t.orders.filter(col("o_orderstatus") === "F").select("o_orderkey")
+      val b = t.orders.filter(col("o_totalprice") > 400000.0).select("o_orderkey")
+      a.unionByName(b).distinct()
+    }),
+    "u2_intersect" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val building = t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      val with2000 = t.orders.filter(year(col("o_orderdate")) === 2000)
+        .select(col("o_custkey").as("custkey")).distinct()
+      building.intersect(with2000)
+    }),
+    "u3_except" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val all = t.customer.select(col("c_custkey").as("custkey"))
+      val building = t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      all.except(building)
+    }),
+
+    // ---- §2.8 scalar functions -------------------------------------------
+    "f_string_funcs" -> ((s, dir) =>
+      // F1-F6: casts, zfill (lpad), title-case, upper/lower, concat.
+      Tables(s, dir).supplier.select(
+        col("s_suppkey"),
+        lpad(col("s_suppkey").cast("string"), 5, "0").as("zip5"),
+        initcap(lower(col("s_name"))).as("name_title"),
+        upper(col("s_name")).as("name_upper"),
+        lower(col("s_name")).as("name_lower"),
+        concat(col("s_name"), lit("/"), col("s_suppkey").cast("string")).as("tagged"))),
+    "d_date_funcs" -> ((s, dir) =>
+      // D1-D8 on real data: parse/extract/derive date parts.
+      Tables(s, dir).orders.select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("order_date"),
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        month(col("o_orderdate")).as("mo"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        ((dayofweek(col("o_orderdate")) + 5) % 7).as("dow_mon0"),
+        date_format(col("o_orderdate"), "EEEE").as("day_name"),
+        dayofweek(col("o_orderdate")).isin(1, 7).as("is_weekend"))),
+    "d4_calendar_dim" -> ((s, dir) =>
+      // dim_dates (D4-D8): generated calendar 2016-01-01..2025-12-31.
+      s.sql(
+        """SELECT date_key,
+          |       day(date_key)                        AS day,
+          |       month(date_key)                      AS month,
+          |       year(date_key)                       AS year,
+          |       quarter(date_key)                    AS quarter,
+          |       (dayofweek(date_key) + 5) % 7        AS day_of_week,
+          |       date_format(date_key, 'EEEE')        AS day_name,
+          |       date_format(date_key, 'MMMM')        AS month_name,
+          |       dayofweek(date_key) IN (1, 7)        AS is_weekend
+          |FROM (SELECT explode(sequence(to_date('2016-01-01'),
+          |                              to_date('2025-12-31'),
+          |                              interval 1 day)) AS date_key)
+          |""".stripMargin))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(l_quantity) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |       COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "s3_full_scan" -> "SELECT * FROM region",
+    "s5_incremental_scan" ->
+      """SELECT event_id, ts, user_id, event_type, value FROM events
+        |WHERE CAST(ts AS DATE) >= DATE '2024-01-30'""".stripMargin,
+    "s8_upsert" ->
+      """WITH updates AS (
+        |  SELECT p_partkey, p_name, p_brand, p_type, p_size,
+        |         ROUND(p_retailprice * 1.1, 2) AS p_retailprice
+        |  FROM part WHERE p_partkey % 10 = 0)
+        |SELECT p.p_partkey, p.p_name, p.p_brand, p.p_type, p.p_size,
+        |       COALESCE(u.p_retailprice, p.p_retailprice) AS p_retailprice
+        |FROM part p LEFT JOIN updates u USING (p_partkey)""".stripMargin,
+    "s9_keyed_delete" ->
+      """SELECT * FROM part
+        |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')""".stripMargin,
+    "p1_projection" -> "SELECT c_custkey, c_mktsegment FROM customer",
+    "p5_null_fill" ->
+      """SELECT doc_id,
+        |       COALESCE(NULLIF(lang, 'en'), 'unknown') AS lang_filled,
+        |       CAST(COALESCE(NULLIF(n_chars, 0), 1) AS INTEGER) AS n_chars_i
+        |FROM documents""".stripMargin,
+    "p7_dedup_key" ->
+      """SELECT user_id, event_id, ts, event_type FROM (
+        |  SELECT user_id, event_id, ts, event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+    "p9_distinct" -> "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "p10_date_predicate" ->
+      """SELECT o_orderkey, o_orderdate FROM orders
+        |WHERE CAST(o_orderdate AS DATE) >= DATE '2000-01-01'""".stripMargin,
+    "j1_left_join_broadcast" ->
+      """SELECT n_nationkey, n_name, r_name
+        |FROM nation LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "j2_fact_join_chain" ->
+      """SELECT o_orderkey, l_linenumber, c_mktsegment,
+        |       l_extendedprice * (1.0 - l_discount) AS net_amount,
+        |       (epoch(l_shipdate) - epoch(o_orderdate)) / 86400.0 AS ship_latency_days
+        |FROM orders
+        |LEFT JOIN lineitem ON o_orderkey = l_orderkey
+        |LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "j3_inner_join_agg" ->
+      """SELECT COUNT(*) AS total_rows,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin,
+    "j4_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "j5_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "a1_count" -> "SELECT COUNT(*) AS n_rows FROM lineitem",
+    "a3_collect_set" ->
+      """SELECT l_orderkey, list_sort(list_distinct(list(l_returnflag))) AS flags
+        |FROM lineitem GROUP BY l_orderkey""".stripMargin,
+    "a4_summary_stats" ->
+      """SELECT COUNT(l_quantity) AS cnt,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS mean,
+        |       MIN(l_quantity) AS min_q,
+        |       MAX(l_quantity) AS max_q,
+        |       CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_sq
+        |FROM lineitem""".stripMargin,
+    "a5_null_counts" ->
+      """SELECT SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user_id,
+        |       SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_event_type,
+        |       SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
+        |       SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props
+        |FROM events""".stripMargin,
+    "a6_distinct_count" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+        |       COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem""".stripMargin,
+    "w1_surrogate_key" ->
+      """SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS customer_key,
+        |       c_custkey, c_name FROM customer""".stripMargin,
+    "w2_dense_code" ->
+      """SELECT DISTINCT o_orderpriority,
+        |       DENSE_RANK() OVER (ORDER BY o_orderpriority) AS priority_key
+        |FROM orders""".stripMargin,
+    "w4_analytics" ->
+      """SELECT user_id, event_id,
+        |       LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |       COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS event_seq
+        |FROM events""".stripMargin,
+    "t1_order_by" -> "SELECT * FROM region ORDER BY r_name",
+    "t3_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "t4_topk_per_group" ->
+      """SELECT l_suppkey, rk, l_orderkey, l_linenumber, l_extendedprice FROM (
+        |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+        |         ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+        |  FROM lineitem) WHERE rk <= 3""".stripMargin,
+    "t6_deterministic_sample" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 37 = 0""".stripMargin,
+    "u1_union" ->
+      """SELECT DISTINCT o_orderkey FROM (
+        |  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)""".stripMargin,
+    "u2_intersect" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT
+        |SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 2000""".stripMargin,
+    "u3_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+    "f_string_funcs" ->
+      """SELECT s_suppkey,
+        |       LPAD(CAST(s_suppkey AS VARCHAR), 5, '0') AS zip5,
+        |       UPPER(SUBSTR(s_name, 1, 1)) || LOWER(SUBSTR(s_name, 2)) AS name_title,
+        |       UPPER(s_name) AS name_upper,
+        |       LOWER(s_name) AS name_lower,
+        |       s_name || '/' || CAST(s_suppkey AS VARCHAR) AS tagged
+        |FROM supplier""".stripMargin,
+    "d_date_funcs" ->
+      """SELECT o_orderkey,
+        |       CAST(o_orderdate AS DATE) AS order_date,
+        |       year(o_orderdate) AS yr,
+        |       quarter(o_orderdate) AS qtr,
+        |       month(o_orderdate) AS mo,
+        |       day(o_orderdate) AS dom,
+        |       (dayofweek(o_orderdate) + 6) % 7 AS dow_mon0,
+        |       dayname(o_orderdate) AS day_name,
+        |       dayofweek(o_orderdate) IN (0, 6) AS is_weekend
+        |FROM orders""".stripMargin,
+    "d4_calendar_dim" ->
+      """SELECT CAST(gs AS DATE) AS date_key,
+        |       day(gs) AS day, month(gs) AS month, year(gs) AS year,
+        |       quarter(gs) AS quarter,
+        |       (dayofweek(gs) + 6) % 7 AS day_of_week,
+        |       dayname(gs) AS day_name,
+        |       monthname(gs) AS month_name,
+        |       dayofweek(gs) IN (0, 6) AS is_weekend
+        |FROM generate_series(DATE '2016-01-01', DATE '2025-12-31', INTERVAL 1 DAY) t(gs)""".stripMargin
+  )
+}
