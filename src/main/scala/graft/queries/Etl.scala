@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Tables
+import graft.etl.{Pipeline, Warehouse}
+
+/** Warehouse ETL surface (SURVEY.md §1.1.3, §7.1.4-5): each star-schema
+  * table as an oracle-checked query, plus the full pipeline run as a
+  * rows-only entry.
+  *
+  * DuckDB-oracle notes: DuckDB lacks `initcap`; the harness names are
+  * single-token so `UPPER(SUBSTR(x,1,1)) || LOWER(SUBSTR(x,2))` is an
+  * exact emulation (verified against the data).
+  */
+object Etl {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "etl_dim_customer" -> ((s, dir) => Warehouse.dimCustomer(Tables(s, dir))),
+    "etl_dim_supplier" -> ((s, dir) => Warehouse.dimSupplier(Tables(s, dir))),
+    "etl_dim_part"     -> ((s, dir) => Warehouse.dimPart(Tables(s, dir))),
+    "etl_dim_geo"      -> ((s, dir) => Warehouse.dimGeo(Tables(s, dir))),
+    "etl_dim_dates"    -> ((s, dir) => Warehouse.dimDates(Tables(s, dir))),
+    "etl_fact_orders"  -> ((s, dir) => Warehouse.factOrders(Tables(s, dir))),
+    // full DAG-equivalent rebuild; returns the per-stage summary
+    // (rows-only check — the per-table oracles above cover content).
+    "etl_pipeline" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
+      val results = Pipeline.run(s, dir, out)
+      import s.implicits._
+      results.map(r => (r.name, r.rows, r.ok)).toDF("stage", "rows", "ok")
+    }))
+
+  private def initcapSql(col: String) =
+    s"UPPER(SUBSTR($col, 1, 1)) || LOWER(SUBSTR($col, 2))"
+
+  val oracles: Map[String, String] = Map(
+    "etl_dim_customer" ->
+      s"""SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS customer_key,
+         |       c_custkey,
+         |       ${initcapSql("c_name")} AS customer_name,
+         |       LPAD(CAST(c_custkey % 100000 AS VARCHAR), 5, '0') AS zip5,
+         |       ${initcapSql("n_name")} AS nation_name,
+         |       UPPER(r_name) AS region_name,
+         |       c_mktsegment, c_acctbal, TRUE AS is_current
+         |FROM customer
+         |LEFT JOIN nation ON c_nationkey = n_nationkey
+         |LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "etl_dim_supplier" ->
+      s"""SELECT ROW_NUMBER() OVER (ORDER BY s_suppkey) AS supplier_key,
+         |       s_suppkey,
+         |       ${initcapSql("s_name")} AS supplier_name,
+         |       LPAD(CAST(s_suppkey % 100000 AS VARCHAR), 5, '0') AS zip5,
+         |       ${initcapSql("n_name")} AS nation_name,
+         |       s_acctbal
+         |FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey""".stripMargin,
+    "etl_dim_part" ->
+      """SELECT ROW_NUMBER() OVER (ORDER BY p_partkey) AS part_key,
+        |       p_partkey, p_name,
+        |       COALESCE('BRAND/' || UPPER(p_brand), 'Unknown') AS brand_label,
+        |       p_type,
+        |       COALESCE(p_size, 0) AS p_size,
+        |       COALESCE(p_retailprice, 0.0) AS p_retailprice
+        |FROM part""".stripMargin,
+    "etl_dim_geo" ->
+      s"""SELECT ROW_NUMBER() OVER (ORDER BY n_nationkey) AS geo_key,
+         |       n_nationkey,
+         |       ${initcapSql("n_name")} AS nation_name,
+         |       UPPER(r_name) AS region_name
+         |FROM nation LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin,
+    "etl_dim_dates" ->
+      """SELECT CAST(gs AS DATE) AS date_key,
+        |       day(gs) AS day, month(gs) AS month, year(gs) AS year,
+        |       quarter(gs) AS quarter,
+        |       (dayofweek(gs) + 6) % 7 AS day_of_week,
+        |       dayname(gs) AS day_name,
+        |       monthname(gs) AS month_name,
+        |       dayofweek(gs) IN (0, 6) AS is_weekend
+        |FROM generate_series(DATE '2016-01-01', DATE '2025-12-31', INTERVAL 1 DAY) t(gs)""".stripMargin,
+    "etl_fact_orders" ->
+      """WITH pk AS (
+        |  SELECT o_orderpriority,
+        |         DENSE_RANK() OVER (ORDER BY o_orderpriority) AS priority_key
+        |  FROM (SELECT DISTINCT o_orderpriority FROM orders))
+        |SELECT o.o_orderkey, l.l_linenumber,
+        |       o.o_custkey AS customer_key,
+        |       l.l_partkey AS part_key,
+        |       l.l_suppkey AS supplier_key,
+        |       pk.priority_key,
+        |       LOWER(o.o_orderstatus) AS order_status,
+        |       CAST(o.o_orderdate AS DATE) AS order_date_key,
+        |       c.c_mktsegment,
+        |       l.l_quantity,
+        |       l.l_extendedprice * (1.0 - l.l_discount) AS net_amount,
+        |       l.l_extendedprice * (1.0 - l.l_discount) * (1.0 + l.l_tax) AS gross_amount,
+        |       (epoch(l.l_shipdate) - epoch(o.o_orderdate)) / 86400.0 AS ship_latency_days
+        |FROM orders o
+        |LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |LEFT JOIN pk ON o.o_orderpriority = pk.o_orderpriority""".stripMargin)
+}
