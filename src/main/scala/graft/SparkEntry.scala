@@ -20,11 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
     graft.queries.Relational.queries ++
-    graft.queries.Etl.queries
+    graft.queries.Etl.queries ++
+    graft.queries.Text.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
-    graft.queries.Etl.oracles
+    graft.queries.Etl.oracles ++
+    graft.queries.Text.oracles
 }

@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis surface over the `documents` table (training-data
+  * pipeline operators): token counting, quality scoring, language ID,
+  * fingerprinting. Each is a narrow projection — the parquet scan
+  * prunes to (doc_id, text) and everything downstream is codegen'd
+  * expression work, so the operators scale linearly with no shuffle. */
+object Text {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "tx_token_counts" -> ((s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        wsTokenCount(col("text")).as("ws_tokens"),
+        bpeishTokenCount(col("text")).as("bpeish_tokens"))),
+    "tx_quality" -> ((s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_m"),
+        wsTokenCount(col("text")).as("ws_tokens"),
+        stopwordHits(col("text")).as("stop_hits"),
+        qualityScore(col("text")).as("quality_score"))),
+    "tx_langid" -> ((s, dir) => {
+      val hits = langHits(col("text"))
+      Tables(s, dir).documents.select(
+        Seq(col("doc_id"), col("lang").as("labeled_lang")) ++
+        hits.map { case (l, c) => c.as(s"hits_$l") } :+
+        langId(col("text")).as("pred_lang"): _*)
+    }),
+    "tx_fingerprint" -> ((s, dir) =>
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        md5Fingerprint(col("text")).as("md5_fp"),
+        shingleFingerprint(col("text")).as("shingle_fp"))))
+
+  private val stopsEn = "the|and|of|to|in|is|a"
+
+  val oracles: Map[String, String] = Map(
+    "tx_token_counts" ->
+      """SELECT doc_id,
+        |       len(string_split_regex(trim(text), '\s+')) AS ws_tokens,
+        |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpeish_tokens
+        |FROM documents""".stripMargin,
+    "tx_quality" ->
+      s"""SELECT doc_id,
+         |       length(text) AS n_chars_m,
+         |       len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+         |       len(regexp_extract_all(lower(text), '\\b($stopsEn)\\b')) AS stop_hits,
+         |       least(CAST(len(regexp_extract_all(lower(text), '\\b($stopsEn)\\b')) AS DOUBLE)
+         |               / len(string_split_regex(trim(text), '\\s+')) * 2.0, 1.0) * 0.5
+         |       + least(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |               / len(string_split_regex(trim(text), '\\s+')) / 10.0, 1.0) * 0.5
+         |         AS quality_score
+         |FROM documents""".stripMargin,
+    "tx_langid" ->
+      """SELECT doc_id, lang AS labeled_lang,
+        |       len(regexp_extract_all(lower(text), '\b(the|and|of|to|is)\b'))   AS hits_en,
+        |       len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist)\b')) AS hits_de,
+        |       len(regexp_extract_all(lower(text), '\b(le|la|et|les|est)\b'))   AS hits_fr,
+        |       len(regexp_extract_all(lower(text), '\b(el|los|las|es|y)\b'))    AS hits_es,
+        |       CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'unknown'
+        |            WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+        |            WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+        |            WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+        |            ELSE 'es' END AS pred_lang
+        |FROM documents""".stripMargin,
+    "tx_fingerprint" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |         regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t,
+        |         string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS words
+        |  FROM documents)
+        |SELECT doc_id,
+        |       md5(t) AS md5_fp,
+        |       CASE WHEN len(words) >= 5
+        |            THEN list_min(list_transform(range(1, len(words) - 3),
+        |                   i -> md5(array_to_string(words[i:i+4], ' '))))
+        |            ELSE md5(t) END AS shingle_fp
+        |FROM norm""".stripMargin)
+}
