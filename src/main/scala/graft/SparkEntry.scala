@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, Q] =
     graft.queries.Relational.queries ++
     graft.queries.Etl.queries ++
-    graft.queries.Text.queries
+    graft.queries.Text.queries ++
+    graft.queries.DedupQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
     graft.queries.Etl.oracles ++
-    graft.queries.Text.oracles
+    graft.queries.Text.oracles ++
+    graft.queries.DedupQueries.oracles
 }

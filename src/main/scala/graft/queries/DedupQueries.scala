@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.operators.Dedup
+
+/** Deduplication surface over `documents` (SURVEY.md north-star
+  * operators). Every near-dup variant is blocked-join based — the
+  * oracle SQL reproduces the identical md5-based signatures, so even
+  * the approximate algorithms are verified bit-for-bit. */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "dd_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir).documents)),
+    "dd_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(Tables(s, dir).documents)),
+    "dd_simhash" -> ((s, dir) => Dedup.simhash(Tables(s, dir).documents)),
+    "dd_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(Dedup.simhash(Tables(s, dir).documents))),
+    "dd_chargram_pairs" -> ((s, dir) =>
+      Dedup.charGramPairs(Tables(s, dir).documents)))
+
+  private val norm = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
+  private val hexChars = "0123456789abcdef"
+  private val popLookup = "0112122312232334"
+
+  /** DuckDB rendering of the SimHash signature query (mirrors
+    * Dedup.simhash exactly; `//` is DuckDB integer division). */
+  private def simhashSql: String = {
+    val sums = (1 to 16).flatMap { g =>
+      (0 to 3).map { j =>
+        val d = s"(instr('$hexChars', substr(m, $g, 1)) - 1)"
+        s"SUM(((($d // ${1 << j}) % 2) * 2 - 1)) AS v_${g}_$j"
+      }
+    }.mkString(",\n       ")
+    val digits = (1 to 16).map { g =>
+      val dig = (0 to 3).map { j =>
+        s"(CASE WHEN v_${g}_$j > 0 THEN ${1 << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"substr('$hexChars', ($dig) + 1, 1)"
+    }.mkString(" || ")
+    s"""WITH words AS (
+       |  SELECT doc_id, md5(unnest(string_split($norm, ' '))) AS m
+       |  FROM documents),
+       |v AS (SELECT doc_id, $sums FROM words GROUP BY doc_id)
+       |SELECT doc_id, $digits AS simhash FROM v""".stripMargin
+  }
+
+  private def hammingSql(a: String, b: String): String =
+    (1 to 16).map { g =>
+      val da = s"(instr('$hexChars', substr($a, $g, 1)) - 1)"
+      val db = s"(instr('$hexChars', substr($b, $g, 1)) - 1)"
+      s"CAST(substr('$popLookup', xor($da, $db) + 1, 1) AS INT)"
+    }.mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" ->
+      s"""SELECT md5($norm) AS content_hash,
+         |       MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+         |FROM documents GROUP BY 1""".stripMargin,
+    "dd_minhash_pairs" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(
+         |           range(1, greatest(len(string_split($norm, ' ')) - 2, 1) + 1),
+         |           i -> array_to_string((string_split($norm, ' '))[i:i+2], ' '))) AS shingles
+         |  FROM documents),
+         |sig AS (
+         |  SELECT doc_id, shingles,
+         |         list_transform(range(0, 16),
+         |           j -> list_min(list_transform(shingles, s -> md5(concat(j, ':', s))))) AS sig
+         |  FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bh
+         |  FROM sig, range(0, 4) t(b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+         |  FROM bands a JOIN bands c ON a.b = c.b AND a.bh = c.bh AND a.doc_id < c.doc_id)
+         |SELECT id_a, id_b,
+         |       CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+         |         / len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
+         |FROM pairs
+         |JOIN sh x ON id_a = x.doc_id
+         |JOIN sh y ON id_b = y.doc_id
+         |WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.5""".stripMargin,
+    "dd_simhash" -> simhashSql,
+    "dd_simhash_pairs" ->
+      s"""WITH sims AS ($simhashSql),
+         |banded AS (
+         |  SELECT doc_id, simhash, b, substr(simhash, b*4+1, 4) AS bk
+         |  FROM sims, range(0, 4) t(b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |         ${hammingSql("a.simhash", "c.simhash")} AS hamming
+         |  FROM banded a JOIN banded c
+         |    ON a.b = c.b AND a.bk = c.bk AND a.doc_id < c.doc_id)
+         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 16""".stripMargin,
+    "dd_chargram_pairs" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(
+         |           range(1, greatest(length(t) - 3, 1) + 1),
+         |           i -> substr(t, i, 4))) AS grams
+         |  FROM (SELECT doc_id, $norm AS t FROM documents)),
+         |b AS (SELECT doc_id, grams,
+         |             list_min(list_transform(grams, x -> md5(x))) AS block
+         |      FROM g)
+         |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+         |       CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
+         |         / len(list_distinct(list_concat(a.grams, c.grams))) AS jaccard
+         |FROM b a JOIN b c ON a.block = c.block AND a.doc_id < c.doc_id
+         |WHERE CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(a.grams, c.grams))) >= 0.8""".stripMargin)
+}
