@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
     graft.queries.Etl.queries ++
     graft.queries.Text.queries ++
-    graft.queries.DedupQueries.queries
+    graft.queries.DedupQueries.queries ++
+    graft.queries.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
     graft.queries.Relational.oracles ++
     graft.queries.Etl.oracles ++
     graft.queries.Text.oracles ++
-    graft.queries.DedupQueries.oracles
+    graft.queries.DedupQueries.oracles ++
+    graft.queries.Similarity.oracles
 }

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search over the `embeddings` table (64-dim float
+  * vectors): brute-force cosine top-k as the exactness baseline, a
+  * sign-LSH bucketed ANN as the scale path, and embedding-cosine
+  * near-dup pairs.
+  *
+  * Scale shape: the brute-force variant broadcasts the (tiny) query
+  * set against the corpus — linear scan, embarrassingly parallel, the
+  * right baseline up to ~10^7 corpus rows per executor-batch. The LSH
+  * variant replaces the scan with an equi-join on a 6-bit hyperplane
+  * sign bucket (one shuffle), which is the 100 TB path; recall is
+  * tunable via nPlanes / multi-probe. */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val DIM = 64
+  private val PLANES = 6
+  private val K = 5
+
+  val queries: Map[String, Q] = Map(
+    // exact cosine top-k: query set = every 100th vector.
+    "ss_knn_brute" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          expr(cosineSql("qe", "embedding", DIM)).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+    }),
+    // ANN: candidates share the 6-plane sign bucket; top-k within.
+    "ss_knn_lsh" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+        .withColumn("bucket", expr(signBucketSql("embedding", DIM, PLANES)))
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+      e.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          expr(cosineSql("qe", "embedding", DIM)).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+    }),
+    // embedding-cosine near-dup pairs within LSH buckets.
+    "ss_embed_neardup" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+        .withColumn("bucket", expr(signBucketSql("embedding", DIM, PLANES)))
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("e_a"), col("bucket"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("e_b"), col("bucket"))
+      a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          expr(cosineSql("e_a", "e_b", DIM)).as("cosine"))
+        .filter(col("cosine") >= 0.3)
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "ss_knn_brute" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+         |           FROM embeddings WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id,
+         |         ${cosineDuck("qe", "embedding", DIM)} AS cosine
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> q.qid)
+         |SELECT qid, vec_id, cosine, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= $K""".stripMargin,
+    "ss_knn_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |                  ${signBucketDuck("embedding", DIM, PLANES)} AS bucket
+         |           FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qe, bucket
+         |      FROM e WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id,
+         |         ${cosineDuck("qe", "embedding", DIM)} AS cosine
+         |  FROM e JOIN q USING (bucket)
+         |  WHERE e.vec_id <> q.qid)
+         |SELECT qid, vec_id, cosine, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= $K""".stripMargin,
+    "ss_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |                  ${signBucketDuck("embedding", DIM, PLANES)} AS bucket
+         |           FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |       ${cosineDuck("a.embedding", "b.embedding", DIM)} AS cosine
+         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${cosineDuck("a.embedding", "b.embedding", DIM)} >= 0.3""".stripMargin)
+}
