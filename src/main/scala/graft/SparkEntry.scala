@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.Etl.queries ++
     graft.queries.Text.queries ++
     graft.queries.DedupQueries.queries ++
-    graft.queries.Similarity.queries
+    graft.queries.Similarity.queries ++
+    graft.queries.Reco.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
     graft.queries.Etl.oracles ++
     graft.queries.Text.oracles ++
     graft.queries.DedupQueries.oracles ++
-    graft.queries.Similarity.oracles
+    graft.queries.Similarity.oracles ++
+    graft.queries.Reco.oracles
 }

@@ -1,0 +1,229 @@
+package graft.ml
+
+import org.apache.spark.ml.recommendation.{ALS, ALSModel}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import scala.collection.concurrent.TrieMap
+import graft.core.Tables
+
+/** Collaborative-filtering recommender (SURVEY.md §2.8 M1–M10).
+  *
+  * The reference trains a hand-rolled SGD matrix factorization over
+  * implicit (customer, product) pairs (mf_knn_recommender.py:98-173);
+  * we use MLlib ALS with implicitPrefs — same regularized implicit-MF
+  * objective family, distributed solver (SURVEY.md §7.3). Ranking
+  * semantics (cosine scoring over L2-normalized factors,
+  * mf_knn_recommender.py:256-269) and the MMR diversifier / evaluator
+  * are reproduced exactly.
+  *
+  * Scale shape: ALS's block-partitioned factor updates are the
+  * standard 100 TB-capable implicit-MF solver; cosine top-k broadcasts
+  * the (small) query-user factor block against the item factors —
+  * item factors are rank×nItems, orders of magnitude smaller than the
+  * interaction data, so the scan parallelizes trivially. Nothing here
+  * collects interaction-scale data to the driver.
+  */
+object Recommender {
+
+  val Rank = 16
+
+  /** M1: implicit interaction pairs — distinct (customer, part) from
+    * the order↔lineitem join (the fact table's recommender projection,
+    * mf_knn_recommender.py:54-58: clean → project → dedup). */
+  def interactions(t: Tables): DataFrame =
+    t.orders
+      .join(t.lineitem, t.orders("o_orderkey") === t.lineitem("l_orderkey"))
+      .select(col("o_custkey").cast("int").as("user"),
+        col("l_partkey").cast("int").as("item"))
+      .na.drop()
+      .distinct()
+
+  // one trained model per sf dir per JVM — the reco_* queries share it.
+  private val cache = TrieMap[String, ALSModel]()
+
+  /** M2: ALS implicit-MF, seeded (mf_knn_recommender.py:23 defaults →
+    * rank/reg; ALS maxIter replaces SGD epochs). */
+  def train(spark: SparkSession, dir: String): ALSModel =
+    cache.getOrElseUpdate(dir, {
+      val inter = interactions(Tables(spark, dir)).withColumn("rating", lit(1.0f))
+      new ALS()
+        .setImplicitPrefs(true)
+        .setRank(Rank)
+        .setRegParam(0.01)
+        .setMaxIter(10)
+        .setSeed(42)
+        .setUserCol("user").setItemCol("item").setRatingCol("rating")
+        .setColdStartStrategy("drop")
+        .fit(inter)
+    })
+
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(sequence(1, $Rank), CAST(0.0 AS DOUBLE), " +
+      s"(acc, i) -> acc + element_at($a, i) * element_at($b, i))"
+
+  /** L2-normalize a factor array (zero vectors pass through unscaled —
+    * mf_knn_recommender.py:489-499). Output: array<double> `nf`. */
+  private def normalize(factors: DataFrame): DataFrame =
+    factors
+      .withColumn("_d", expr("transform(features, x -> CAST(x AS DOUBLE))"))
+      .withColumn("_n", sqrt(expr(dotExpr("_d", "_d"))))
+      .withColumn("nf", when(col("_n") > 0,
+        expr("transform(_d, x -> x / _n)")).otherwise(col("_d")))
+      .select(col("id"), col("nf"))
+
+  /** M3/M4: cosine top-k for a set of users — normalized user factors
+    * broadcast against normalized item factors, ranked per user. */
+  def cosineTopK(model: ALSModel, users: DataFrame, k: Int): DataFrame = {
+    val uf = normalize(model.userFactors)
+      .join(users.select(col("user").cast("int").as("id")), "id")
+      .select(col("id").as("user"), col("nf").as("unf"))
+    val itf = normalize(model.itemFactors)
+      .select(col("id").as("item"), col("nf").as("inf"))
+    val w = Window.partitionBy(col("user")).orderBy(col("score").desc, col("item"))
+    itf.crossJoin(broadcast(uf))
+      .select(col("user"), col("item"), expr(dotExpr("unf", "inf")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** M6: Maximal-Marginal-Relevance diversification, exactly the
+    * reference's greedy loop (mf_knn_recommender.py:477-547): pool =
+    * top 3k by cosine relevance, first pick = argmax relevance, then
+    * argmax of λ·rel − (1−λ)·maxSimToSelected; ties break on first
+    * occurrence in relevance order (np.argmax semantics). Runs
+    * distributed: one group per user via mapGroups. */
+  def mmrSelect(cands: Seq[(Int, Double, Array[Double])], k: Int, lambda: Double)
+      : Seq[(Int, Double)] = {
+    if (cands.isEmpty) return Nil
+    val rel = cands.map(_._2).toArray
+    val vecs = cands.map(_._3).toArray
+    def sim(i: Int, j: Int): Double = {
+      var s = 0.0; var d = 0
+      while (d < vecs(i).length) { s += vecs(i)(d) * vecs(j)(d); d += 1 }
+      s
+    }
+    val selected = scala.collection.mutable.ArrayBuffer[Int]()
+    val remaining = scala.collection.mutable.ArrayBuffer.range(0, cands.length)
+    // first: argmax relevance (candidates arrive relevance-sorted, but
+    // recompute to be order-independent)
+    val first = remaining.indices.maxBy(i => (rel(remaining(i)), -remaining(i)))
+    selected += remaining.remove(first)
+    while (selected.length < k && remaining.nonEmpty) {
+      val scores = remaining.map { c =>
+        lambda * rel(c) - (1 - lambda) * selected.map(s => sim(c, s)).max
+      }
+      // np.argmax: first index of the max
+      val best = scores.indices.maxBy(i => (scores(i), -i))
+      selected += remaining.remove(best)
+    }
+    selected.map(i => (cands(i)._1, rel(i))).toSeq
+  }
+
+  /** MMR over a user set: top-3k cosine candidates per user, joined to
+    * their normalized factors, diversified per group. */
+  def diversify(model: ALSModel, users: DataFrame, k: Int = 5,
+                lambda: Double = 0.5): DataFrame = {
+    val spark = users.sparkSession
+    import spark.implicits._
+    val pool = cosineTopK(model, users, k * 3)
+    val itf = normalize(model.itemFactors)
+      .select(col("id").as("item"), col("nf"))
+    val withVecs = pool.join(itf, "item")
+      .select(col("user"), col("item"), col("score"), col("nf"))
+      .as[(Int, Int, Double, Seq[Double])]
+    withVecs.groupByKey(_._1)
+      .flatMapGroups { (user, it) =>
+        val cands = it.toSeq.sortBy(c => (-c._3, c._2))
+          .map(c => (c._2, c._3, c._4.toArray))
+        mmrSelect(cands, k, lambda).zipWithIndex.map {
+          case ((item, rel), i) => (user, item, rel, i + 1)
+        }
+      }
+      .toDF("user", "item", "score", "rank")
+  }
+
+  /** M7: ranking evaluation with the reference's exact (nonstandard)
+    * semantics (mf_knn_recommender.py:365-448): precision divides by
+    * fixed k; recall by |actual|; users with empty recs or actual are
+    * skipped; F1 computed from the *averaged* P and R. Split is a
+    * deterministic 80/20 hash holdout. */
+  def evaluate(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val inter = interactions(Tables(spark, dir))
+    val fold = pmod(hash(col("user"), col("item")), lit(5))
+    val train = inter.filter(fold =!= 0)
+    val test = inter.filter(fold === 0)
+    val model = new ALS()
+      .setImplicitPrefs(true).setRank(Rank).setRegParam(0.01)
+      .setMaxIter(10).setSeed(42)
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setColdStartStrategy("drop")
+      .fit(train.withColumn("rating", lit(1.0f)))
+    // common users, deterministically capped at 1000 (reference samples)
+    val evalUsers = test.select("user").distinct()
+      .join(train.select("user").distinct(), "user", "left_semi")
+      .orderBy("user").limit(1000)
+    val recs = cosineTopK(model, evalUsers, k)
+      .groupBy("user").agg(collect_set(col("item")).as("recs"))
+    val actual = test.join(evalUsers, "user")
+      .groupBy("user").agg(collect_set(col("item")).as("actual"))
+    val perUser = recs.join(actual, "user")
+      .filter(size(col("recs")) > 0 && size(col("actual")) > 0)
+      .select(
+        (size(array_intersect(col("recs"), col("actual"))).cast("double") / k)
+          .as("precision"),
+        (size(array_intersect(col("recs"), col("actual"))).cast("double") /
+          size(col("actual"))).as("recall"))
+    perUser.agg(
+        avg(col("precision")).as("precision"),
+        avg(col("recall")).as("recall"),
+        count(lit(1)).as("num_evaluated_users"))
+      .withColumn("f1_score",
+        when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") /
+            (col("precision") + col("recall"))).otherwise(0.0))
+      .select("precision", "recall", "f1_score", "num_evaluated_users")
+  }
+
+  /** M8: catalog coverage — |distinct recommended over a sample| /
+    * |all trained items| (mf_knn_recommender.py:450-475; deterministic
+    * first-100-users sample replaces the seeded shuffle). */
+  def coverage(spark: SparkSession, dir: String, k: Int = 5,
+               sampleSize: Int = 100): DataFrame = {
+    val model = train(spark, dir)
+    val users = model.userFactors.select(col("id").as("user"))
+      .orderBy("user").limit(sampleSize)
+    val recommended = cosineTopK(model, users, k)
+      .select("item").distinct().count()
+    val total = model.itemFactors.count()
+    import spark.implicits._
+    Seq((recommended, total, recommended.toDouble / total))
+      .toDF("items_recommended", "items_total", "coverage")
+  }
+
+  /** M9: PCA(2) projection of the item factors (the reference's
+    * embedding plot, minus matplotlib — we emit the coordinates). */
+  def itemPca(model: ALSModel): DataFrame = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val feats = model.itemFactors
+      .select(col("id").as("item"), array_to_vector(col("features")).as("fv"))
+    val pca = new PCA().setInputCol("fv").setOutputCol("pc").setK(2).fit(feats)
+    pca.transform(feats)
+      .withColumn("pc_arr", vector_to_array(col("pc")))
+      .select(col("item"),
+        col("pc_arr").getItem(0).as("x"),
+        col("pc_arr").getItem(1).as("y"))
+  }
+
+  /** M10: model persistence round-trip + get_model_info equivalent. */
+  def modelInfo(spark: SparkSession, dir: String): DataFrame = {
+    val model = train(spark, dir)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_als_model"
+    model.write.overwrite().save(path)
+    val loaded = ALSModel.load(path)
+    import spark.implicits._
+    Seq((loaded.rank, loaded.userFactors.count(), loaded.itemFactors.count()))
+      .toDF("rank", "n_users", "n_items")
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.functions.TextFunctions
+
+/** Unit specs for the text/dedup operators on tiny in-memory frames
+  * (the per-operator tests the reference lacks, SURVEY.md §5.1). */
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"),   // near dup
+    (4L, "completely different words entirely here now today friends"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical canonical texts, keeps min id") {
+    val out = Dedup.exact(docs).collect()
+    assert(out.length == 3)
+    val dupGroup = out.find(_.getAs[Long]("n_dups") == 2).get
+    assert(dupGroup.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("exact dedup is whitespace/case canonical") {
+    val messy = Seq((1L, "Hello  World"), (2L, "hello world "))
+      .toDF("doc_id", "text")
+    assert(Dedup.exact(messy).count() == 1)
+  }
+
+  test("minhash LSH: identical docs always collide (J=1 matches every band)") {
+    val pairs = Dedup.minhashLshPairs(docs, minJaccard = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash LSH at r=1 recalls the J=0.4 near-dup; Jaccard is exact") {
+    // 16 bands of 1 row: collision prob 1-(1-J)^16 ≈ 0.9997 at J=0.4 —
+    // with the fixed md5 permutations this fixture is deterministic.
+    val pairs = Dedup.minhashLshPairs(docs, bands = 16, minJaccard = 0.3)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    val nearDup = pairs.find(p => p._1 == 1L && p._2 == 3L)
+    assert(nearDup.isDefined)
+    assert(math.abs(nearDup.get._3 - 0.4) < 1e-9) // 4 shared / 10 union
+  }
+
+  test("simhash: identical texts agree; unrelated text differs") {
+    val sims = Dedup.simhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap
+    assert(sims(1L) == sims(2L))
+    assert(sims(1L).length == 16)
+    assert(sims(1L) != sims(4L))
+  }
+
+  test("token counts: whitespace and bpe-ish") {
+    val row = docs.filter($"doc_id" === 1)
+      .select(
+        TextFunctions.wsTokenCount($"text").as("ws"),
+        TextFunctions.bpeishTokenCount($"text").as("bp"))
+      .head()
+    assert(row.getAs[Int]("ws") == 9)
+    assert(row.getAs[Int]("bp") == 9)
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq(
+      (1, "the cat and the hat is on the mat"),
+      (2, "der hund und die katze ist das haus"),
+      (3, "zzz qqq xxx")).toDF("id", "text")
+    val out = df.select($"id", TextFunctions.langId($"text").as("lang"))
+      .as[(Int, String)].collect().toMap
+    assert(out(1) == "en")
+    assert(out(2) == "de")
+    assert(out(3) == "unknown")
+  }
+}
