@@ -24,7 +24,8 @@ object SparkEntry {
     graft.queries.Text.queries ++
     graft.queries.DedupQueries.queries ++
     graft.queries.Similarity.queries ++
-    graft.queries.Reco.queries
+    graft.queries.Reco.queries ++
+    graft.queries.Streaming.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -34,5 +35,6 @@ object SparkEntry {
     graft.queries.Text.oracles ++
     graft.queries.DedupQueries.oracles ++
     graft.queries.Similarity.oracles ++
-    graft.queries.Reco.oracles
+    graft.queries.Reco.oracles ++
+    graft.queries.Streaming.oracles
 }

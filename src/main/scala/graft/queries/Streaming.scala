@@ -1,0 +1,44 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.streaming.EventStream
+
+/** Streaming surface — each query actually executes a Structured
+  * Streaming job (file source → event-time aggregation → memory sink,
+  * Trigger.AvailableNow) and returns the materialized result, which is
+  * hash-checked against the equivalent batch SQL in DuckDB. */
+object Streaming {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "st_hourly_agg" -> ((s, dir) => EventStream.hourlyAgg(s, dir)),
+    "st_sessionize" -> ((s, dir) => EventStream.sessionize(s, dir)))
+
+  val oracles: Map[String, String] = Map(
+    "st_hourly_agg" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |       event_type,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+    // gaps-and-islands rendering of 30-min-gap sessions; >= matches
+    // Spark's exclusive session-end boundary.
+    "st_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |                     >= INTERVAL '30 minutes'
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |                                ROWS UNBOUNDED PRECEDING) AS sess_id
+        |  FROM o)
+        |SELECT MIN(ts) AS session_start, user_id,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM s
+        |GROUP BY user_id, sess_id""".stripMargin)
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, DecimalType, DoubleType}
+
+/** Structured Streaming ingest over the `events` table.
+  *
+  * The reference is batch-only (SURVEY.md §2.10); its unwired
+  * incremental extract (extract_data.py:94-145) maps to a file-source
+  * stream with `Trigger.AvailableNow` — process everything available,
+  * then stop — which is also the idiomatic backfill pattern on a real
+  * cluster (checkpointed, restart-safe, scales with file listing
+  * parallelism). Aggregations run in complete mode so the one-shot
+  * result equals the batch answer exactly (append mode would hold back
+  * windows above the final watermark).
+  *
+  * Event-time operators: tumbling 1-hour windows and native
+  * 30-minute-gap session windows (Spark's session_window — the
+  * stateful merge is the engine's, no custom state store needed;
+  * flatMapGroupsWithState is only warranted for non-gap session
+  * logic).
+  */
+object EventStream {
+
+  /** Streaming read of `<dir>/events.parquet` (schema from a static
+    * peek; ns-timestamps arrive as Long and are converted exactly). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val static = spark.read.parquet(s"$dir/events.parquet")
+    val stream = spark.readStream
+      .schema(static.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    if (static.schema("ts").dataType == LongType)
+      stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else stream
+  }
+
+  private def runToTable(df: DataFrame, name: String): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+
+  /** Tumbling 1-hour windows per event_type: count + exact value sum. */
+  def hourlyAgg(spark: SparkSession, dir: String): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    runToTable(agg, s"st_hourly_${dir.hashCode.abs}")
+  }
+
+  /** Native session windows: 30-minute inactivity gap per user. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .select(col("session_window.start").as("session_start"), col("user_id"),
+        col("n_events"), col("sum_value"))
+    runToTable(agg, s"st_sessions_${dir.hashCode.abs}")
+  }
+}
