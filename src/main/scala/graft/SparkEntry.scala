@@ -25,7 +25,8 @@ object SparkEntry {
     graft.queries.DedupQueries.queries ++
     graft.queries.Similarity.queries ++
     graft.queries.Reco.queries ++
-    graft.queries.Streaming.queries
+    graft.queries.Streaming.queries ++
+    graft.queries.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
     graft.queries.DedupQueries.oracles ++
     graft.queries.Similarity.oracles ++
     graft.queries.Reco.oracles ++
-    graft.queries.Streaming.oracles
+    graft.queries.Streaming.oracles ++
+    graft.queries.MultimodalQueries.oracles
 }

@@ -1,0 +1,59 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.multimodal.Multimodal
+
+/** Multimodal surface: catalog (scalar metadata — oracle-checked),
+  * deterministic frame sampling (oracle-checked), and the batched
+  * decode/feature pipeline (stub codec — rows-only + ScalaTest). */
+object MultimodalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "mm_catalog" -> ((s, dir) =>
+      Multimodal.mediaTable(Tables(s, dir).documents)
+        .select(col("media_id"), col("kind"),
+          length(col("payload")).as("n_bytes"),
+          col("width"), col("height"), col("n_frames"), col("duration_s"),
+          md5(col("payload")).as("payload_md5"))),
+    // deterministic frame sampling: ~4 evenly spaced frames per video.
+    "mm_frame_sample" -> ((s, dir) => {
+      val m = Multimodal.mediaTable(Tables(s, dir).documents)
+        .filter(col("kind") === "video")
+        .withColumn("step", greatest(expr("n_frames div 4"), lit(1)))
+      m.select(col("media_id"), col("n_frames"),
+          explode(expr("sequence(0, n_frames - 1, step)")).as("frame_idx"))
+        .withColumn("frame_md5",
+          // STUB decode: digest of (payload digest, frame index) — a real
+          // decoder would emit the frame raster here.
+          md5(concat(md5(col("media_id").cast("string")), lit(":"), col("frame_idx"))))
+    }),
+    "mm_features" -> ((s, dir) =>
+      Multimodal.decodeFeatures(
+        Multimodal.mediaTable(Tables(s, dir).documents)).toDF()))
+
+  val oracles: Map[String, String] = Map(
+    "mm_catalog" ->
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |            WHEN doc_id % 3 = 1 THEN 'audio'
+        |            ELSE 'video' END AS kind,
+        |       length(text) AS n_bytes,
+        |       CAST(64 + (doc_id % 16) * 32 AS INTEGER) AS width,
+        |       CAST(64 + (doc_id % 9) * 32 AS INTEGER) AS height,
+        |       CAST(8 + doc_id % 120 AS INTEGER) AS n_frames,
+        |       (8 + doc_id % 120) / 24.0 AS duration_s,
+        |       md5(text) AS payload_md5
+        |FROM documents""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(8 + doc_id % 120 AS INTEGER) AS n_frames,
+        |         greatest((8 + doc_id % 120) // 4, 1) AS step
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT media_id, n_frames, unnest(range(0, n_frames, step)) AS frame_idx,
+        |       md5(md5(CAST(media_id AS VARCHAR)) || ':' || frame_idx) AS frame_md5
+        |FROM m""".stripMargin)
+}
