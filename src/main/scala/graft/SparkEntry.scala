@@ -26,7 +26,8 @@ object SparkEntry {
     graft.queries.Similarity.queries ++
     graft.queries.Reco.queries ++
     graft.queries.Streaming.queries ++
-    graft.queries.MultimodalQueries.queries
+    graft.queries.MultimodalQueries.queries ++
+    graft.queries.AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
     graft.queries.Similarity.oracles ++
     graft.queries.Reco.oracles ++
     graft.queries.Streaming.oracles ++
-    graft.queries.MultimodalQueries.oracles
+    graft.queries.MultimodalQueries.oracles ++
+    graft.queries.AnalyticsQueries.oracles
 }

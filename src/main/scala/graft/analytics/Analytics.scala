@@ -1,0 +1,45 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.Tables
+
+/** Ad-hoc analytics surface (SURVEY.md §3.3): the reference's
+  * PostgreSQLDataReader equivalents — arbitrary SQL over the
+  * registered tables, catalog listing/description, CSV export. Here
+  * Catalyst parses/plans/executes what PostgreSQL did for the
+  * reference (postgres_reader.py:147-156). */
+object Analytics {
+
+  /** S15: arbitrary SQL entry point over the harness tables. */
+  def runSql(spark: SparkSession, dir: String, sql: String): DataFrame = {
+    Tables(spark, dir).registerViews()
+    spark.sql(sql)
+  }
+
+  /** S13: catalog table listing (spark.catalog-backed). */
+  def listTables(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.registerViews()
+    import spark.implicits._
+    spark.catalog.listTables()
+      .filter(tbl => t.names.contains(tbl.name))
+      .map(_.name).toDF("table_name").orderBy("table_name")
+  }
+
+  /** S14: describe-table (name, type, position) from the schema. */
+  def describeTable(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val schema = Tables(spark, dir).table(name).schema
+    import spark.implicits._
+    schema.fields.zipWithIndex
+      .map { case (f, i) => (f.name, f.dataType.simpleString, i + 1) }
+      .toSeq.toDF("column_name", "data_type", "ordinal_position")
+  }
+
+  /** S12: CSV export + schema-checked re-read (round-trip identity). */
+  def csvRoundTrip(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val src = Tables(spark, dir).table(name)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_$name"
+    src.coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
+    spark.read.schema(src.schema).option("header", "true").csv(out)
+  }
+}

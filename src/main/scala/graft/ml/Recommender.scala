@@ -47,19 +47,26 @@ object Recommender {
   def train(spark: SparkSession, dir: String): ALSModel =
     cache.getOrElseUpdate(dir, {
       val inter = interactions(Tables(spark, dir)).withColumn("rating", lit(1.0f))
-      new ALS()
-        .setImplicitPrefs(true)
-        .setRank(Rank)
-        .setRegParam(0.01)
-        .setMaxIter(10)
-        .setSeed(42)
-        .setUserCol("user").setItemCol("item").setRatingCol("rating")
-        .setColdStartStrategy("drop")
-        .fit(inter)
+      als().fit(inter)
     })
 
+  /** ALS configured for the harness scale: default 10 blocks (32
+    * blocks was measured SLOWER at ~500k ratings — per-iteration
+    * shuffle overhead beats the extra parallelism; on a real cluster
+    * with billions of ratings, blocks scale with executor count) and
+    * 5 iterations (implicit ALS converges in a handful of sweeps;
+    * the reference's 200-500 SGD epochs are a solver artifact). */
+  private def als() = new ALS()
+    .setImplicitPrefs(true)
+    .setRank(Rank)
+    .setRegParam(0.01)
+    .setMaxIter(5)
+    .setSeed(42)
+    .setUserCol("user").setItemCol("item").setRatingCol("rating")
+    .setColdStartStrategy("drop")
+
   private def dotExpr(a: String, b: String): String =
-    s"aggregate(sequence(1, $Rank), CAST(0.0 AS DOUBLE), " +
+    s"aggregate(sequence(1, size($a)), CAST(0.0 AS DOUBLE), " +
       s"(acc, i) -> acc + element_at($a, i) * element_at($b, i))"
 
   /** L2-normalize a factor array (zero vectors pass through unscaled —
@@ -72,17 +79,54 @@ object Recommender {
         expr("transform(_d, x -> x / _n)")).otherwise(col("_d")))
       .select(col("id"), col("nf"))
 
-  /** M3/M4: cosine top-k for a set of users — normalized user factors
-    * broadcast against normalized item factors, ranked per user. */
+  /** M3/M4: cosine top-k for a set of users. Two-phase partial top-k:
+    * the (small) query-user factor block is broadcast, each item
+    * partition keeps a bounded per-user heap (the ranking analog of a
+    * map-side combine), and only users×k×partitions survivor rows meet
+    * the final per-user selection — the full users×items score matrix
+    * is never shuffled or sorted. */
   def cosineTopK(model: ALSModel, users: DataFrame, k: Int): DataFrame = {
-    val uf = normalize(model.userFactors)
+    val spark = model.userFactors.sparkSession
+    import spark.implicits._
+    val uvecs: Array[(Int, Array[Double])] = normalize(model.userFactors)
       .join(users.select(col("user").cast("int").as("id")), "id")
-      .select(col("id").as("user"), col("nf").as("unf"))
-    val itf = normalize(model.itemFactors)
-      .select(col("id").as("item"), col("nf").as("inf"))
+      .as[(Int, Seq[Double])].collect().map { case (u, v) => (u, v.toArray) }
+    val bc = spark.sparkContext.broadcast(uvecs)
+    val partials = normalize(model.itemFactors)
+      .select(col("id").as("item"), col("nf"))
+      .as[(Int, Seq[Double])]
+      .mapPartitions { it =>
+        val us = bc.value
+        // per-user bounded heap ordered worst-first: (score asc, item desc)
+        val ord = Ordering.by[(Int, Double), (Double, Int)] { case (item, s) => (-s, item) }
+        val heaps = us.map { case (u, _) =>
+          u -> new scala.collection.mutable.PriorityQueue[(Int, Double)]()(ord)
+        }.toMap
+        it.foreach { case (item, nfSeq) =>
+          val nf = nfSeq.toArray
+          var ui = 0
+          while (ui < us.length) {
+            val (u, uv) = us(ui)
+            var s = 0.0; var d = 0
+            while (d < uv.length) { s += uv(d) * nf(d); d += 1 }
+            val h = heaps(u)
+            if (h.size < k) h.enqueue((item, s))
+            else {
+              val (wItem, wScore) = h.head
+              if (s > wScore || (s == wScore && item < wItem)) {
+                h.dequeue(); h.enqueue((item, s))
+              }
+            }
+            ui += 1
+          }
+        }
+        heaps.iterator.flatMap { case (u, h) =>
+          h.iterator.map { case (item, s) => (u, item, s) }
+        }
+      }
+    // final exact selection over users × k × partitions survivor rows
     val w = Window.partitionBy(col("user")).orderBy(col("score").desc, col("item"))
-    itf.crossJoin(broadcast(uf))
-      .select(col("user"), col("item"), expr(dotExpr("unf", "inf")).as("score"))
+    partials.toDF("user", "item", "score")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -153,12 +197,7 @@ object Recommender {
     val fold = pmod(hash(col("user"), col("item")), lit(5))
     val train = inter.filter(fold =!= 0)
     val test = inter.filter(fold === 0)
-    val model = new ALS()
-      .setImplicitPrefs(true).setRank(Rank).setRegParam(0.01)
-      .setMaxIter(10).setSeed(42)
-      .setUserCol("user").setItemCol("item").setRatingCol("rating")
-      .setColdStartStrategy("drop")
-      .fit(train.withColumn("rating", lit(1.0f)))
+    val model = als().fit(train.withColumn("rating", lit(1.0f)))
     // common users, deterministically capped at 1000 (reference samples)
     val evalUsers = test.select("user").distinct()
       .join(train.select("user").distinct(), "user", "left_semi")

@@ -132,23 +132,45 @@ object Dedup {
       s"CAST(substr('$popLookup', ($da ^ $db) + 1, 1) AS INT)"
     }.mkString(" + ")
 
-  /** Character n-gram Jaccard near-dup: block on the 1-permutation
-    * min-hash of the char-gram set (collision probability equals the
-    * Jaccard similarity), verify candidates exactly. */
+  /** Character n-gram Jaccard near-dup: block on (1-perm min-hash of
+    * the gram set, length bucket), verify candidates exactly.
+    *
+    * Two guards keep this sub-quadratic on corpora with heavy shared
+    * vocabulary (where the globally-min gram lands in most docs and a
+    * bare min-hash block degenerates toward all-pairs):
+    *  - the 64-char length bucket in the block key — docs of very
+    *    different length can't reach J >= 0.8 anyway, and the oracle
+    *    replicates the key so results stay exact;
+    *  - a size-ratio pre-filter before the expensive intersection:
+    *    J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so dropping pairs whose
+    *    bound is below the threshold is LOSSLESS for the thresholded
+    *    output while skipping the array work for most candidates. */
   def charGramPairs(docs: DataFrame, n: Int = 4, minJaccard: Double = 0.8): DataFrame = {
     val grams = docs
       .withColumn("t", normText(col("text")))
       .withColumn("grams", array_distinct(expr(
         s"transform(sequence(1, greatest(length(t) - ${n - 1}, 1)), i -> substr(t, i, $n))")))
-      .withColumn("block", expr("array_min(transform(grams, g -> md5(g)))"))
+      .withColumn("block", concat(
+        expr("array_min(transform(grams, g -> md5(g)))"),
+        lit(":"), expr("length(t) div 64")))
       .select(col("doc_id"), col("grams"), col("block"))
-    val a = grams.select(col("doc_id").as("id_a"), col("grams").as("g_a"), col("block"))
-    val b = grams.select(col("doc_id").as("id_b"), col("grams").as("g_b"), col("block"))
-    a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
+    // candidate generation joins only (id, set-size, block) — the gram
+    // arrays are fetched AFTER the size-bound filter, so the wide rows
+    // never shuffle for pairs that can't pass the threshold.
+    val slim = grams.select(col("doc_id"), size(col("grams")).as("sz"), col("block"))
+    val a = slim.select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("block"))
+    val b = slim.select(col("doc_id").as("id_b"), col("sz").as("sz_b"), col("block"))
+    val cands = a.join(b, Seq("block")).filter(col("id_a") < col("id_b"))
+      .filter( // lossless Jaccard upper bound on set sizes
+        least(col("sz_a"), col("sz_b")).cast("double") /
+          greatest(col("sz_a"), col("sz_b")) >= minJaccard)
+      .select("id_a", "id_b").distinct()
+    val ga = grams.select(col("doc_id").as("id_a"), col("grams").as("g_a"))
+    val gb = grams.select(col("doc_id").as("id_b"), col("grams").as("g_b"))
+    cands.join(ga, "id_a").join(gb, "id_b")
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
           size(array_union(col("g_a"), col("g_b")))).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= minJaccard)
   }
 }

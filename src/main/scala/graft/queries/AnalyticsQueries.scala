@@ -1,0 +1,67 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.analytics.Analytics
+import graft.core.Tables
+
+/** Ad-hoc SQL / catalog / export surface (S12–S15) plus the remaining
+  * §2 inventory gaps: W3 label encoding and T2 pagination. */
+object AnalyticsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // S15: the reference's exemplar ad-hoc query through spark.sql
+    // (postgres_reader.py:290-295), over registered temp views.
+    "an_adhoc_sql" -> ((s, dir) => Analytics.runSql(s, dir,
+      """SELECT o_orderstatus,
+        |       COUNT(*) AS total_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        |         AS avg_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+    "an_catalog_tables" -> ((s, dir) => Analytics.listTables(s, dir)),
+    "an_describe_table" -> ((s, dir) => Analytics.describeTable(s, dir, "lineitem")),
+    "an_csv_roundtrip" -> ((s, dir) => Analytics.csvRoundTrip(s, dir, "region")),
+    // W3: label encoding — frequency-desc dense codes (StringIndexer
+    // semantics: most frequent value gets 0, ties alphabetical).
+    "w3_label_encoding" -> ((s, dir) => {
+      val counts = Tables(s, dir).customer
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+      counts.withColumn("label_idx",
+          dense_rank().over(Window.orderBy(col("n").desc, col("c_mktsegment"))) - 1)
+        .select("c_mktsegment", "n", "label_idx")
+    }),
+    // T2: LIMIT/OFFSET pagination (page 3 of 100, stable order).
+    "t2_pagination" -> ((s, dir) =>
+      Tables(s, dir).orders
+        .orderBy(col("o_orderkey"))
+        .offset(200).limit(100)
+        .select("o_orderkey", "o_totalprice")))
+
+  val oracles: Map[String, String] = Map(
+    "an_adhoc_sql" ->
+      """SELECT o_orderstatus,
+        |       COUNT(*) AS total_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+        |         AS avg_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "an_catalog_tables" ->
+      """SELECT unnest(['customer','documents','embeddings','events','lineitem',
+        |               'nation','orders','part','region','supplier']) AS table_name""".stripMargin,
+    "an_describe_table" ->
+      """SELECT unnest(['l_orderkey','l_partkey','l_suppkey','l_linenumber',
+        |               'l_quantity','l_extendedprice','l_discount','l_tax',
+        |               'l_returnflag','l_linestatus','l_shipdate']) AS column_name,
+        |       unnest(['bigint','bigint','bigint','int','double','double',
+        |               'double','double','string','string','timestamp_ntz']) AS data_type,
+        |       unnest(range(1, 12)) AS ordinal_position""".stripMargin,
+    "an_csv_roundtrip" -> "SELECT * FROM region",
+    "w3_label_encoding" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |       DENSE_RANK() OVER (ORDER BY COUNT(*) DESC, c_mktsegment) - 1 AS label_idx
+        |FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "t2_pagination" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 100 OFFSET 200""".stripMargin)
+}

@@ -100,18 +100,21 @@ object DedupQueries {
          |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 16""".stripMargin,
     "dd_chargram_pairs" ->
       s"""WITH g AS (
-         |  SELECT doc_id,
+         |  SELECT doc_id, t,
          |         list_distinct(list_transform(
          |           range(1, greatest(length(t) - 3, 1) + 1),
          |           i -> substr(t, i, 4))) AS grams
          |  FROM (SELECT doc_id, $norm AS t FROM documents)),
          |b AS (SELECT doc_id, grams,
-         |             list_min(list_transform(grams, x -> md5(x))) AS block
+         |             concat(list_min(list_transform(grams, x -> md5(x))),
+         |                    ':', length(t) // 64) AS block
          |      FROM g)
          |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
          |       CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
          |         / len(list_distinct(list_concat(a.grams, c.grams))) AS jaccard
          |FROM b a JOIN b c ON a.block = c.block AND a.doc_id < c.doc_id
-         |WHERE CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
+         |WHERE CAST(least(len(a.grams), len(c.grams)) AS DOUBLE)
+         |        / greatest(len(a.grams), len(c.grams)) >= 0.8
+         |  AND CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
          |        / len(list_distinct(list_concat(a.grams, c.grams))) >= 0.8""".stripMargin)
 }
