@@ -3,12 +3,22 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val prefix = args.headOption.getOrElse("")
     val spark = graft.core.GraftSession.local("graft-bench")
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.startsWith(prefix)).map { case (name, fn) =>
+      // GRAFT_BENCH_RUNS>1 reports the best of N runs — steady-state
+      // timing that excludes first-run JIT/codegen (local iteration aid).
+      val runs = sys.env.get("GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(1)
+      val sec = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.min
       System.err.println(f"[bench] $name%-24s $sec%8.2f s")
+      // release per-query persisted intermediates so one query's cache
+      // doesn't squeeze the next query's execution memory
+      spark.catalog.clearCache()
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -50,18 +50,20 @@ object Recommender {
       als().fit(inter)
     })
 
-  /** ALS configured for the harness scale: default 10 blocks (32
-    * blocks was measured SLOWER at ~500k ratings — per-iteration
-    * shuffle overhead beats the extra parallelism; on a real cluster
-    * with billions of ratings, blocks scale with executor count) and
-    * 5 iterations (implicit ALS converges in a handful of sweeps;
-    * the reference's 200-500 SGD epochs are a solver artifact). */
+  /** ALS configured for the harness scale: few factor blocks (at
+    * ~500k ratings measured 2-4 blocks ≈ 12s vs 10 blocks 14s vs 32
+    * blocks slower still — per-iteration shuffle overhead beats extra
+    * parallelism on one node; on a real cluster blocks scale with
+    * executor count, hence the env override) and 5 iterations
+    * (implicit ALS converges in a handful of sweeps; the reference's
+    * 200-500 SGD epochs are a solver artifact). */
   private def als() = new ALS()
     .setImplicitPrefs(true)
     .setRank(Rank)
     .setRegParam(0.01)
     .setMaxIter(5)
     .setSeed(42)
+    .setNumBlocks(sys.env.get("GRAFT_ALS_BLOCKS").map(_.toInt).getOrElse(4))
     .setUserCol("user").setItemCol("item").setRatingCol("rating")
     .setColdStartStrategy("drop")
 

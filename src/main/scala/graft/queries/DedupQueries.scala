@@ -23,6 +23,13 @@ object DedupQueries {
       Dedup.charGramPairs(Tables(s, dir).documents)))
 
   private val norm = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
+
+  /** DuckDB rendering of Dedup.sigExpr: k min-hash slots from k/4
+    * salted md5 passes, each digest sliced into four 32-bit hashes. */
+  private def sigDuck(arr: String, k: Int): String =
+    s"""flatten(list_transform(
+       |  list_transform(range(0, ${k / 4}), p -> list_transform($arr, g -> md5(concat(p, ':', g)))),
+       |  hp -> list_transform(range(0, 4), s -> list_min(list_transform(hp, h -> substr(h, s*8+1, 8))))))""".stripMargin
   private val hexChars = "0123456789abcdef"
   private val popLookup = "0112122312232334"
 
@@ -69,8 +76,7 @@ object DedupQueries {
          |  FROM documents),
          |sig AS (
          |  SELECT doc_id, shingles,
-         |         list_transform(range(0, 16),
-         |           j -> list_min(list_transform(shingles, s -> md5(concat(j, ':', s))))) AS sig
+         |         ${sigDuck("shingles", 16)} AS sig
          |  FROM sh),
          |bands AS (
          |  SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bh
@@ -105,16 +111,25 @@ object DedupQueries {
          |           range(1, greatest(length(t) - 3, 1) + 1),
          |           i -> substr(t, i, 4))) AS grams
          |  FROM (SELECT doc_id, $norm AS t FROM documents)),
-         |b AS (SELECT doc_id, grams,
-         |             concat(list_min(list_transform(grams, x -> md5(x))),
-         |                    ':', length(t) // 64) AS block
-         |      FROM g)
-         |SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
-         |       CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
-         |         / len(list_distinct(list_concat(a.grams, c.grams))) AS jaccard
-         |FROM b a JOIN b c ON a.block = c.block AND a.doc_id < c.doc_id
-         |WHERE CAST(least(len(a.grams), len(c.grams)) AS DOUBLE)
-         |        / greatest(len(a.grams), len(c.grams)) >= 0.8
-         |  AND CAST(len(list_intersect(a.grams, c.grams)) AS DOUBLE)
-         |        / len(list_distinct(list_concat(a.grams, c.grams))) >= 0.8""".stripMargin)
+         |s AS (
+         |  SELECT doc_id, grams, len(grams) AS sz, length(t) // 64 AS lb,
+         |         ${sigDuck("grams", 16)} AS sig
+         |  FROM g),
+         |banded AS (
+         |  SELECT doc_id, sz, lb, b,
+         |         md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bh
+         |  FROM s, range(0, 4) t(b)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+         |  FROM banded a JOIN banded c
+         |    ON a.b = c.b AND a.bh = c.bh AND a.lb = c.lb AND a.doc_id < c.doc_id
+         |  WHERE CAST(least(a.sz, c.sz) AS DOUBLE) / greatest(a.sz, c.sz) >= 0.8)
+         |SELECT id_a, id_b,
+         |       CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+         |         / len(list_distinct(list_concat(x.grams, y.grams))) AS jaccard
+         |FROM pairs
+         |JOIN g x ON id_a = x.doc_id
+         |JOIN g y ON id_b = y.doc_id
+         |WHERE CAST(len(list_intersect(x.grams, y.grams)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(x.grams, y.grams))) >= 0.8""".stripMargin)
 }
