@@ -20,6 +20,8 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // native codegen'd vector expressions (vec_dot / vec_cosine)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       // harness events.parquet carries TIMESTAMP(NANOS); read as Long ns
       // and convert in Tables (exact — data is µs-granular).

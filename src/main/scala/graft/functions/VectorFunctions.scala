@@ -1,59 +1,69 @@
 package graft.functions
 
-/** Vector similarity primitives over `Array[Float]` embedding columns,
-  * as SQL expression strings shared between the Spark plan and the
-  * DuckDB oracle rendering.
+import java.security.MessageDigest
+
+/** Vector similarity primitives over `Array[Float]` embedding columns.
   *
-  * Determinism contract: every float is cast to double BEFORE any
-  * arithmetic, and sums are explicit left folds — both engines then
-  * produce bit-identical doubles, so even approximate ANN variants are
-  * oracle-verifiable exactly. (A future Catalyst `Expression` with
-  * `doGenCode` could fuse the dot product into one loop; the built-in
-  * `aggregate` HOF already stays inside codegen, so that is a
-  * micro-optimization, not a scalability need.)
+  * The Spark side uses the native codegen'd expressions (VecDot /
+  * VecCosine, registered as `vec_dot` / `vec_cosine` via
+  * GraftExtensions); the DuckDB side renders the equivalent explicit
+  * left fold. Determinism contract: every float is cast to double
+  * BEFORE any arithmetic, and each accumulator is a left fold in index
+  * order — both engines produce bit-identical doubles, so even
+  * approximate ANN variants are oracle-verifiable exactly.
   */
 object VectorFunctions {
 
-  /** Spark SQL: dot product of two array<float> columns (left fold). */
-  def dotSql(a: String, b: String, dim: Int): String =
-    s"aggregate(sequence(1, $dim), CAST(0.0 AS DOUBLE), " +
-      s"(acc, i) -> acc + CAST(element_at($a, i) AS DOUBLE) * CAST(element_at($b, i) AS DOUBLE))"
+  /** Spark SQL: dot product of two array columns (native expression). */
+  def dotSql(a: String, b: String, dim: Int): String = s"vec_dot($a, $b)"
 
-  /** DuckDB: the same left-fold dot product. */
+  /** DuckDB: the equivalent left-fold dot product. */
   def dotDuck(a: String, b: String, dim: Int): String =
     s"list_reduce(list_transform(range(1, ${dim + 1}), " +
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)"
 
-  def cosineSql(a: String, b: String, dim: Int): String =
-    s"${dotSql(a, b, dim)} / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)}))"
+  def cosineSql(a: String, b: String, dim: Int): String = s"vec_cosine($a, $b)"
 
   def cosineDuck(a: String, b: String, dim: Int): String =
     s"${dotDuck(a, b, dim)} / (sqrt(${dotDuck(a, a, dim)}) * sqrt(${dotDuck(b, b, dim)}))"
 
-  /** ±1 hyperplane coefficient for plane j, dimension i — derived from
-    * an md5 parity so both engines generate identical planes with no
-    * RNG. `i` is the lambda variable name in scope. */
-  private def coeff(j: Int): String =
-    s"CAST((instr('0123456789abcdef', substr(md5(concat('${j}_', i)), 1, 1)) - 1) % 2 * 2 - 1 AS DOUBLE)"
+  /** ±1 hyperplane coefficients for plane j over dims 1..dim.
+    *
+    * Derived from an md5 parity — deterministic, engine-independent —
+    * but computed ONCE at planning time and inlined as literals. (An
+    * earlier formulation evaluated `md5(concat(j, '_', i))` inside the
+    * per-row fold: dim × nPlanes digests per ROW for what is a
+    * constant matrix. At corpus scale that is the whole scan cost.)
+    * Parity matches the SQL `(instr('0123456789abcdef',
+    * substr(md5(j||'_'||i), 1, 1)) - 1) % 2 * 2 - 1`. */
+  private[functions] def planeCoeffs(j: Int, dim: Int): IndexedSeq[Int] =
+    (1 to dim).map { i =>
+      val digest = MessageDigest.getInstance("MD5")
+        .digest(s"${j}_$i".getBytes("UTF-8"))
+      val firstHexDigit = (digest(0) >> 4) & 0xf
+      (firstHexDigit % 2) * 2 - 1
+    }
 
   /** Spark SQL: random-hyperplane sign bucket (nPlanes-bit string).
     * Vectors with equal buckets are ANN candidates — bucketing is a
     * pure projection, candidates come from an equi-join on the bucket,
-    * so the search is one shuffle and never a cartesian. */
+    * so the search is one shuffle and never a cartesian. The plane
+    * matrix is inlined as double literals; the projection itself is
+    * the native vec_dot. */
   def signBucketSql(emb: String, dim: Int, nPlanes: Int): String = {
     val bits = (0 until nPlanes).map { j =>
-      val proj = s"aggregate(sequence(1, $dim), CAST(0.0 AS DOUBLE), " +
-        s"(acc, i) -> acc + CAST(element_at($emb, i) AS DOUBLE) * ${coeff(j)})"
-      s"CASE WHEN $proj >= 0 THEN '1' ELSE '0' END"
+      val arr = planeCoeffs(j, dim).map(c => s"${c}.0D").mkString("array(", ", ", ")")
+      s"CASE WHEN vec_dot($emb, $arr) >= 0 THEN '1' ELSE '0' END"
     }
     s"concat(${bits.mkString(", ")})"
   }
 
-  /** DuckDB: the same sign bucket. */
+  /** DuckDB: the same sign bucket from the same inlined literals. */
   def signBucketDuck(emb: String, dim: Int, nPlanes: Int): String = {
     val bits = (0 until nPlanes).map { j =>
+      val coeffs = planeCoeffs(j, dim)
       val proj = s"list_reduce(list_transform(range(1, ${dim + 1}), " +
-        s"i -> CAST($emb[i] AS DOUBLE) * ${coeff(j)}), (x, y) -> x + y)"
+        s"i -> CAST($emb[i] AS DOUBLE) * ([${coeffs.mkString(", ")}][i])), (x, y) -> x + y)"
       s"CASE WHEN $proj >= 0 THEN '1' ELSE '0' END"
     }
     s"concat(${bits.mkString(", ")})"

@@ -67,9 +67,10 @@ object Recommender {
     .setUserCol("user").setItemCol("item").setRatingCol("rating")
     .setColdStartStrategy("drop")
 
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(sequence(1, size($a)), CAST(0.0 AS DOUBLE), " +
-      s"(acc, i) -> acc + element_at($a, i) * element_at($b, i))"
+  // native codegen'd dot product (GraftExtensions); same left-fold
+  // accumulation order as the aggregate-HOF formulation, so swapping
+  // it in is bit-invisible to results.
+  private def dotExpr(a: String, b: String): String = s"vec_dot($a, $b)"
 
   /** L2-normalize a factor array (zero vectors pass through unscaled —
     * mf_knn_recommender.py:489-499). Output: array<double> `nf`. */

@@ -1,0 +1,27 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.{VecCosine, VecDot}
+
+/** Engine extension point, wired via `spark.sql.extensions`
+  * (GraftSession sets it). Registers the native vector expressions so
+  * they are first-class SQL functions — usable from `spark.sql`, the
+  * DataFrame `expr(...)` surface, and views, with full whole-stage
+  * codegen.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def info(name: String, usage: String) =
+      new ExpressionInfo(classOf[VecDot].getName, null, name, usage, "")
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two float/double array columns"),
+      (args: Seq[Expression]) => VecDot(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float/double array columns"),
+      (args: Seq[Expression]) => VecCosine(args(0), args(1))))
+  }
+}
