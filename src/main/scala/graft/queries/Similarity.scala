@@ -23,6 +23,7 @@ object Similarity {
   private val DIM = 64
   private val PLANES = 6
   private val K = 5
+  private val NPROBE = 2
 
   val queries: Map[String, Q] = Map(
     // exact cosine top-k: query set = every 100th vector.
@@ -46,6 +47,39 @@ object Similarity {
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
       val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
       e.join(broadcast(q), Seq("bucket"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          expr(cosineSql("qe", "embedding", DIM)).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+    }),
+    // IVF ANN: coarse-quantize the corpus to inverted cells (one
+    // linear broadcast-assignment pass), probe the nprobe=2 nearest
+    // cells per query. Centroids here are a deterministic 1/125
+    // subset so the oracle can replicate the index exactly; at
+    // warehouse scale the centroid set comes from KMeans.fit and the
+    // assignment pass is unchanged (corpus never shuffles — cells are
+    // a projection, search is one equi-join on cell id).
+    "ss_knn_ivf" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val cents = e.filter(col("vec_id") % 125 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val wa = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          expr(cosineSql("embedding", "ce", DIM)).as("csim"))
+        .withColumn("arn", row_number().over(wa)).filter(col("arn") === 1)
+        .select("vec_id", "embedding", "cid")
+      val wq = Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("cid"))
+      val probes = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .crossJoin(broadcast(cents))
+        .select(col("qid"), col("qe"), col("cid"),
+          expr(cosineSql("qe", "ce", DIM)).as("qsim"))
+        .withColumn("qrn", row_number().over(wq)).filter(col("qrn") <= NPROBE)
+        .select("qid", "qe", "cid")
+      val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+      assigned.join(broadcast(probes), Seq("cid"))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
           expr(cosineSql("qe", "embedding", DIM)).as("cosine"))
@@ -88,6 +122,32 @@ object Similarity {
          |         ${cosineDuck("qe", "embedding", DIM)} AS cosine
          |  FROM e JOIN q USING (bucket)
          |  WHERE e.vec_id <> q.qid)
+         |SELECT qid, vec_id, cosine, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= $K""".stripMargin,
+    "ss_knn_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 125 = 0),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineDuck("e.embedding", "c.ce", DIM)} DESC, c.cid) AS arn
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE arn = 1),
+         |probes AS (
+         |  SELECT qid, qe, cid FROM (
+         |    SELECT q.vec_id AS qid, q.embedding AS qe, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${cosineDuck("q.embedding", "c.ce", DIM)} DESC, c.cid) AS qrn
+         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 100 = 0)
+         |  WHERE qrn <= $NPROBE),
+         |scored AS (
+         |  SELECT p.qid, a.vec_id,
+         |         ${cosineDuck("p.qe", "a.embedding", DIM)} AS cosine
+         |  FROM assigned a JOIN probes p USING (cid)
+         |  WHERE a.vec_id <> p.qid)
          |SELECT qid, vec_id, cosine, rank FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
          |  FROM scored)
