@@ -25,19 +25,30 @@ object Pipeline {
     "dim_dates"    -> (() => Warehouse.dimDates(t)),
     "fact_orders"  -> (() => Warehouse.factOrders(t)))
 
-  /** Full warehouse rebuild: sfDir parquet → outDir parquet star schema. */
+  /** Full warehouse rebuild: sfDir parquet → outDir parquet star
+    * schema. The six builds are independent, so their write actions
+    * are submitted concurrently (the DAG's parallel transform group,
+    * e_commerce_dw_dag.py:48-83) — Spark's scheduler interleaves the
+    * jobs across the cluster and the wall clock is the slowest stage,
+    * not the sum. Error isolation stays per-stage. */
   def run(spark: SparkSession, sfDir: String, outDir: String): Seq[StageResult] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
     val t = Tables(spark, sfDir)
-    stages(t).map { case (name, build) =>
-      try {
-        val df = build()
-        df.write.mode("overwrite").parquet(s"$outDir/$name")
-        val n = spark.read.parquet(s"$outDir/$name").count()
-        StageResult(name, n, ok = true, None)
-      } catch {
-        case e: Throwable => StageResult(name, -1, ok = false, Some(e.getMessage))
+    val futures = stages(t).map { case (name, build) =>
+      Future {
+        try {
+          val df = build()
+          df.write.mode("overwrite").parquet(s"$outDir/$name")
+          val n = spark.read.parquet(s"$outDir/$name").count()
+          StageResult(name, n, ok = true, None)
+        } catch {
+          case e: Throwable => StageResult(name, -1, ok = false, Some(e.getMessage))
+        }
       }
     }
+    futures.map(Await.result(_, Duration.Inf))
   }
 
   /** Register the warehouse as temp views so `spark.sql` works against

@@ -120,15 +120,22 @@ object Dedup {
     * by word frequency (each occurrence votes). Pure SQL expressions so
     * the oracle reproduces it exactly. */
   def simhash(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // decode each hex digit of the word digest ONCE in a projection
+    // (16 substr+instr string ops per word); the 64 bit-vote sums then
+    // run on small ints — quartering the per-word string work vs
+    // evaluating substr/instr inside every vote expression.
+    val digitCols = (1 to 16).map { g =>
+      expr(s"instr('$hexChars', substr(m, $g, 1)) - 1").as(s"d_$g")
+    }
     val words = spread(docs, idCol).select(
       col(idCol).as("doc_id"),
       explode(split(normText(col(textCol)), " ")).as("w"))
       .withColumn("m", md5(col("w")))
+      .select(col("doc_id") +: digitCols: _*)
     // vote_{g}_{j}: sum over words of ±1 for bit j of hex digit g.
     val votes = (1 to 16).flatMap { g =>
       (0 to 3).map { j =>
-        val d = s"(instr('$hexChars', substr(m, $g, 1)) - 1)"
-        sum(expr(s"(($d div ${1 << j}) % 2) * 2 - 1")).as(s"v_${g}_$j")
+        sum(expr(s"((d_$g div ${1 << j}) % 2) * 2 - 1")).as(s"v_${g}_$j")
       }
     }
     val agg = words.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)

@@ -12,7 +12,8 @@ object Streaming {
 
   val queries: Map[String, Q] = Map(
     "st_hourly_agg" -> ((s, dir) => EventStream.hourlyAgg(s, dir)),
-    "st_sessionize" -> ((s, dir) => EventStream.sessionize(s, dir)))
+    "st_sessionize" -> ((s, dir) => EventStream.sessionize(s, dir)),
+    "st_user_journey" -> ((s, dir) => EventStream.userJourney(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "st_hourly_agg" ->
@@ -40,5 +41,23 @@ object Streaming {
         |       COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM s
-        |GROUP BY user_id, sess_id""".stripMargin)
+        |GROUP BY user_id, sess_id""".stripMargin,
+    // per-event running state (flatMapGroupsWithState) rendered as
+    // gaps-and-islands window SQL; cumulative value decimal-exact in
+    // both engines so running-sum evaluation order can't drift it.
+    "st_user_journey" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, value,
+        |         CASE WHEN LAG(ts) OVER w IS NULL
+        |                OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, event_id, ts,
+        |       ROW_NUMBER() OVER w AS event_seq,
+        |       SUM(new_sess) OVER w AS session_idx,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS cum_value
+        |FROM o
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS UNBOUNDED PRECEDING)""".stripMargin)
 }

@@ -22,6 +22,11 @@ import org.apache.spark.sql.types.{LongType, DecimalType, DoubleType}
   * flatMapGroupsWithState is only warranted for non-gap session
   * logic).
   */
+/** O(1) per-user streaming state for userJourney: last event time,
+  * running counters, decimal-exact cumulative value. */
+final case class JourneyState(lastTsMillis: Long, seq: Long, sessionIdx: Long,
+                              cum: java.math.BigDecimal)
+
 object EventStream {
 
   /** Streaming read of `<dir>/events.parquet` (schema from a static
@@ -37,11 +42,12 @@ object EventStream {
     else stream
   }
 
-  private def runToTable(df: DataFrame, name: String): DataFrame = {
+  private def runToTable(df: DataFrame, name: String,
+                         mode: String = "complete"): DataFrame = {
     val q = df.writeStream
       .format("memory")
       .queryName(name)
-      .outputMode("complete")
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
@@ -59,6 +65,46 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
     runToTable(agg, s"st_hourly_${dir.hashCode.abs}")
+  }
+
+  /** Custom per-key streaming state via flatMapGroupsWithState: the
+    * per-user "journey" — monotone event sequence number, 30-minute-gap
+    * session index, and exact cumulative spend — state that windowed
+    * aggregation can't express (it is per-EVENT output with cross-event
+    * running state, not a per-window rollup).
+    *
+    * State per user is O(1) (last timestamp, counters, one decimal
+    * accumulator), carried across micro-batches by the state store and
+    * keyed-shuffled once — the standard scale shape for streaming
+    * sessionization. Events within a batch are ordered (ts, event_id)
+    * in-group; the cumulative sum is decimal-exact so replay /
+    * parallelism changes can never drift the output. */
+  def userJourney(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ev = readEvents(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+    val out = ev.groupByKey(_._1)
+      .flatMapGroupsWithState[JourneyState, (Long, Long, java.sql.Timestamp, Long, Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (uid, it, state: GroupState[JourneyState]) =>
+          var st = state.getOption.getOrElse(JourneyState(Long.MinValue, 0L, 0L, java.math.BigDecimal.ZERO))
+          val rows = it.toSeq.sortBy { case (_, eid, ts, _) => (ts.getTime, eid) }.map {
+            case (_, eid, ts, v) =>
+              val newSession = st.lastTsMillis == Long.MinValue ||
+                ts.getTime - st.lastTsMillis >= 30L * 60 * 1000
+              val cum = st.cum.add(
+                new java.math.BigDecimal(v).setScale(4, java.math.RoundingMode.HALF_UP))
+              st = JourneyState(ts.getTime, st.seq + 1,
+                st.sessionIdx + (if (newSession) 1 else 0), cum)
+              (uid, eid, ts, st.seq, st.sessionIdx, cum.doubleValue)
+          }
+          state.update(st)
+          rows.iterator
+      }
+      .toDF("user_id", "event_id", "ts", "event_seq", "session_idx", "cum_value")
+    runToTable(out, s"st_journey_${dir.hashCode.abs}", mode = "append")
   }
 
   /** Native session windows: 30-minute inactivity gap per user. */
