@@ -36,6 +36,12 @@ final case class Tables(spark: SparkSession, dir: String) {
   lazy val orders: DataFrame     = table("orders")
   lazy val lineitem: DataFrame   = table("lineitem")
   lazy val events: DataFrame     = table("events")
+  /** Events with the ts column still in its on-disk representation
+    * (Long nanoseconds when written as TIMESTAMP(NANOS)). Time
+    * predicates belong HERE, converted to the raw unit — a filter on
+    * the converted column sits above `timestamp_micros(...)` and can
+    * never reach the parquet scan. */
+  lazy val eventsRaw: DataFrame  = spark.read.parquet(s"$dir/events.parquet")
   lazy val documents: DataFrame  = table("documents")
   lazy val embeddings: DataFrame = table("embeddings")
 

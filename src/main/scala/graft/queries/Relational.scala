@@ -48,10 +48,26 @@ object Relational {
 
     // ---- §2.1 scans / sinks --------------------------------------------
     "s3_full_scan" -> ((s, dir) => Tables(s, dir).region),
-    "s5_incremental_scan" -> ((s, dir) =>
-      Tables(s, dir).events
-        .filter(to_date(col("ts")) >= lit("2024-01-30").cast("date"))
-        .select("event_id", "ts", "user_id", "event_type", "value")),
+    "s5_incremental_scan" -> ((s, dir) => {
+      // incremental extract with the predicate pushed to the parquet
+      // scan: the events file stores ts as TIMESTAMP(NANOS) (read as
+      // Long ns), so `to_date(converted_ts) >= D` is rewritten to the
+      // equivalent raw-unit bound ns >= epochNanos(D 00:00 UTC) and
+      // applied BELOW the conversion — PushedFilters then carries the
+      // range instead of a post-scan filter over every row.
+      val t = Tables(s, dir)
+      val raw = t.eventsRaw
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType) {
+        val cutoffNs = java.time.LocalDate.parse("2024-01-30")
+          .atStartOfDay(java.time.ZoneOffset.UTC).toInstant.getEpochSecond * 1000000000L
+        raw.filter(col("ts") >= lit(cutoffNs))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .select("event_id", "ts", "user_id", "event_type", "value")
+      } else
+        t.events
+          .filter(to_date(col("ts")) >= lit("2024-01-30").cast("date"))
+          .select("event_id", "ts", "user_id", "event_type", "value")
+    }),
     "s8_upsert" -> ((s, dir) => {
       // MERGE-equivalent without Delta: union(base, updates) then keep the
       // newest row per key (updates win). Pure shuffle-on-key; scales.

@@ -1,0 +1,50 @@
+package graft
+
+/** Physical-plan quality gates: the properties that matter at 100 TB
+  * (scan pruning, predicate pushdown, broadcast selection, no nested
+  * loops) asserted on the executed plans of the real inventory queries
+  * over the harness data. These are the checks `.explain` review would
+  * do by eye, made permanent. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executedPlan(name: String): String = {
+    val q = SparkEntry.queries(name)(spark, dir)
+    q.collect() // finalize AQE before inspecting
+    q.queryExecution.executedPlan.toString
+  }
+
+  test("p1: projection prunes the parquet scan to the selected columns") {
+    val plan = executedPlan("p1_projection")
+    assert(plan.contains("ReadSchema: struct<c_custkey:bigint,c_mktsegment:string>"), plan)
+  }
+
+  test("p10: date-range predicate reaches the parquet scan") {
+    val plan = executedPlan("p10_date_predicate")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"), plan)
+  }
+
+  test("s5: incremental-scan predicate is pushed in the raw storage unit") {
+    val plan = executedPlan("s5_incremental_scan")
+    assert(plan.contains("GreaterThanOrEqual(ts,"), plan)
+  }
+
+  test("j1: small dimension join broadcasts") {
+    val plan = executedPlan("j1_left_join_broadcast")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("j2: fact join chain contains no nested-loop or cartesian join") {
+    val plan = executedPlan("j2_fact_join_chain")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("q1: aggregation is partial (map-side) before the exchange") {
+    val plan = executedPlan("q1_agg")
+    // two HashAggregate levels around the shuffle = partial + final
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("Exchange hashpartitioning(l_returnflag"), plan)
+  }
+}
