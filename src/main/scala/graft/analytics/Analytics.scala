@@ -42,4 +42,23 @@ object Analytics {
     src.coalesce(1).write.mode("overwrite").option("header", "true").csv(out)
     spark.read.schema(src.schema).option("header", "true").csv(out)
   }
+
+  /** JSON-lines export + schema-checked re-read (source-format
+    * coverage beyond CSV/parquet; schema supplied on read — JSON
+    * inference would widen ints and is a full extra pass). */
+  def jsonRoundTrip(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val src = Tables(spark, dir).table(name)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_$name"
+    src.coalesce(1).write.mode("overwrite").json(out)
+    spark.read.schema(src.schema).json(out)
+  }
+
+  /** ORC export + re-read (columnar alternative to parquet; schema
+    * travels with the files). */
+  def orcRoundTrip(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val src = Tables(spark, dir).table(name)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_$name"
+    src.coalesce(1).write.mode("overwrite").orc(out)
+    spark.read.orc(out)
+  }
 }

@@ -23,6 +23,8 @@ object AnalyticsQueries {
     "an_catalog_tables" -> ((s, dir) => Analytics.listTables(s, dir)),
     "an_describe_table" -> ((s, dir) => Analytics.describeTable(s, dir, "lineitem")),
     "an_csv_roundtrip" -> ((s, dir) => Analytics.csvRoundTrip(s, dir, "region")),
+    "an_json_roundtrip" -> ((s, dir) => Analytics.jsonRoundTrip(s, dir, "nation")),
+    "an_orc_roundtrip" -> ((s, dir) => Analytics.orcRoundTrip(s, dir, "supplier")),
     // W3: label encoding — frequency-desc dense codes (StringIndexer
     // semantics: most frequent value gets 0, ties alphabetical).
     "w3_label_encoding" -> ((s, dir) => {
@@ -57,6 +59,8 @@ object AnalyticsQueries {
         |               'double','double','string','string','timestamp_ntz']) AS data_type,
         |       unnest(range(1, 12)) AS ordinal_position""".stripMargin,
     "an_csv_roundtrip" -> "SELECT * FROM region",
+    "an_json_roundtrip" -> "SELECT * FROM nation",
+    "an_orc_roundtrip" -> "SELECT * FROM supplier",
     "w3_label_encoding" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
         |       DENSE_RANK() OVER (ORDER BY COUNT(*) DESC, c_mktsegment) - 1 AS label_idx

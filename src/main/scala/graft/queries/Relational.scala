@@ -162,6 +162,23 @@ object Relational {
           Seq("c_custkey"), "left_anti")
         .select("c_custkey", "c_name")
     }),
+    "j6_asof_join" -> ((s, dir) => {
+      // point-in-time enrichment: each event gets the key of the most
+      // recent order its user placed at-or-before the event time
+      // (union/carry-forward formulation — one shuffle, no range-join
+      // row explosion; see operators.AsofJoin). Orders are deduped to
+      // one row per (custkey, orderdate) as as-of semantics require.
+      val t = Tables(s, dir)
+      val ev = t.events.select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("_tus", unix_micros(col("ts")))
+      val ord = t.orders
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("asof_orderkey"))
+        .withColumn("_tus", unix_micros(col("o_orderdate").cast("timestamp")))
+      graft.operators.AsofJoin
+        .asofJoin(ev, "user_id", "_tus", ord, "o_custkey", "_tus", Seq("asof_orderkey"))
+        .select("event_id", "user_id", "ts", "asof_orderkey")
+    }),
 
     // ---- §2.4 aggregations ----------------------------------------------
     "a1_count" -> ((s, dir) =>
@@ -363,6 +380,13 @@ object Relational {
     "j5_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "j6_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS asof_orderkey
+        |  FROM orders GROUP BY o_custkey, o_orderdate)
+        |SELECT e.event_id, e.user_id, e.ts, r.asof_orderkey
+        |FROM events e ASOF LEFT JOIN r
+        |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin,
     "a1_count" -> "SELECT COUNT(*) AS n_rows FROM lineitem",
     "a3_collect_set" ->
       """SELECT l_orderkey, list_sort(list_distinct(list(l_returnflag))) AS flags
