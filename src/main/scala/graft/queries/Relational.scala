@@ -208,6 +208,21 @@ object Relational {
       Tables(s, dir).lineitem.agg(
         countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_suppkey")).as("n_supps"))),
+    "a10_salted_agg" -> ((s, dir) =>
+      // two-phase salted aggregation — the skew-safe shape for
+      // heavy-hitter group keys: partials over (key, salt) spread one
+      // hot key across the cluster; the final combine only touches
+      // n_keys × n_salts rows. Decimal partials make the result
+      // independent of the combine order, so the oracle (a plain
+      // GROUP BY) matches bit-for-bit.
+      Tables(s, dir).events
+        .withColumn("_salt", pmod(col("event_id"), lit(16)))
+        .groupBy(col("event_type"), col("_salt"))
+        .agg(count(lit(1)).as("_n"),
+             sum(col("value").cast(DecimalType(18, 4))).as("_v"))
+        .groupBy("event_type")
+        .agg(sum(col("_n")).as("n_events"),
+             sum(col("_v")).cast(DoubleType).as("sum_value"))),
 
     // ---- §2.5 window functions --------------------------------------------
     "w1_surrogate_key" -> ((s, dir) =>
@@ -407,6 +422,10 @@ object Relational {
     "a6_distinct_count" ->
       """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
         |       COUNT(DISTINCT l_suppkey) AS n_supps FROM lineitem""".stripMargin,
+    "a10_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin,
     "w1_surrogate_key" ->
       """SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS customer_key,
         |       c_custkey, c_name FROM customer""".stripMargin,
