@@ -40,7 +40,19 @@ object Pipeline {
       Future {
         try {
           val df = build()
-          df.write.mode("overwrite").parquet(s"$outDir/$name")
+          // the fact table is partitioned by order year: time-range
+          // queries then prune whole partitions at the file-index
+          // level (year cardinality ~ handful of dirs — never the
+          // raw date, which would shatter into thousands of small
+          // files). Dimensions stay unpartitioned (they broadcast).
+          val writer =
+            if (name == "fact_orders")
+              df.withColumn("order_year",
+                  org.apache.spark.sql.functions.year(
+                    org.apache.spark.sql.functions.col("order_date_key")))
+                .write.partitionBy("order_year")
+            else df.write
+          writer.mode("overwrite").parquet(s"$outDir/$name")
           val n = spark.read.parquet(s"$outDir/$name").count()
           StageResult(name, n, ok = true, None)
         } catch {

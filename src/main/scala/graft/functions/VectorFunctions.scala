@@ -36,7 +36,7 @@ object VectorFunctions {
     * constant matrix. At corpus scale that is the whole scan cost.)
     * Parity matches the SQL `(instr('0123456789abcdef',
     * substr(md5(j||'_'||i), 1, 1)) - 1) % 2 * 2 - 1`. */
-  private[functions] def planeCoeffs(j: Int, dim: Int): IndexedSeq[Int] =
+  private[graft] def planeCoeffs(j: Int, dim: Int): IndexedSeq[Int] =
     (1 to dim).map { i =>
       val digest = MessageDigest.getInstance("MD5")
         .digest(s"${j}_$i".getBytes("UTF-8"))

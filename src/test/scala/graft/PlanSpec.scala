@@ -41,6 +41,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("warehouse fact scan prunes partitions on a year predicate") {
+    import org.apache.spark.sql.functions._
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_plan_wh"
+    graft.etl.Pipeline.run(spark, dir, out)
+    val q = spark.read.parquet(s"$out/fact_orders").filter(col("order_year") === 2000)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(order_year"), plan)
+  }
+
   test("q1: aggregation is partial (map-side) before the exchange") {
     val plan = executedPlan("q1_agg")
     // two HashAggregate levels around the shuffle = partial + final
