@@ -16,7 +16,11 @@ object Bench {
       val runs = sys.env.get("GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(1)
       val sec = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            -1L
+        }
         (System.nanoTime() - t0) / 1e9
       }.min
       System.err.println(f"[bench] $name%-24s $sec%8.2f s")
