@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{VecCosine, VecDot}
+import graft.functions.{TopKScores, VecCosine, VecDot}
 
 /** Engine extension point, wired via `spark.sql.extensions`
   * (GraftSession sets it). Registers the native vector expressions so
@@ -23,5 +23,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_cosine"),
       info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float/double array columns"),
       (args: Seq[Expression]) => VecCosine(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("topk_scores"),
+      info("topk_scores",
+        "topk_scores(item, score, k) - per-group top-k as a partial aggregate (bounded heaps, no window sort)"),
+      (args: Seq[Expression]) => TopKScores(args(0), args(1), args(2))))
   }
 }

@@ -263,6 +263,21 @@ object Relational {
         .filter(col("rk") <= 3)
         .select("l_suppkey", "rk", "l_orderkey", "l_linenumber", "l_extendedprice")
     }),
+    "t5_topk_agg" -> ((s, dir) =>
+      // per-group top-k via the custom TypedImperativeAggregate
+      // (topk_scores, GraftExtensions): bounded per-group heaps merge
+      // map-side, so only k rows per group per partition reach the
+      // exchange — vs t4's window formulation which shuffles and sorts
+      // every row. Identical output to the window form (unique items).
+      Tables(s, dir).lineitem
+        .select(col("l_suppkey"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("item"),
+          col("l_extendedprice").as("score"))
+        .groupBy("l_suppkey")
+        .agg(expr("topk_scores(item, score, 3)").as("topk"))
+        .select(col("l_suppkey"), posexplode(col("topk")))
+        .select(col("l_suppkey"), (col("pos") + 1).as("rk"),
+          col("col.item").as("item"), col("col.score").as("score"))),
     "t6_deterministic_sample" -> ((s, dir) =>
       // scalable deterministic sampler (key-mod) standing in for the
       // reference's seeded random sampling (T6) — reproducible across
@@ -448,6 +463,14 @@ object Relational {
         |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
         |         ROW_NUMBER() OVER (PARTITION BY l_suppkey
         |           ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+        |  FROM lineitem) WHERE rk <= 3""".stripMargin,
+    "t5_topk_agg" ->
+      """SELECT l_suppkey, rk, item, score FROM (
+        |  SELECT l_suppkey,
+        |         l_orderkey * 10 + l_linenumber AS item,
+        |         l_extendedprice AS score,
+        |         ROW_NUMBER() OVER (PARTITION BY l_suppkey
+        |           ORDER BY l_extendedprice DESC, l_orderkey * 10 + l_linenumber) AS rk
         |  FROM lineitem) WHERE rk <= 3""".stripMargin,
     "t6_deterministic_sample" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

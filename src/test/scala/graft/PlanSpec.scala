@@ -51,6 +51,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(order_year"), plan)
   }
 
+  test("t5: custom top-k aggregate runs as partial aggregation, no window sort") {
+    val plan = executedPlan("t5_topk_agg")
+    assert(plan.contains("partial_topk_scores"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("q1: aggregation is partial (map-side) before the exchange") {
     val plan = executedPlan("q1_agg")
     // two HashAggregate levels around the shuffle = partial + final
