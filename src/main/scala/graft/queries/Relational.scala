@@ -208,6 +208,25 @@ object Relational {
       Tables(s, dir).lineitem.agg(
         countDistinct(col("l_partkey")).as("n_parts"),
         countDistinct(col("l_suppkey")).as("n_supps"))),
+    "a11_rollup" -> ((s, dir) =>
+      // hierarchical subtotals in ONE pass (partial-agg friendly) —
+      // vs re-aggregating per level. Beyond the reference's surface;
+      // decimal sums keep every level order-independent.
+      Tables(s, dir).lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+             dsum(col("l_extendedprice")).as("sum_price"))),
+    "a12_pivot" -> ((s, dir) =>
+      // pivot to one column per order status (explicit value list so
+      // the plan is a single pass with no distinct-values pre-query).
+      Tables(s, dir).orders
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .withColumnsRenamed(Map("F" -> "n_f", "O" -> "n_o", "P" -> "n_p"))
+        // empty pivot cells are null in Spark, 0 under the oracle's
+        // COUNT(*) FILTER — normalize so every scale factor matches
+        .na.fill(0L, Seq("n_f", "n_o", "n_p"))),
     "a10_salted_agg" -> ((s, dir) =>
       // two-phase salted aggregation — the skew-safe shape for
       // heavy-hitter group keys: partials over (key, salt) spread one
@@ -441,6 +460,16 @@ object Relational {
       """SELECT event_type, COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin,
+    "a11_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "a12_pivot" ->
+      """SELECT o_orderpriority,
+        |       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "w1_surrogate_key" ->
       """SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS customer_key,
         |       c_custkey, c_name FROM customer""".stripMargin,
