@@ -42,11 +42,13 @@ object Multimodal {
     * decode parallelism tracks cluster cores (not input file layout),
     * then streams 64-element batches through the codec — the exact
     * shape a `mapInPandas`/Arrow pipeline has in PySpark. */
-  def decodeFeatures(media: DataFrame, partitions: Int = 32): Dataset[MediaFeature] = {
+  def decodeFeatures(media: DataFrame, partitions: Int = 0): Dataset[MediaFeature] = {
     val spark = media.sparkSession
     import spark.implicits._
+    val nParts = if (partitions > 0) partitions
+                 else spark.sparkContext.defaultParallelism
     media
-      .repartition(partitions, col("media_id"))
+      .repartition(nParts, col("media_id"))
       .select(col("media_id"), col("kind"), col("payload"))
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>

@@ -46,6 +46,19 @@ class OperatorSpec extends SparkSpec {
     assert(math.abs(nearDup.get._3 - 0.4) < 1e-9) // 4 shared / 10 union
   }
 
+  test("chargram pairs: identical docs pair at J=1; length buckets split far sizes") {
+    val cg = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      // ~10x longer: different 64-char length bucket AND size-ratio
+      // bound < 0.8 → can never pair with 1/2 regardless of blocks
+      (3L, Seq.fill(12)("the quick brown fox jumps over the lazy dog").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.charGramPairs(cg)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
   test("simhash: identical texts agree; unrelated text differs") {
     val sims = Dedup.simhash(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap
