@@ -177,6 +177,40 @@ object Dedup {
       s"CAST(substr('$popLookup', ($da ^ $db) + 1, 1) AS INT)"
     }.mkString(" + ")
 
+  /** Near-dup cluster assignment: connected components over a pair
+    * list, by iterative min-label propagation to fixpoint — each
+    * member gets the smallest doc_id of its component as cluster_id
+    * (the canonical survivor under keep-min dedup policy).
+    *
+    * This is the step between candidate pairs and actually dropping
+    * duplicates: near-dup is transitive in practice (A~B, B~C ⇒ one
+    * cluster) and pair output alone can't drive a keep/drop decision.
+    * Each iteration is one join + min-aggregation (the standard
+    * scalable CC shape); near-dup components have tiny diameters, so
+    * the fixpoint arrives in 2-3 rounds. The driver loop only checks
+    * the converged count — all data stays distributed. */
+  def clusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("dlabel")).as("nmin"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("new_label"))
+        .persist()
+      changed = updated.filter(col("new_label") < col("label")).count()
+      labels = updated.select(col("id"), col("new_label").as("label"))
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Character n-gram Jaccard near-dup: banded min-hash LSH blocking
     * over the char-gram sets + length bucket, exact Jaccard verify.
     *

@@ -20,7 +20,9 @@ object DedupQueries {
     "dd_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Dedup.simhash(Tables(s, dir).documents))),
     "dd_chargram_pairs" -> ((s, dir) =>
-      Dedup.charGramPairs(Tables(s, dir).documents)))
+      Dedup.charGramPairs(Tables(s, dir).documents)),
+    "dd_clusters" -> ((s, dir) =>
+      Dedup.clusters(Dedup.minhashLshPairs(Tables(s, dir).documents))))
 
   private val norm = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
 
@@ -62,12 +64,9 @@ object DedupQueries {
       s"CAST(substr('$popLookup', xor($da, $db) + 1, 1) AS INT)"
     }.mkString(" + ")
 
-  val oracles: Map[String, String] = Map(
-    "dd_exact" ->
-      s"""SELECT md5($norm) AS content_hash,
-         |       MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
-         |FROM documents GROUP BY 1""".stripMargin,
-    "dd_minhash_pairs" ->
+  /** The dd_minhash_pairs oracle, reusable as a subquery (for the
+    * cluster oracle's edge list). */
+  private def minhashPairsSql: String =
       s"""WITH sh AS (
          |  SELECT doc_id,
          |         list_distinct(list_transform(
@@ -91,7 +90,27 @@ object DedupQueries {
          |JOIN sh x ON id_a = x.doc_id
          |JOIN sh y ON id_b = y.doc_id
          |WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
-         |        / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.5""".stripMargin,
+         |        / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.5""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact" ->
+      s"""SELECT md5($norm) AS content_hash,
+         |       MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+         |FROM documents GROUP BY 1""".stripMargin,
+    "dd_minhash_pairs" -> minhashPairsSql,
+    // connected components over the minhash pair list as a recursive
+    // transitive closure; cluster_id = min reachable doc_id — exactly
+    // the min-label fixpoint the Spark operator converges to.
+    "dd_clusters" ->
+      s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($minhashPairsSql) q),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+         |          UNION ALL SELECT id_b, id_a FROM p),
+         |reach(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
+         |SELECT id AS doc_id, MIN(label) AS cluster_id
+         |FROM reach GROUP BY id""".stripMargin,
     "dd_simhash" -> simhashSql,
     "dd_simhash_pairs" ->
       s"""WITH sims AS ($simhashSql),

@@ -59,6 +59,15 @@ class OperatorSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("clusters: min-label CC merges transitive chains, keeps components apart") {
+    // chain 1-2, 2-3 (one component) + disjoint pair 7-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val out = Dedup.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L)
+    assert(out(7L) == 7L && out(9L) == 7L)
+  }
+
   test("simhash: identical texts agree; unrelated text differs") {
     val sims = Dedup.simhash(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap
