@@ -88,12 +88,21 @@ object Recommender {
     * map-side combine), and only users×k×partitions survivor rows meet
     * the final per-user selection — the full users×items score matrix
     * is never shuffled or sorted. */
+  /** Query-user block ceiling for cosineTopK: above this, the
+    * broadcast block stops being "small" and the MLlib blocked path
+    * (`recommendForAllUsers`) is the right tool. Guarded explicitly so
+    * the serve-path collect can never silently become a driver OOM. */
+  val MaxQueryUsers = 100000
+
   def cosineTopK(model: ALSModel, users: DataFrame, k: Int): DataFrame = {
     val spark = model.userFactors.sparkSession
     import spark.implicits._
     val uvecs: Array[(Int, Array[Double])] = normalize(model.userFactors)
       .join(users.select(col("user").cast("int").as("id")), "id")
       .as[(Int, Seq[Double])].collect().map { case (u, v) => (u, v.toArray) }
+    require(uvecs.length <= MaxQueryUsers,
+      s"cosineTopK serves bounded query sets (got ${uvecs.length} users, " +
+        s"max $MaxQueryUsers); use ALSModel.recommendForAllUsers for full-catalog batch")
     val bc = spark.sparkContext.broadcast(uvecs)
     val partials = normalize(model.itemFactors)
       .select(col("id").as("item"), col("nf"))
