@@ -162,6 +162,26 @@ object Relational {
           Seq("c_custkey"), "left_anti")
         .select("c_custkey", "c_name")
     }),
+    "j7_band_join" -> ((s, dir) => {
+      // band (range) join without a cartesian: bucket the band column
+      // at the tolerance width, probe own + neighbor buckets, verify
+      // the exact predicate. LOSSLESS for |diff| <= W when bucket
+      // width = W: any qualifying pair is at most one bucket apart.
+      // Equi-join on (nation, bucket) = one shuffle; the naive theta
+      // join is |customer| x |supplier-per-nation|.
+      val W = 100.0
+      val t = Tables(s, dir)
+      val sup = t.supplier
+        .select(col("s_suppkey"), col("s_nationkey").as("nation"), col("s_acctbal"))
+        .withColumn("bucket", floor(col("s_acctbal") / W))
+      val cust = t.customer
+        .select(col("c_custkey"), col("c_nationkey").as("nation"), col("c_acctbal"))
+        .withColumn("b0", floor(col("c_acctbal") / W))
+        .withColumn("bucket", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+      cust.join(sup, Seq("nation", "bucket"))
+        .filter(abs(col("c_acctbal") - col("s_acctbal")) <= W)
+        .select("c_custkey", "s_suppkey", "nation", "c_acctbal", "s_acctbal")
+    }),
     "j6_asof_join" -> ((s, dir) => {
       // point-in-time enrichment: each event gets the key of the most
       // recent order its user placed at-or-before the event time
@@ -429,6 +449,10 @@ object Relational {
     "j5_anti_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin,
+    "j7_band_join" ->
+      """SELECT c_custkey, s_suppkey, c_nationkey AS nation, c_acctbal, s_acctbal
+        |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+        |WHERE abs(c_acctbal - s_acctbal) <= 100.0""".stripMargin,
     "j6_asof_join" ->
       """WITH r AS (
         |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS asof_orderkey
