@@ -117,6 +117,16 @@ object Relational {
         .filter(to_date(col("o_orderdate")) >= lit("2000-01-01").cast("date"))
         .select("o_orderkey", "o_orderdate")),
 
+    "p13_json_extract" -> ((s, dir) =>
+      // semi-structured extraction: schema'd from_json parse of the
+      // props payload (declared schema → codegen'd JsonToStructs, no
+      // per-row inference; at corpus scale inference is a second scan).
+      Tables(s, dir).events.select(
+        col("event_id"), col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k_val"))),
+
     // ---- §2.3 joins ------------------------------------------------------
     "j1_left_join_broadcast" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -277,6 +287,16 @@ object Relational {
         .withColumn("priority_key", dense_rank().over(Window.orderBy(col("o_orderpriority"))))
         .select("o_orderpriority", "priority_key")
         .distinct()),
+    "w5_distribution" -> ((s, dir) => {
+      // distribution analytics: quartile bucketing + cumulative/percent
+      // rank over account balance (deterministic tie-break on key).
+      val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables(s, dir).customer.select(
+        col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(w).as("quartile"),
+        cume_dist().over(w).as("cume"),
+        percent_rank().over(w).as("prank"))
+    }),
     "w4_analytics" -> ((s, dir) => {
       // beyond-reference window analytics: lag + moving aggregate.
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -429,6 +449,17 @@ object Relational {
     "p10_date_predicate" ->
       """SELECT o_orderkey, o_orderdate FROM orders
         |WHERE CAST(o_orderdate AS DATE) >= DATE '2000-01-01'""".stripMargin,
+    "p13_json_extract" ->
+      """SELECT event_id, event_type,
+        |       CAST(props->>'k' AS INTEGER) AS k_val
+        |FROM events""".stripMargin,
+    "w5_distribution" ->
+      """SELECT c_custkey, c_acctbal,
+        |       NTILE(4) OVER w AS quartile,
+        |       CUME_DIST() OVER w AS cume,
+        |       PERCENT_RANK() OVER w AS prank
+        |FROM customer
+        |WINDOW w AS (ORDER BY c_acctbal, c_custkey)""".stripMargin,
     "j1_left_join_broadcast" ->
       """SELECT n_nationkey, n_name, r_name
         |FROM nation LEFT JOIN region ON n_regionkey = r_regionkey""".stripMargin,
