@@ -13,7 +13,8 @@ object Streaming {
   val queries: Map[String, Q] = Map(
     "st_hourly_agg" -> ((s, dir) => EventStream.hourlyAgg(s, dir)),
     "st_sessionize" -> ((s, dir) => EventStream.sessionize(s, dir)),
-    "st_user_journey" -> ((s, dir) => EventStream.userJourney(s, dir)))
+    "st_user_journey" -> ((s, dir) => EventStream.userJourney(s, dir)),
+    "st_dedup_ingest" -> ((s, dir) => EventStream.dedupedIngest(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "st_hourly_agg" ->
@@ -59,5 +60,8 @@ object Streaming {
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS cum_value
         |FROM o
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-        |             ROWS UNBOUNDED PRECEDING)""".stripMargin)
+        |             ROWS UNBOUNDED PRECEDING)""".stripMargin,
+    "st_dedup_ingest" ->
+      """SELECT DISTINCT event_id, user_id, event_type, value
+        |FROM events""".stripMargin)
 }

@@ -107,6 +107,20 @@ object EventStream {
     runToTable(out, s"st_journey_${dir.hashCode.abs}", mode = "append")
   }
 
+  /** Streaming ingest dedup: exactly-once event delivery over an
+    * at-least-once transport. dropDuplicatesWithinWatermark keys the
+    * state store on event_id and evicts entries once the watermark
+    * passes — bounded state, unlike an unwindowed distinct which
+    * would grow forever on an unbounded stream. On replay-clean input
+    * the output equals batch DISTINCT (the oracle). */
+  def dedupedIngest(spark: SparkSession, dir: String): DataFrame = {
+    val out = readEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .select("event_id", "user_id", "event_type", "value")
+    runToTable(out, s"st_dedup_${dir.hashCode.abs}", mode = "append")
+  }
+
   /** Native session windows: 30-minute inactivity gap per user. */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val agg = readEvents(spark, dir)
