@@ -37,7 +37,22 @@ object Text {
       Tables(s, dir).documents.select(
         col("doc_id"),
         md5Fingerprint(col("text")).as("md5_fp"),
-        shingleFingerprint(col("text")).as("shingle_fp"))))
+        shingleFingerprint(col("text")).as("shingle_fp"))),
+    "tx_ngram_profile" -> ((s, dir) => {
+      // corpus profiling: top-5 character trigrams per labeled
+      // language — explode → count (partial-agg map-side) → bounded
+      // per-group selection. The profile table that a real n-gram
+      // language-ID model trains from.
+      import org.apache.spark.sql.expressions.Window
+      val tri = Tables(s, dir).documents
+        .withColumn("t", normText(col("text")))
+        .select(col("lang"), explode(expr(
+          "transform(sequence(1, greatest(length(t) - 2, 1)), i -> substr(t, i, 3))")).as("tri"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("tri"))
+      tri.groupBy("lang", "tri").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+    }))
 
   private val stopsEn = "the|and|of|to|in|is|a"
 
@@ -70,6 +85,20 @@ object Text {
         |            WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
         |            ELSE 'es' END AS pred_lang
         |FROM documents""".stripMargin,
+    "tx_ngram_profile" ->
+      """WITH tri AS (
+        |  SELECT lang,
+        |         unnest(list_transform(
+        |           range(1, greatest(length(t) - 2, 1) + 1),
+        |           i -> substr(t, i, 3))) AS tri
+        |  FROM (SELECT lang,
+        |               regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+        |        FROM documents)),
+        |counts AS (SELECT lang, tri, COUNT(*) AS n FROM tri GROUP BY lang, tri)
+        |SELECT lang, tri, n, rk FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, tri) AS rk
+        |  FROM counts)
+        |WHERE rk <= 5""".stripMargin,
     "tx_fingerprint" ->
       """WITH norm AS (
         |  SELECT doc_id,
