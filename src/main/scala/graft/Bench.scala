@@ -1,38 +1,72 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Times the HEADLINE query set by default (one
+  * representative per operator family) and prints one compact JSON
+  * line — the driver captures only a bounded tail of the output, so
+  * the line must stay short enough to survive truncation (the round-1
+  * all-queries line was longer than the capture window and parsed as
+  * null). `GRAFT_BENCH_ALL=1` or a prefix arg widens the set for
+  * local iteration.
+  */
 object Bench {
+  /** One per family: scan/agg/join/window/topk/set/etl/dedup/ann/
+    * text/stream/reco/multimodal. Keep ≈20 entries so the JSON line
+    * stays well under the driver's output-tail capture. */
+  val headline: Seq[String] = Seq(
+    "q1_agg", "a10_salted_agg", "a6_distinct_count",
+    "j2_fact_join_chain", "j6_asof_join", "j7_band_join",
+    "w4_analytics", "t4_topk_per_group", "u2_intersect",
+    "p13_json_extract", "etl_pipeline",
+    "dd_exact", "dd_minhash_pairs", "dd_simhash",
+    "ss_knn_brute", "ss_knn_ivf",
+    "tx_langid", "tx_ngram_profile",
+    "st_hourly_agg", "st_user_journey",
+    "reco_topk_cosine", "mm_features")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val prefix = args.headOption.getOrElse("")
+    val all = sys.env.get("GRAFT_BENCH_ALL").contains("1") || prefix.nonEmpty
     val spark = graft.core.GraftSession.local("graft-bench")
     // untimed warmup: initialize parquet reader, shuffle machinery and
     // codegen paths so the first timed query isn't charged for them
     spark.read.parquet(s"$sfDir/region.parquet")
       .repartition(4).groupBy("r_name").count().count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(_._1.startsWith(prefix)).map { case (name, fn) =>
+    val names =
+      if (all) SparkEntry.queries.keys.toSeq.sorted.filter(_.startsWith(prefix))
+      else headline.filter(SparkEntry.queries.contains)
+    val runs = sys.env.get("GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(1)
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
       // GRAFT_BENCH_RUNS>1 reports the best of N runs — steady-state
       // timing that excludes first-run JIT/codegen (local iteration aid).
-      val runs = sys.env.get("GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(1)
-      val sec = (1 to runs).map { _ =>
+      val timings = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        val ok = try { fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            -1L
+            false
         }
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      System.err.println(f"[bench] $name%-24s $sec%8.2f s")
+        (ok, (System.nanoTime() - t0) / 1e9)
+      }
+      // a failed run's fast-fail elapsed time must never enter the min:
+      // a regression that errors out would otherwise read as a speedup
+      val good = timings.filter(_._1).map(_._2)
+      val sec = if (good.nonEmpty) Some(good.min) else None
+      System.err.println(f"[bench] $name%-24s ${sec.getOrElse(-1.0)}%8.2f s")
       // release per-query persisted intermediates so one query's cache
       // doesn't squeeze the next query's execution memory
       spark.catalog.clearCache()
       name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(s => f"$s%.3f").getOrElse("null")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.flatMap(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

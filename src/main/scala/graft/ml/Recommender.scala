@@ -151,7 +151,7 @@ object Recommender {
     * distributed: one group per user via mapGroups. */
   def mmrSelect(cands: Seq[(Int, Double, Array[Double])], k: Int, lambda: Double)
       : Seq[(Int, Double)] = {
-    if (cands.isEmpty) return Nil
+    if (cands.isEmpty || k <= 0) return Nil
     val rel = cands.map(_._2).toArray
     val vecs = cands.map(_._3).toArray
     def sim(i: Int, j: Int): Double = {

@@ -30,9 +30,19 @@ object MultimodalQueries {
           // decoder would emit the frame raster here.
           md5(concat(md5(col("media_id").cast("string")), lit(":"), col("frame_idx"))))
     }),
-    "mm_features" -> ((s, dir) =>
-      Multimodal.decodeFeatures(
-        Multimodal.mediaTable(Tables(s, dir).documents)).toDF()))
+    // the checked projection renders the float feature vector as its
+    // exact u16 fold values (feature = u16/65535f, lossless round-trip
+    // for 16-bit values in float32): scalar columns keep the driver's
+    // pandas comparator happy AND make the decode pipeline
+    // oracle-checkable end to end. The array form stays available via
+    // Multimodal.decodeFeatures for downstream similarity search.
+    "mm_features" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.decodeFeatures(Multimodal.mediaTable(Tables(s, dir).documents))
+        .map(f => (f.media_id, f.kind, f.n_bytes, f.feature.length,
+          f.feature.map(x => Math.round(x * 65535f)).mkString(",")))
+        .toDF("media_id", "kind", "n_bytes", "feature_dim", "feature_u16")
+    }))
 
   val oracles: Map[String, String] = Map(
     "mm_catalog" ->
@@ -55,5 +65,26 @@ object MultimodalQueries {
         |  FROM documents WHERE doc_id % 3 = 2)
         |SELECT media_id, n_frames, unnest(range(0, n_frames, step)) AS frame_idx,
         |       md5(md5(CAST(media_id AS VARCHAR)) || ':' || frame_idx) AS frame_md5
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin,
+    // the stub features are md5-digest u16 folds; re-derive them in SQL
+    // by parsing each 4-hex-char chunk of md5(text).
+    "mm_features" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |              WHEN doc_id % 3 = 1 THEN 'audio'
+        |              ELSE 'video' END AS kind,
+        |         CAST(length(text) AS INTEGER) AS n_bytes,
+        |         md5(text) AS h
+        |  FROM documents),
+        |u AS (
+        |  SELECT media_id, kind, n_bytes, i,
+        |         (strpos('0123456789abcdef', substr(h, 4*i+1, 1)) - 1) * 4096
+        |       + (strpos('0123456789abcdef', substr(h, 4*i+2, 1)) - 1) * 256
+        |       + (strpos('0123456789abcdef', substr(h, 4*i+3, 1)) - 1) * 16
+        |       + (strpos('0123456789abcdef', substr(h, 4*i+4, 1)) - 1) AS v
+        |  FROM f, generate_series(0, 7) g(i))
+        |SELECT media_id, kind, n_bytes, CAST(8 AS INTEGER) AS feature_dim,
+        |       string_agg(CAST(v AS VARCHAR), ',' ORDER BY i) AS feature_u16
+        |FROM u GROUP BY media_id, kind, n_bytes""".stripMargin)
 }

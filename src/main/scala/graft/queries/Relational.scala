@@ -214,8 +214,10 @@ object Relational {
     "a1_count" -> ((s, dir) =>
       Tables(s, dir).lineitem.agg(count(lit(1)).as("n_rows"))),
     "a3_collect_set" -> ((s, dir) =>
+      // rendered as a sorted CSV string: the driver's pandas comparator
+      // can't hash array cells, so the checked projection is scalar.
       Tables(s, dir).lineitem.groupBy(col("l_orderkey"))
-        .agg(array_sort(collect_set(col("l_returnflag"))).as("flags"))),
+        .agg(concat_ws(",", array_sort(collect_set(col("l_returnflag")))).as("flags"))),
     "a4_summary_stats" -> ((s, dir) => {
       // df.describe() semantics, computed from exact sums so the oracle
       // matches bit-for-bit (l_quantity is integer-valued).
@@ -493,7 +495,8 @@ object Relational {
         |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate""".stripMargin,
     "a1_count" -> "SELECT COUNT(*) AS n_rows FROM lineitem",
     "a3_collect_set" ->
-      """SELECT l_orderkey, list_sort(list_distinct(list(l_returnflag))) AS flags
+      """SELECT l_orderkey,
+        |       array_to_string(list_sort(list_distinct(list(l_returnflag))), ',') AS flags
         |FROM lineitem GROUP BY l_orderkey""".stripMargin,
     "a4_summary_stats" ->
       """SELECT COUNT(l_quantity) AS cnt,
@@ -502,11 +505,14 @@ object Relational {
         |       MAX(l_quantity) AS max_q,
         |       CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_sq
         |FROM lineitem""".stripMargin,
+    // CAST ... AS BIGINT: DuckDB types SUM(int) as HUGEINT, which the
+    // driver comparator materializes as float64 vs Spark's int64 —
+    // value-equal but dtype-mismatched (round-1 hash_match:false).
     "a5_null_counts" ->
-      """SELECT SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS null_user_id,
-        |       SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS null_event_type,
-        |       SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS null_value,
-        |       SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS null_props
+      """SELECT CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+        |       CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+        |       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+        |       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props
         |FROM events""".stripMargin,
     "a6_distinct_count" ->
       """SELECT COUNT(DISTINCT l_partkey) AS n_parts,

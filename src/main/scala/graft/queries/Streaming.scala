@@ -56,7 +56,7 @@ object Streaming {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id, event_id, ts,
         |       ROW_NUMBER() OVER w AS event_seq,
-        |       SUM(new_sess) OVER w AS session_idx,
+        |       CAST(SUM(new_sess) OVER w AS BIGINT) AS session_idx,
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS cum_value
         |FROM o
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id

@@ -22,9 +22,12 @@ import org.apache.spark.sql.types.{LongType, DecimalType, DoubleType}
   * flatMapGroupsWithState is only warranted for non-gap session
   * logic).
   */
-/** O(1) per-user streaming state for userJourney: last event time,
-  * running counters, decimal-exact cumulative value. */
-final case class JourneyState(lastTsMillis: Long, seq: Long, sessionIdx: Long,
+/** O(1) per-user streaming state for userJourney: last event time
+  * (epoch MICROS — the events data is microsecond-granular, so a
+  * millisecond state key could mis-order same-ms events or flip a gap
+  * within 1ms of the 30-min boundary), running counters, decimal-exact
+  * cumulative value. */
+final case class JourneyState(lastTsMicros: Long, seq: Long, sessionIdx: Long,
                               cum: java.math.BigDecimal)
 
 object EventStream {
@@ -83,20 +86,21 @@ object EventStream {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val ev = readEvents(spark, dir)
-      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
-      .as[(Long, Long, java.sql.Timestamp, Double)]
+      .select(col("user_id"), col("event_id"), col("ts"),
+        unix_micros(col("ts")).as("tus"), col("value"))
+      .as[(Long, Long, java.sql.Timestamp, Long, Double)]
     val out = ev.groupByKey(_._1)
       .flatMapGroupsWithState[JourneyState, (Long, Long, java.sql.Timestamp, Long, Long, Double)](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (uid, it, state: GroupState[JourneyState]) =>
           var st = state.getOption.getOrElse(JourneyState(Long.MinValue, 0L, 0L, java.math.BigDecimal.ZERO))
-          val rows = it.toSeq.sortBy { case (_, eid, ts, _) => (ts.getTime, eid) }.map {
-            case (_, eid, ts, v) =>
-              val newSession = st.lastTsMillis == Long.MinValue ||
-                ts.getTime - st.lastTsMillis >= 30L * 60 * 1000
+          val rows = it.toSeq.sortBy { case (_, eid, _, tus, _) => (tus, eid) }.map {
+            case (_, eid, ts, tus, v) =>
+              val newSession = st.lastTsMicros == Long.MinValue ||
+                tus - st.lastTsMicros >= 30L * 60 * 1000 * 1000
               val cum = st.cum.add(
                 new java.math.BigDecimal(v).setScale(4, java.math.RoundingMode.HALF_UP))
-              st = JourneyState(ts.getTime, st.seq + 1,
+              st = JourneyState(tus, st.seq + 1,
                 st.sessionIdx + (if (newSession) 1 else 0), cum)
               (uid, eid, ts, st.seq, st.sessionIdx, cum.doubleValue)
           }
