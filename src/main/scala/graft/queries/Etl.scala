@@ -22,8 +22,9 @@ object Etl {
     "etl_dim_geo"      -> ((s, dir) => Warehouse.dimGeo(Tables(s, dir))),
     "etl_dim_dates"    -> ((s, dir) => Warehouse.dimDates(Tables(s, dir))),
     "etl_fact_orders"  -> ((s, dir) => Warehouse.factOrders(Tables(s, dir))),
-    // full DAG-equivalent rebuild; returns the per-stage summary
-    // (rows-only check — the per-table oracles above cover content).
+    // full DAG-equivalent rebuild; returns the per-stage summary.
+    // The summary is deterministic (stage names + row counts), so it
+    // gets a real oracle; the per-table oracles above cover content.
     "etl_pipeline" -> ((s, dir) => {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
       val results = Pipeline.run(s, dir, out)
@@ -35,6 +36,19 @@ object Etl {
     s"UPPER(SUBSTR($col, 1, 1)) || LOWER(SUBSTR($col, 2))"
 
   val oracles: Map[String, String] = Map(
+    // per-stage (name, row-count, ok): every count is derivable from the
+    // source tables — dims are 1:1 with their source (unique-key left
+    // joins), dim_dates is the fixed 2016-2025 calendar, fact grain is
+    // the orders⟕lineitem row multiplication.
+    "etl_pipeline" ->
+      """SELECT 'dim_customer' AS stage, (SELECT COUNT(*) FROM customer) AS "rows", true AS ok
+        |UNION ALL SELECT 'dim_supplier', (SELECT COUNT(*) FROM supplier), true
+        |UNION ALL SELECT 'dim_part', (SELECT COUNT(*) FROM part), true
+        |UNION ALL SELECT 'dim_geo', (SELECT COUNT(*) FROM nation), true
+        |UNION ALL SELECT 'dim_dates', CAST(3653 AS BIGINT), true
+        |UNION ALL SELECT 'fact_orders',
+        |  (SELECT COUNT(*) FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |  true""".stripMargin,
     "etl_dim_customer" ->
       s"""SELECT ROW_NUMBER() OVER (ORDER BY c_custkey) AS customer_key,
          |       c_custkey,

@@ -37,6 +37,14 @@ object Reco {
     "reco_model_info" -> ((s, dir) => Recommender.modelInfo(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    // model dimensions are solver-independent: ALS emits one factor row
+    // per distinct user/item in the training pairs, and rank is fixed.
+    "reco_model_info" ->
+      """SELECT CAST(16 AS INTEGER) AS "rank",
+        |       COUNT(DISTINCT o_custkey) AS n_users,
+        |       COUNT(DISTINCT l_partkey) AS n_items
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL""".stripMargin,
     "reco_interactions" ->
       """SELECT DISTINCT CAST(o_custkey AS INTEGER) AS "user",
         |       CAST(l_partkey AS INTEGER) AS item

@@ -346,6 +346,14 @@ object Relational {
       Tables(s, dir).orders
         .filter(col("o_orderkey") % 37 === 0)
         .select("o_orderkey", "o_custkey", "o_totalprice")),
+    "t7_argmax" -> ((s, dir) =>
+      // np.argmax analog (SURVEY §2.6 T7): single max row, ties broken
+      // on the natural key so both engines select the same row. A
+      // LIMIT-1 TakeOrdered never sorts more than 1 row per partition.
+      Tables(s, dir).lineitem
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(1)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")),
 
     // ---- §2.7 set operations ------------------------------------------------
     "u1_union" -> ((s, dir) => {
@@ -565,6 +573,10 @@ object Relational {
     "t6_deterministic_sample" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |WHERE o_orderkey % 37 = 0""".stripMargin,
+    "t7_argmax" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 1""".stripMargin,
     "u1_union" ->
       """SELECT DISTINCT o_orderkey FROM (
         |  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'

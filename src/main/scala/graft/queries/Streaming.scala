@@ -12,6 +12,7 @@ object Streaming {
 
   val queries: Map[String, Q] = Map(
     "st_hourly_agg" -> ((s, dir) => EventStream.hourlyAgg(s, dir)),
+    "st_sliding_agg" -> ((s, dir) => EventStream.slidingAgg(s, dir)),
     "st_sessionize" -> ((s, dir) => EventStream.sessionize(s, dir)),
     "st_user_journey" -> ((s, dir) => EventStream.userJourney(s, dir)),
     "st_dedup_ingest" -> ((s, dir) => EventStream.dedupedIngest(s, dir)))
@@ -24,6 +25,19 @@ object Streaming {
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+    // each event lands in exactly the two 1-hour windows whose starts
+    // are floor30(ts) and floor30(ts) - 30min — unnest both and group.
+    "st_sliding_agg" ->
+      """WITH w AS (
+        |  SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |                 time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+        |           AS window_start,
+        |         event_type, value
+        |  FROM events)
+        |SELECT window_start, event_type,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
     // gaps-and-islands rendering of 30-min-gap sessions; >= matches
     // Spark's exclusive session-end boundary.
     "st_sessionize" ->

@@ -70,6 +70,23 @@ object EventStream {
     runToTable(agg, s"st_hourly_${dir.hashCode.abs}")
   }
 
+  /** Sliding 1-hour windows advancing every 30 minutes, per event_type:
+    * each event contributes to the two overlapping windows. Same
+    * complete-mode one-shot semantics as hourlyAgg; the engine expands
+    * the window set per row before the keyed shuffle, so the cost is a
+    * constant small multiple of the tumbling case at any scale. */
+  def slidingAgg(spark: SparkSession, dir: String): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+    runToTable(agg, s"st_sliding_${dir.hashCode.abs}")
+  }
+
   /** Custom per-key streaming state via flatMapGroupsWithState: the
     * per-user "journey" — monotone event sequence number, 30-minute-gap
     * session index, and exact cumulative spend — state that windowed
