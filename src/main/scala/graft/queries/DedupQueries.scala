@@ -22,7 +22,21 @@ object DedupQueries {
     "dd_chargram_pairs" -> ((s, dir) =>
       Dedup.charGramPairs(Tables(s, dir).documents)),
     "dd_clusters" -> ((s, dir) =>
-      Dedup.clusters(Dedup.minhashLshPairs(Tables(s, dir).documents))))
+      Dedup.clusters(Dedup.minhashLshPairs(Tables(s, dir).documents))),
+    // the end-to-end payoff: the corpus that survives dedup. Keep the
+    // min-id representative of each exact-content group, then drop
+    // near-dup cluster members that aren't their cluster's
+    // representative. Two semi/anti joins on doc_id — the survivors
+    // never rewrite, only filter.
+    "dd_dedup_corpus" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      val exactKeep = Dedup.exact(docs).select(col("keep_id").as("doc_id"))
+      val nearDrop = Dedup.clusters(Dedup.minhashLshPairs(docs))
+        .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      docs.join(exactKeep, Seq("doc_id"), "left_semi")
+        .join(nearDrop, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), length(col("text")).as("n_chars"))
+    }))
 
   private val norm = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
 
@@ -111,6 +125,21 @@ object DedupQueries {
          |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id)
          |SELECT id AS doc_id, MIN(label) AS cluster_id
          |FROM reach GROUP BY id""".stripMargin,
+    "dd_dedup_corpus" ->
+      s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($minhashPairsSql) q),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+         |          UNION ALL SELECT id_b, id_a FROM p),
+         |reach(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+         |cl AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+         |near_drop AS (SELECT doc_id FROM cl WHERE doc_id <> cluster_id),
+         |exact_keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5($norm))
+         |SELECT d.doc_id, d.lang, length(d.text) AS n_chars
+         |FROM documents d
+         |JOIN exact_keep k ON d.doc_id = k.doc_id
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM near_drop)""".stripMargin,
     "dd_simhash" -> simhashSql,
     "dd_simhash_pairs" ->
       s"""WITH sims AS ($simhashSql),

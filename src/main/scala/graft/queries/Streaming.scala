@@ -13,6 +13,7 @@ object Streaming {
   val queries: Map[String, Q] = Map(
     "st_hourly_agg" -> ((s, dir) => EventStream.hourlyAgg(s, dir)),
     "st_sliding_agg" -> ((s, dir) => EventStream.slidingAgg(s, dir)),
+    "st_enrich" -> ((s, dir) => EventStream.enrich(s, dir)),
     "st_sessionize" -> ((s, dir) => EventStream.sessionize(s, dir)),
     "st_user_journey" -> ((s, dir) => EventStream.userJourney(s, dir)),
     "st_dedup_ingest" -> ((s, dir) => EventStream.dedupedIngest(s, dir)))
@@ -25,6 +26,12 @@ object Streaming {
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+    "st_enrich" ->
+      """SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |GROUP BY 1""".stripMargin,
     // each event lands in exactly the two 1-hour windows whose starts
     // are floor30(ts) and floor30(ts) - 30min — unnest both and group.
     "st_sliding_agg" ->

@@ -38,6 +38,32 @@ object Text {
         col("doc_id"),
         md5Fingerprint(col("text")).as("md5_fp"),
         shingleFingerprint(col("text")).as("shingle_fp"))),
+    "tx_tfidf" -> ((s, dir) => {
+      // top-3 distinguishing terms per document by tf-idf. The idf is
+      // the LINEAR variant (n_docs/df, no log): IEEE multiply+divide
+      // are correctly rounded, so both engines produce bit-identical
+      // doubles — ln() is not correctly rounded and could flip the
+      // hash compare in the last ulp. (Swapping in ln is a one-token
+      // change; ranking is idf-monotone either way.)
+      // Scale shape: explode → two partial-agg groupBys (tf keyed by
+      // (doc, term), df keyed by term) → broadcast-joinable df table →
+      // bounded per-doc window. n_docs rides along as a broadcast
+      // scalar, not a driver-side collect.
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir).documents
+      val words = docs
+        .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("w"))
+      val tf = words.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val df = words.distinct().groupBy("w").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val wnd = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("w"))
+      tf.join(df, "w").crossJoin(broadcast(nDocs))
+        .withColumn("score", col("tf").cast("double") * col("n_docs") / col("df"))
+        .withColumn("rk", row_number().over(wnd))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "w", "score", "rk")
+    }),
     "tx_ngram_profile" -> ((s, dir) => {
       // corpus profiling: top-5 character trigrams per labeled
       // language — explode → count (partial-agg map-side) → bounded
@@ -85,6 +111,21 @@ object Text {
         |            WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
         |            ELSE 'es' END AS pred_lang
         |FROM documents""".stripMargin,
+    "tx_tfidf" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |         unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |  FROM documents),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+        |df AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        |SELECT doc_id, w, score, rk FROM (
+        |  SELECT tf.doc_id, tf.w,
+        |         CAST(tf.tf AS DOUBLE) * n_docs / df.df AS score,
+        |         ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |           ORDER BY CAST(tf.tf AS DOUBLE) * n_docs / df.df DESC, tf.w) AS rk
+        |  FROM tf JOIN df USING (w) CROSS JOIN n)
+        |WHERE rk <= 3""".stripMargin,
     "tx_ngram_profile" ->
       """WITH tri AS (
         |  SELECT lang,

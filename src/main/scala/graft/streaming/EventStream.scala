@@ -70,6 +70,25 @@ object EventStream {
     runToTable(agg, s"st_hourly_${dir.hashCode.abs}")
   }
 
+  /** Stream-static enrichment: the event stream left-joins the (small,
+    * broadcast) customer dimension — the canonical streaming-ingest
+    * lookup shape; the static side is re-planned per micro-batch, so
+    * at warehouse scale a slowly-changing dim is picked up without
+    * restarting the query. Aggregated per enriched segment. */
+  def enrich(spark: SparkSession, dir: String): DataFrame = {
+    val cust = graft.core.Tables(spark, dir).customer
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = readEvents(spark, dir)
+      .join(broadcast(cust), col("user_id") === col("c_custkey"), "left")
+      .select(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+        col("value"))
+      .groupBy(col("segment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+    runToTable(agg, s"st_enrich_${dir.hashCode.abs}")
+  }
+
   /** Sliding 1-hour windows advancing every 30 minutes, per event_type:
     * each event contributes to the two overlapping windows. Same
     * complete-mode one-shot semantics as hourlyAgg; the engine expands
