@@ -18,6 +18,25 @@ object MultimodalQueries {
           length(col("payload")).as("n_bytes"),
           col("width"), col("height"), col("n_frames"), col("duration_s"),
           md5(col("payload")).as("payload_md5"))),
+    // aspect-preserving thumbnail fit into 256×256 (no upscale): the
+    // dimension math is the real operator; the raster is the STUB
+    // digest of (content, target dims) — a real codec swaps in there
+    // with no plan change.
+    "mm_resize" -> ((s, dir) => {
+      val m = Multimodal.mediaTable(Tables(s, dir).documents)
+        .filter(col("kind") === "image")
+        .withColumn("scale",
+          least(lit(1.0), least(lit(256.0) / col("width"), lit(256.0) / col("height"))))
+        .withColumn("thumb_w",
+          greatest(lit(1), floor(col("width") * col("scale"))).cast("int"))
+        .withColumn("thumb_h",
+          greatest(lit(1), floor(col("height") * col("scale"))).cast("int"))
+      m.select(col("media_id"), col("width"), col("height"),
+        col("thumb_w"), col("thumb_h"),
+        md5(concat(md5(col("payload")), lit(":"),
+          col("thumb_w").cast("string"), lit("x"),
+          col("thumb_h").cast("string"))).as("thumb_md5"))
+    }),
     // deterministic frame sampling: ~4 evenly spaced frames per video.
     "mm_frame_sample" -> ((s, dir) => {
       val m = Multimodal.mediaTable(Tables(s, dir).documents)
@@ -45,6 +64,24 @@ object MultimodalQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(64 + (doc_id % 16) * 32 AS INTEGER) AS width,
+        |         CAST(64 + (doc_id % 9) * 32 AS INTEGER) AS height,
+        |         text
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |s AS (
+        |  SELECT *, least(1.0, least(256.0 / width, 256.0 / height)) AS scale
+        |  FROM m),
+        |t AS (
+        |  SELECT media_id, width, height, text,
+        |         greatest(1, CAST(floor(width * scale) AS INTEGER)) AS thumb_w,
+        |         greatest(1, CAST(floor(height * scale) AS INTEGER)) AS thumb_h
+        |  FROM s)
+        |SELECT media_id, width, height, thumb_w, thumb_h,
+        |       md5(md5(text) || ':' || thumb_w || 'x' || thumb_h) AS thumb_md5
+        |FROM t""".stripMargin,
     "mm_catalog" ->
       """SELECT doc_id AS media_id,
         |       CASE WHEN doc_id % 3 = 0 THEN 'image'

@@ -14,6 +14,7 @@ object Streaming {
     "st_hourly_agg" -> ((s, dir) => EventStream.hourlyAgg(s, dir)),
     "st_sliding_agg" -> ((s, dir) => EventStream.slidingAgg(s, dir)),
     "st_enrich" -> ((s, dir) => EventStream.enrich(s, dir)),
+    "st_stream_join" -> ((s, dir) => EventStream.streamJoin(s, dir)),
     "st_sessionize" -> ((s, dir) => EventStream.sessionize(s, dir)),
     "st_user_journey" -> ((s, dir) => EventStream.userJourney(s, dir)),
     "st_dedup_ingest" -> ((s, dir) => EventStream.dedupedIngest(s, dir)))
@@ -26,6 +27,13 @@ object Streaming {
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin,
+    "st_stream_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+        |       v.ts AS v_ts, p.ts AS p_ts
+        |FROM events v JOIN events p
+        |  ON v.user_id = p.user_id
+        | AND v.event_type = 'view' AND p.event_type = 'purchase'
+        | AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 30 MINUTE""".stripMargin,
     "st_enrich" ->
       """SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
         |       COUNT(*) AS n_events,

@@ -70,6 +70,32 @@ object EventStream {
     runToTable(agg, s"st_hourly_${dir.hashCode.abs}")
   }
 
+  /** Stream-stream join: attribute each purchase to the same user's
+    * views in the preceding 30 minutes. Both sides carry watermarks and
+    * the join condition carries the time bound, so the state store
+    * provably evicts rows older than watermark+bound — the only shape
+    * under which an unbounded two-stream join runs forever at scale.
+    * Inner join in append mode: matches emit as soon as both sides
+    * arrive. */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = readEvents(spark, dir)
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = views.join(purchases,
+      col("v_user") === col("p_user") &&
+        col("p_ts") >= col("v_ts") &&
+        col("p_ts") < col("v_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+        col("v_ts"), col("p_ts"))
+    runToTable(joined, s"st_join_${dir.hashCode.abs}", mode = "append")
+  }
+
   /** Stream-static enrichment: the event stream left-joins the (small,
     * broadcast) customer dimension — the canonical streaming-ingest
     * lookup shape; the static side is re-planned per micro-batch, so

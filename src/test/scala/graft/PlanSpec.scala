@@ -51,6 +51,31 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(order_year"), plan)
   }
 
+  test("dd: minhash candidate generation is an equi-join, never a cartesian") {
+    val plan = executedPlan("dd_minhash_pairs")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("ss: LSH ANN probes via broadcast hash join on the bucket key") {
+    val plan = executedPlan("ss_knn_lsh")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("st_enrich: stream-static lookup joins by broadcast, not shuffle") {
+    import org.apache.spark.sql.functions._
+    // inspect the equivalent batch plan shape (the streaming plan wraps
+    // the same join): dimension side must broadcast
+    val t = graft.core.Tables(spark, dir)
+    val cust = t.customer.select(col("c_custkey"), col("c_mktsegment"))
+    val q = t.events.join(broadcast(cust), col("user_id") === col("c_custkey"), "left")
+      .groupBy("c_mktsegment").count()
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("t5: custom top-k aggregate runs as partial aggregation, no window sort") {
     val plan = executedPlan("t5_topk_agg")
     assert(plan.contains("partial_topk_scores"), plan)
