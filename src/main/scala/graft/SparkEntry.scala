@@ -20,6 +20,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, Q] =
     graft.queries.Relational.queries ++
+    graft.queries.ScaleOps.queries ++
     graft.queries.Etl.queries ++
     graft.queries.Text.queries ++
     graft.queries.DedupQueries.queries ++
@@ -33,6 +34,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracles ++
+    graft.queries.ScaleOps.oracles ++
     graft.queries.Etl.oracles ++
     graft.queries.Text.oracles ++
     graft.queries.DedupQueries.oracles ++

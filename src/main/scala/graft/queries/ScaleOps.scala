@@ -1,0 +1,215 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables
+import graft.queries.Relational.dsum
+
+/** Scale-path operators beyond the reference's surface: multi-level
+  * aggregation in one pass (cube / grouping sets), sketch-based
+  * approximation (HLL distinct, t-digest-style quantiles), stratified
+  * sampling, SCD Type-2 dimension history, partition-pruned layout,
+  * and bucketed co-located joins.
+  *
+  * These are the operators a 100 TB warehouse build actually leans on:
+  * cube/grouping-sets replace k re-aggregation passes with one; HLL
+  * bounds a distinct-count's memory at KBs per group where exact
+  * distinct shuffles every value; partitioned layout turns a full scan
+  * into a directory prune; bucketing removes the per-query shuffle
+  * from the hottest join in the schema.
+  *
+  * Sketch queries are verified by construction: the query emits the
+  * EXACT value (oracle-checkable) alongside a boolean asserting the
+  * sketch landed within its documented error bound — so the oracle
+  * validates both the exact plan and the sketch's contract without
+  * requiring bit-equality between two engines' HLL implementations.
+  */
+object ScaleOps {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // ---- one-pass multi-level aggregation --------------------------------
+    "a13_cube" -> ((s, dir) =>
+      // CUBE = all 2^n grouping combinations in ONE shuffle (partial
+      // aggs expand rows map-side); vs 4 separate GROUP BYs = 4 scans.
+      Tables(s, dir).lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+             dsum(col("l_extendedprice")).as("sum_price"))),
+    "a14_grouping_sets" -> ((s, dir) =>
+      // explicit grouping-set list with grouping() markers — the
+      // markers distinguish "NULL because subtotal" from "NULL in
+      // data", which any warehouse rollup report needs.
+      Tables(s, dir).lineitem
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("int").as("g_flag"),
+             grouping(col("l_linestatus")).cast("int").as("g_status"),
+             count(lit(1)).as("n"),
+             dsum(col("l_extendedprice")).as("sum_price"))),
+
+    // ---- sketches (bounded-memory approximation) -------------------------
+    "a15_approx_distinct" -> ((s, dir) =>
+      // HyperLogLog++ distinct at rsd=1%: fixed ~KB state per group vs
+      // exact distinct's shuffle of every key — the only viable
+      // distinct-count shape at 100 TB. The exact value is emitted for
+      // the oracle; the boolean asserts HLL's error contract held.
+      Tables(s, dir).lineitem
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+             approx_count_distinct(col("l_partkey"), 0.01).as("_approx"))
+        .select(col("exact_parts"),
+          (abs(col("_approx") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("approx_within_5pct"))),
+    "a16_approx_quantile" -> ((s, dir) =>
+      // percentile sketch (Greenwald-Khanna in Spark) vs the exact
+      // sort-based percentile; at scale the sketch is a single pass
+      // with bounded memory, the exact form is a full sort.
+      Tables(s, dir).orders
+        .agg(count(lit(1)).as("n_rows"),
+             expr("percentile(o_totalprice, array(0.5, 0.95))").as("_exact"),
+             expr("approx_percentile(o_totalprice, array(0.5, 0.95), 10000)")
+               .as("_approx"))
+        .select(col("n_rows"),
+          (abs(col("_approx").getItem(0) - col("_exact").getItem(0)) <=
+            abs(col("_exact").getItem(0)) * 0.01).as("p50_ok"),
+          (abs(col("_approx").getItem(1) - col("_exact").getItem(1)) <=
+            abs(col("_exact").getItem(1)) * 0.01).as("p95_ok"))),
+
+    // ---- stratified sampling ---------------------------------------------
+    "t8_stratified_sample" -> ((s, dir) =>
+      // per-stratum rates via deterministic key-mod (the reproducible
+      // analog of sampleBy: same rows on any cluster size / engine).
+      // BUILDING 1-in-10, AUTOMOBILE 1-in-20, everything else 1-in-50.
+      Tables(s, dir).customer
+        .filter(pmod(col("c_custkey"),
+          when(col("c_mktsegment") === "BUILDING", 10)
+            .when(col("c_mktsegment") === "AUTOMOBILE", 20)
+            .otherwise(50)) === 0)
+        .select("c_custkey", "c_mktsegment", "c_acctbal")),
+
+    // ---- SCD Type-2 dimension history ------------------------------------
+    "etl_scd2" -> ((s, dir) => {
+      // the reference's dim_customers carries a vestigial is_current
+      // flag with no history (transform_dim_customers.py:21); this is
+      // the real thing: per-customer priority history as versioned
+      // [valid_from, valid_to) intervals, built with lag/lead change
+      // detection — one shuffle on the dimension key, no self-join.
+      val byKey = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("valid_from"), col("o_orderkey"))
+      val ord = Tables(s, dir).orders
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("valid_from"),
+          col("o_orderkey"), col("o_orderpriority"))
+      ord
+        .withColumn("_prev", lag(col("o_orderpriority"), 1).over(byKey))
+        .filter(col("_prev").isNull || col("_prev") =!= col("o_orderpriority"))
+        .withColumn("version", row_number().over(byKey))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(byKey))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select("o_custkey", "version", "o_orderpriority",
+          "valid_from", "valid_to", "is_current")
+    }),
+
+    // ---- storage layout: partition pruning -------------------------------
+    "s10_partition_prune" -> ((s, dir) => {
+      // write the fact partitioned by its hottest filter column, then
+      // read one partition: the scan lists ONE directory — at 100 TB
+      // the difference between touching 1/7th of the data and all of
+      // it. (The write is part of the measured operator: layout is a
+      // cost you pay once to prune forever.)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_${dir.hashCode.abs}"
+      Tables(s, dir).lineitem
+        .select("l_orderkey", "l_extendedprice", "l_returnflag")
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+      s.read.parquet(out)
+        .filter(col("l_returnflag") === "R")
+        .agg(count(lit(1)).as("n_rows"),
+             dsum(col("l_extendedprice")).as("sum_price"))
+    }),
+
+    // ---- storage layout: bucketed co-located join ------------------------
+    "s11_bucketed_join" -> ((s, dir) => {
+      // bucket both sides of the schema's hottest join on the join key:
+      // the join plan then has NO exchange on either side — the
+      // per-query shuffle is traded for a one-time bucketed write.
+      // On a cluster the same layout makes every orders⋈lineitem
+      // query shuffle-free forever.
+      val h = dir.hashCode.abs
+      val ordT = s"g_orders_b$h"; val liT = s"g_lineitem_b$h"
+      if (!s.catalog.tableExists(ordT)) {
+        // the in-memory catalog forgets tables between JVMs but the
+        // warehouse directory persists: clear any stale location first
+        Seq(ordT, liT).foreach { tn =>
+          s.sql(s"DROP TABLE IF EXISTS $tn")
+          val loc = new org.apache.hadoop.fs.Path(
+            s.conf.get("spark.sql.warehouse.dir"), tn)
+          val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(loc)) fs.delete(loc, true)
+        }
+        Tables(s, dir).orders.select("o_orderkey", "o_orderpriority")
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .mode("overwrite").saveAsTable(ordT)
+        Tables(s, dir).lineitem.select("l_orderkey", "l_extendedprice")
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .mode("overwrite").saveAsTable(liT)
+      }
+      s.table(ordT)
+        .join(s.table(liT), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+             dsum(col("l_extendedprice")).as("sum_price"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "a13_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "a14_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+        |       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "a15_approx_distinct" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS exact_parts,
+        |       TRUE AS approx_within_5pct FROM lineitem""".stripMargin,
+    "a16_approx_quantile" ->
+      """SELECT COUNT(*) AS n_rows, TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM orders""".stripMargin,
+    "t8_stratified_sample" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        |WHERE c_custkey % (CASE c_mktsegment
+        |                     WHEN 'BUILDING' THEN 10
+        |                     WHEN 'AUTOMOBILE' THEN 20
+        |                     ELSE 50 END) = 0""".stripMargin,
+    "etl_scd2" ->
+      """WITH ord AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS valid_from,
+        |         o_orderkey, o_orderpriority,
+        |         LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+        |           ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_prio
+        |  FROM orders),
+        |chg AS (
+        |  SELECT o_custkey, valid_from, o_orderkey, o_orderpriority
+        |  FROM ord WHERE prev_prio IS NULL OR prev_prio <> o_orderpriority)
+        |SELECT o_custkey,
+        |       ROW_NUMBER() OVER w AS version,
+        |       o_orderpriority, valid_from,
+        |       LEAD(valid_from) OVER w AS valid_to,
+        |       LEAD(valid_from) OVER w IS NULL AS is_current
+        |FROM chg
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey)""".stripMargin,
+    "s10_partition_prune" ->
+      """SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin,
+    "s11_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderpriority""".stripMargin)
+}

@@ -17,7 +17,8 @@ object Streaming {
     "st_stream_join" -> ((s, dir) => EventStream.streamJoin(s, dir)),
     "st_sessionize" -> ((s, dir) => EventStream.sessionize(s, dir)),
     "st_user_journey" -> ((s, dir) => EventStream.userJourney(s, dir)),
-    "st_dedup_ingest" -> ((s, dir) => EventStream.dedupedIngest(s, dir)))
+    "st_dedup_ingest" -> ((s, dir) => EventStream.dedupedIngest(s, dir)),
+    "st_upsert_sink" -> ((s, dir) => EventStream.upsertSink(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "st_hourly_agg" ->
@@ -92,5 +93,17 @@ object Streaming {
         |             ROWS UNBOUNDED PRECEDING)""".stripMargin,
     "st_dedup_ingest" ->
       """SELECT DISTINCT event_id, user_id, event_type, value
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+    // the upsert target's final state = last event (by ts, event_id)
+    // plus total count per user, independent of batch boundaries.
+    "st_upsert_sink" ->
+      """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        |       event_type AS last_type, n_events
+        |FROM (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |           ORDER BY ts DESC, event_id DESC) AS rn,
+        |         COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM events)
+        |WHERE rn = 1""".stripMargin)
 }

@@ -187,6 +187,58 @@ object EventStream {
     runToTable(out, s"st_dedup_${dir.hashCode.abs}", mode = "append")
   }
 
+  /** Streaming upsert sink via foreachBatch: each micro-batch MERGEs
+    * into a keyed parquet target (union + keep-latest-per-key, the
+    * anti-join/overwrite upsert of SURVEY.md §4.3.5 — the plain-parquet
+    * stand-in for Delta's whenMatchedUpdateAll). State lives in the
+    * TARGET TABLE, not the state store, so arbitrarily many keys cost
+    * no streaming memory — the standard shape for a streaming-ingest
+    * upsert at warehouse scale. Batches write to alternating
+    * generation dirs (a poor man's atomic swap; a real lakehouse
+    * commit log does this transactionally).
+    *
+    * Target grain: one row per user — latest event (last-write-wins on
+    * (ts, event_id)) plus an additively-merged event count. */
+  def upsertSink(spark: SparkSession, dir: String): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_upsert_${dir.hashCode.abs}"
+    var current: Option[String] = None
+    var gen = 0
+    val ev = readEvents(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+    val q = ev.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // per-batch partial upsert rows: latest event + count per user
+        val partial = batch
+          .groupBy(col("user_id"))
+          .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("_m"),
+               count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("_m.ts").as("last_ts"),
+            col("_m.event_id").as("last_event_id"),
+            col("_m.event_type").as("last_type"), col("n_events"))
+        val merged = current match {
+          case None => partial
+          case Some(path) =>
+            spark.read.parquet(path).unionByName(partial)
+              .groupBy(col("user_id"))
+              .agg(max(struct(col("last_ts"), col("last_event_id"),
+                     col("last_type"))).as("_m"),
+                   sum(col("n_events")).as("n_events"))
+              .select(col("user_id"), col("_m.last_ts").as("last_ts"),
+                col("_m.last_event_id").as("last_event_id"),
+                col("_m.last_type").as("last_type"), col("n_events"))
+        }
+        gen += 1
+        val next = s"$base/gen$gen"
+        merged.write.mode("overwrite").parquet(next)
+        current = Some(next)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(current.getOrElse(
+      sys.error("upsertSink: stream produced no batches")))
+  }
+
   /** Native session windows: 30-minute inactivity gap per user. */
   def sessionize(spark: SparkSession, dir: String): DataFrame = {
     val agg = readEvents(spark, dir)

@@ -82,6 +82,32 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("s10: partitioned layout prunes to one partition directory") {
+    val plan = executedPlan("s10_partition_prune")
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"), plan)
+  }
+
+  test("s11: bucketed join has no exchange on either join side") {
+    val q = SparkEntry.queries("s11_bucketed_join")(spark, dir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // the only exchange allowed is the one feeding the final group-by;
+    // the join itself must consume the bucketed layout directly
+    val joinPart = plan.split("SortMergeJoin|ShuffledHashJoin").drop(1).mkString
+    assert(!joinPart.contains("Exchange hashpartitioning(o_orderkey"), plan)
+    assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey"), plan)
+    assert(plan.contains("SelectedBucketsCount"), plan)
+  }
+
+  test("a13: cube computes all grouping combinations in one pass (single Expand)") {
+    // AQE plan strings repeat the tree under "== Initial Plan ==";
+    // inspect only the final executed section
+    val plan = executedPlan("a13_cube").split("== Initial Plan ==").head
+    assert("Expand".r.findAllIn(plan).size >= 1, plan)
+    // one scan of lineitem, not one per grouping combination
+    assert("FileScan parquet".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("q1: aggregation is partial (map-side) before the exchange") {
     val plan = executedPlan("q1_agg")
     // two HashAggregate levels around the shuffle = partial + final
