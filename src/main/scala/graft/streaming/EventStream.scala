@@ -45,15 +45,30 @@ object EventStream {
     else stream
   }
 
+  /** State-store partition count for the streaming queries. A stateful
+    * query's state is sharded into `spark.sql.shuffle.partitions`
+    * store instances, FIXED at the first checkpoint — each instance
+    * pays per-batch snapshot/commit I/O, so idle shards are pure
+    * overhead. Sized to the stateful key cardinality / executor count
+    * on a real cluster; a small fixed count suits the one-shot
+    * AvailableNow runs here. */
+  private def streamShufflePartitions: String =
+    sys.env.getOrElse("GRAFT_STREAM_PARTS", "8")
+
   private def runToTable(df: DataFrame, name: String,
                          mode: String = "complete"): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     df.sparkSession.table(name)
   }
 
