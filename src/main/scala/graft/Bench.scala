@@ -14,14 +14,15 @@ object Bench {
     * text/stream/reco/multimodal. Keep ≈20 entries so the JSON line
     * stays well under the driver's output-tail capture. */
   val headline: Seq[String] = Seq(
-    "q1_agg", "a10_salted_agg", "a6_distinct_count",
+    "q1_agg", "a10_salted_agg", "a6_distinct_count", "a13_cube",
     "j2_fact_join_chain", "j6_asof_join", "j7_band_join",
     "w4_analytics", "t4_topk_per_group", "u2_intersect",
-    "p13_json_extract", "etl_pipeline",
+    "p13_json_extract", "etl_pipeline", "etl_scd2",
+    "s11_bucketed_join",
     "dd_exact", "dd_minhash_pairs", "dd_simhash",
     "ss_knn_brute", "ss_knn_ivf",
     "tx_langid", "tx_ngram_profile",
-    "st_hourly_agg", "st_user_journey",
+    "st_hourly_agg", "st_user_journey", "st_upsert_sink",
     "reco_topk_cosine", "mm_features")
 
   def main(args: Array[String]): Unit = {

@@ -204,12 +204,18 @@ object Recommender {
     * fixed k; recall by |actual|; users with empty recs or actual are
     * skipped; F1 computed from the *averaged* P and R. Split is a
     * deterministic 80/20 hash holdout. */
+  // the 80%-holdout model is deterministic per dir (seeded ALS on a
+  // hash split) — cache it like the full model so repeated evaluation
+  // calls don't re-train.
+  private val evalCache = TrieMap[String, ALSModel]()
+
   def evaluate(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val inter = interactions(Tables(spark, dir))
     val fold = pmod(hash(col("user"), col("item")), lit(5))
     val train = inter.filter(fold =!= 0)
     val test = inter.filter(fold === 0)
-    val model = als().fit(train.withColumn("rating", lit(1.0f)))
+    val model = evalCache.getOrElseUpdate(dir,
+      als().fit(train.withColumn("rating", lit(1.0f))))
     // common users, deterministically capped at 1000 (reference samples)
     val evalUsers = test.select("user").distinct()
       .join(train.select("user").distinct(), "user", "left_semi")

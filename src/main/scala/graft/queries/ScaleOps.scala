@@ -89,6 +89,25 @@ object ScaleOps {
             .otherwise(50)) === 0)
         .select("c_custkey", "c_mktsegment", "c_acctbal")),
 
+    // ---- time-range window frames ----------------------------------------
+    "w6_range_frame" -> ((s, dir) => {
+      // sliding 1-hour LOOK-BACK per event (RANGE frame on event time):
+      // the per-event trailing aggregate that tumbling/sliding windows
+      // can't express (every row gets its own window end). One shuffle
+      // on user_id; the frame scan is a sorted two-pointer sweep, so
+      // cost is O(rows) not O(rows × frame size). Ordered by epoch
+      // MICROS so both engines bound the frame on the exact tick.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"))
+        .rangeBetween(-3600000000L, 0)
+      Tables(s, dir).events
+        .withColumn("tus", unix_micros(col("ts")))
+        .select(col("user_id"), col("event_id"), col("ts"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+            .over(w).cast("double").as("sum_1h"))
+    }),
+
     // ---- SCD Type-2 dimension history ------------------------------------
     "etl_scd2" -> ((s, dir) => {
       // the reference's dim_customers carries a vestigial is_current
@@ -186,6 +205,13 @@ object ScaleOps {
         |                     WHEN 'BUILDING' THEN 10
         |                     WHEN 'AUTOMOBILE' THEN 20
         |                     ELSE 50 END) = 0""".stripMargin,
+    "w6_range_frame" ->
+      """SELECT user_id, event_id, ts,
+        |       COUNT(*) OVER w AS n_1h,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
     "etl_scd2" ->
       """WITH ord AS (
         |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS valid_from,
