@@ -86,6 +86,33 @@ object Similarity {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= K)
     }),
+    // scalar-quantized (int8) ANN: compress every float to an 8-bit
+    // code against the global [min, max] range — 4x less memory and
+    // bandwidth per vector, the standard first compression step before
+    // IVF/PQ at corpus scale. Ranking runs entirely on the quantized
+    // codes; scores are integer dot products (exact in double whatever
+    // the accumulation order), so unlike float-sum ANN this variant is
+    // bit-identical across engines BY CONSTRUCTION, and the oracle
+    // checks it exactly.
+    "ss_knn_sq" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val stats = e.agg(
+        min(expr("array_min(embedding)")).cast("double").as("mn"),
+        max(expr("array_max(embedding)")).cast("double").as("mx"))
+      val quant = "transform(embedding, x -> CAST(least(255, " +
+        "floor((CAST(x AS DOUBLE) - mn) / (mx - mn) * 256.0)) AS DOUBLE))"
+      val eq = e.crossJoin(broadcast(stats))
+        .select(col("vec_id"), expr(quant).as("qv"))
+      val q = eq.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("qv").as("qq"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("vec_id"))
+      eq.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          expr(cosineSql("qq", "qv", DIM)).as("qcos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+    }),
     // embedding-cosine near-dup pairs within LSH buckets.
     "ss_embed_neardup" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
@@ -150,6 +177,24 @@ object Similarity {
          |  WHERE a.vec_id <> p.qid)
          |SELECT qid, vec_id, cosine, rank FROM (
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= $K""".stripMargin,
+    "ss_knn_sq" ->
+      s"""WITH st AS (SELECT CAST(MIN(list_min(embedding)) AS DOUBLE) AS mn,
+         |                   CAST(MAX(list_max(embedding)) AS DOUBLE) AS mx
+         |            FROM embeddings),
+         |eq AS (SELECT vec_id,
+         |              list_transform(embedding, x -> CAST(least(255,
+         |                floor((CAST(x AS DOUBLE) - mn) / (mx - mn) * 256.0)) AS DOUBLE)) AS qv
+         |       FROM embeddings CROSS JOIN st),
+         |q AS (SELECT vec_id AS qid, qv AS qq FROM eq WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id,
+         |         ${cosineDuck("qq", "qv", DIM)} AS qcos
+         |  FROM eq e CROSS JOIN q
+         |  WHERE e.vec_id <> q.qid)
+         |SELECT qid, vec_id, qcos, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qcos DESC, vec_id) AS rank
          |  FROM scored)
          |WHERE rank <= $K""".stripMargin,
     "ss_embed_neardup" ->

@@ -64,6 +64,19 @@ object Text {
         .filter(col("rk") <= 3)
         .select("doc_id", "w", "score", "rk")
     }),
+    "tx_pii_redact" -> ((s, dir) =>
+      // PII scrub — the mandatory pre-training pass over any crawled
+      // corpus: count and replace email addresses and phone-shaped
+      // digit runs. Pure codegen'd regex projection, no shuffle; the
+      // patterns avoid constructs where Java and RE2 dialects diverge
+      // so the oracle replays them identically.
+      Tables(s, dir).documents.select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(EmailRe)).as("n_emails"),
+        regexp_count(col("text"), lit(PhoneRe)).as("n_phones"),
+        regexp_replace(
+          regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
+          lit(PhoneRe), lit("<PHONE>")).as("clean_text"))),
     "tx_ngram_profile" -> ((s, dir) => {
       // corpus profiling: top-5 character trigrams per labeled
       // language — explode → count (partial-agg map-side) → bounded
@@ -81,6 +94,11 @@ object Text {
     }))
 
   private val stopsEn = "the|and|of|to|in|is|a"
+  /** PII patterns shared by the Spark query and the DuckDB oracle —
+    * plain greedy classes/quantifiers only (identical semantics in
+    * Java regex and RE2). */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+?[0-9][0-9 -]{7,}[0-9]"
 
   val oracles: Map[String, String] = Map(
     "tx_token_counts" ->
@@ -126,6 +144,13 @@ object Text {
         |           ORDER BY CAST(tf.tf AS DOUBLE) * n_docs / df.df DESC, tf.w) AS rk
         |  FROM tf JOIN df USING (w) CROSS JOIN n)
         |WHERE rk <= 3""".stripMargin,
+    "tx_pii_redact" ->
+      s"""SELECT doc_id,
+         |       len(regexp_extract_all(text, '$EmailRe')) AS n_emails,
+         |       len(regexp_extract_all(text, '$PhoneRe')) AS n_phones,
+         |       regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+         |                      '$PhoneRe', '<PHONE>', 'g') AS clean_text
+         |FROM documents""".stripMargin,
     "tx_ngram_profile" ->
       """WITH tri AS (
         |  SELECT lang,

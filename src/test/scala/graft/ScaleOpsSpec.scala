@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.Row
+
+/** Semantic invariants for the scale-path operators (ScaleOps) that
+  * the row-hash oracle can't express directly. */
+class ScaleOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("etl_scd2: dense versions, chained intervals, exactly one current row per key") {
+    val rows = SparkEntry.queries("etl_scd2")(spark, dir)
+      .select("o_custkey", "version", "valid_from", "valid_to", "is_current")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("o_custkey")).foreach { case (key, rs) =>
+      val hist = rs.sortBy(_.getAs[Int]("version"))
+      // versions are dense 1..n
+      assert(hist.map(_.getAs[Int]("version")).toSeq == (1 to hist.length),
+        s"non-dense versions for $key")
+      // exactly one open (current) interval, and it is the last one
+      assert(hist.count(_.getAs[Boolean]("is_current")) == 1, s"current!=1 for $key")
+      assert(hist.last.getAs[Boolean]("is_current"), s"current not last for $key")
+      // each interval closes where the next opens
+      hist.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[java.sql.Date]("valid_to") ==
+            b.getAs[java.sql.Date]("valid_from"), s"interval gap for $key")
+        case _ =>
+      }
+    }
+  }
+
+  test("a15/a16: sketch error contracts hold on real data") {
+    val hll = SparkEntry.queries("a15_approx_distinct")(spark, dir).collect().head
+    assert(hll.getAs[Boolean]("approx_within_5pct"))
+    val qt = SparkEntry.queries("a16_approx_quantile")(spark, dir).collect().head
+    assert(qt.getAs[Boolean]("p50_ok") && qt.getAs[Boolean]("p95_ok"))
+  }
+
+  test("ss_knn_sq: quantized ranking recalls most exact-cosine neighbors") {
+    def pairs(name: String): Set[(Long, Long)] =
+      SparkEntry.queries(name)(spark, dir)
+        .select("qid", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("ss_knn_brute")
+    val quant = pairs("ss_knn_sq")
+    val recall = (exact & quant).size.toDouble / exact.size
+    // int8 quantization preserves ranking to high fidelity; anything
+    // below this means the codes, not the data, are wrong
+    assert(recall >= 0.6, s"sq recall $recall")
+  }
+
+  test("st_upsert_sink: merged target equals last-event-per-user with total counts") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = SparkEntry.queries("st_upsert_sink")(spark, dir)
+      .select("user_id", "last_event_id", "n_events").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val want = graft.core.Tables(spark, dir).events
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "n").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+  }
+}
