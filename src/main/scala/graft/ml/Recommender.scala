@@ -210,10 +210,19 @@ object Recommender {
   private val evalCache = TrieMap[String, ALSModel]()
 
   def evaluate(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    // engine-independent 80/20 holdout: fold = first md5 hex digit of
+    // "user:item" mod 5 (NOT Spark's murmur hash — md5 is computable
+    // bit-for-bit by any engine, so the holdout population and hence
+    // num_evaluated_users are oracle-verifiable facts, not
+    // implementation accidents).
     val inter = interactions(Tables(spark, dir))
-    val fold = pmod(hash(col("user"), col("item")), lit(5))
-    val train = inter.filter(fold =!= 0)
-    val test = inter.filter(fold === 0)
+      .withColumn("_h",
+        md5(concat(col("user").cast("string"), lit(":"), col("item").cast("string"))))
+      .withColumn("_fold",
+        (expr("instr('0123456789abcdef', substr(_h, 1, 1))") - lit(1)) % 5)
+    val fold = col("_fold")
+    val train = inter.filter(fold =!= 0).select("user", "item")
+    val test = inter.filter(fold === 0).select("user", "item")
     val model = evalCache.getOrElseUpdate(dir,
       als().fit(train.withColumn("rating", lit(1.0f))))
     // common users, deterministically capped at 1000 (reference samples)

@@ -2,38 +2,142 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 import graft.ml.Recommender
 
-/** Recommender surface (SURVEY.md §2.8 M1–M10). The interaction build
-  * is SQL-expressible and oracle-checked; the trained-model queries
-  * (ALS factors are solver-dependent) get rows-only checks, with
-  * ScalaTest specs asserting their semantic invariants. */
+/** Recommender surface (SURVEY.md §2.8 M1–M10).
+  *
+  * The interaction build and model dimensions are SQL-expressible and
+  * oracle-checked exactly. The trained-model queries (ALS factors are
+  * solver-dependent) are exposed as CONTRACT PROJECTIONS: each emits
+  * the deterministic facts of its result — user/item lists and row
+  * counts, which depend only on the input data, never on the solver —
+  * plus self-checked booleans stating the semantic invariants of the
+  * solver-dependent part (dense ranks, monotone scores, bounded
+  * metrics, metric-definition consistency). The DuckDB oracle
+  * re-derives the deterministic facts and states the booleans as TRUE,
+  * so every entry is hash-verifiable end to end without requiring
+  * bit-equality between two engines' factorization solvers. The
+  * bit-exact ranking math itself is pinned separately by
+  * RecommenderSpec (cosineTopK vs brute force) and MmrSpec/MmrProps.
+  */
 object Reco {
   type Q = (SparkSession, String) => DataFrame
+
+  private val K = 5
 
   private def sampleUsers(s: SparkSession, dir: String): DataFrame =
     Recommender.interactions(Tables(s, dir))
       .select("user").distinct().filter(col("user") % 100 === 0)
 
+  /** Per-user ranking contract over a (user, item, score, rank) result:
+    * exactly k rows per user (the user list and count are deterministic
+    * facts the oracle re-derives), ranks dense 1..k, scores valid, and
+    * items distinct. `monotone` additionally asserts score ordering —
+    * true for relevance rankings, deliberately NOT asserted for MMR
+    * output (diversification breaks relevance order after the first
+    * pick by design, mf_knn_recommender.py:477-547). */
+  private def rankingContract(topk: DataFrame, scoreOk: org.apache.spark.sql.Column,
+                              monotone: Boolean): DataFrame = {
+    val w = Window.partitionBy(col("user")).orderBy(col("rank"))
+    val base = topk
+      .withColumn("_pr", lag(col("rank"), 1).over(w))
+      .withColumn("_ps", lag(col("score"), 1).over(w))
+      .withColumn("_so", scoreOk)
+    val aggs = Seq(
+      count(lit(1)).as("k_rows"),
+      expr("bool_and(CASE WHEN _pr IS NULL THEN rank = 1 ELSE rank = _pr + 1 END)")
+        .as("ranks_dense"),
+      expr("bool_and(_so)").as("scores_valid"),
+      (countDistinct(col("item")) === count(lit(1))).as("items_distinct")) ++
+      (if (monotone) Seq(expr("bool_and(_ps IS NULL OR _ps >= score)").as("scores_monotone"))
+       else Nil)
+    base.groupBy(col("user")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Shared oracle fragment: the deterministic sample-user list. */
+  private val sampleUsersSql =
+    """SELECT DISTINCT CAST(o_custkey AS INTEGER) AS "user"
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL
+      |  AND o_custkey % 100 = 0""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "reco_interactions" -> ((s, dir) =>
       Recommender.interactions(Tables(s, dir))),
-    "reco_topk_cosine" -> ((s, dir) =>
-      Recommender.cosineTopK(Recommender.train(s, dir), sampleUsers(s, dir), 5)),
+    // M3: two-phase partial cosine top-k. Contract: every sampled user
+    // gets exactly K dense-ranked, distinct, score-monotone rows with
+    // cosine in [-1, 1]. (Bit-exactness vs brute force: RecommenderSpec.)
+    "reco_topk_cosine" -> ((s, dir) => {
+      val topk = Recommender.cosineTopK(Recommender.train(s, dir), sampleUsers(s, dir), K)
+      rankingContract(topk, abs(col("score")) <= lit(1.0 + 1e-9), monotone = true)
+    }),
+    // M4: MLlib-native blocked ranking (raw inner product — unbounded
+    // scores, so the contract checks finiteness instead of [-1,1]).
     "reco_topk_als" -> ((s, dir) => {
-      // M4 MLlib-native path: raw inner-product ranking.
       val model = Recommender.train(s, dir)
-      model.recommendForUserSubset(sampleUsers(s, dir), 5)
+      val topk = model.recommendForUserSubset(sampleUsers(s, dir), K)
         .select(col("user"), posexplode(col("recommendations")))
         .select(col("user"), (col("pos") + 1).as("rank"),
           col("col.item").as("item"), col("col.rating").as("score"))
+      rankingContract(topk, col("score").isNotNull && !isnan(col("score")),
+        monotone = true)
     }),
-    "reco_mmr" -> ((s, dir) =>
-      Recommender.diversify(Recommender.train(s, dir), sampleUsers(s, dir))),
-    "reco_eval" -> ((s, dir) => Recommender.evaluate(s, dir)),
-    "reco_coverage" -> ((s, dir) => Recommender.coverage(s, dir)),
-    "reco_item_pca" -> ((s, dir) => Recommender.itemPca(Recommender.train(s, dir))),
+    // M5/M6: MMR diversification. Contract: K dense-ranked distinct
+    // picks per user, and the first pick equals the top-1 relevance
+    // item (the greedy loop's documented anchor).
+    "reco_mmr" -> ((s, dir) => {
+      val model = Recommender.train(s, dir)
+      val users = sampleUsers(s, dir)
+      val mmr = Recommender.diversify(model, users, K)
+      val contract = rankingContract(mmr,
+        col("score").isNotNull && !isnan(col("score")), monotone = false)
+      val top1 = Recommender.cosineTopK(model, users, 1)
+        .select(col("user"), col("item").as("_t1"))
+      contract
+        .join(mmr.filter(col("rank") === 1).select(col("user"), col("item")), "user")
+        .join(top1, "user")
+        .withColumn("first_is_top_relevance", col("item") === col("_t1"))
+        .select("user", "k_rows", "ranks_dense", "scores_valid",
+          "items_distinct", "first_is_top_relevance")
+    }),
+    // M7: P/R/F1@k. num_evaluated_users is a pure function of the
+    // md5 holdout split (oracle re-derives it); the metric values are
+    // solver-dependent, so the contract asserts their bounds and the
+    // F1-of-averages definition instead.
+    "reco_eval" -> ((s, dir) => {
+      val p = col("precision"); val r = col("recall")
+      Recommender.evaluate(s, dir).select(
+        col("num_evaluated_users"),
+        (p >= 0 && p <= 1).as("precision_in_range"),
+        (r >= 0 && r <= 1).as("recall_in_range"),
+        when(p + r > 0,
+          abs(col("f1_score") - lit(2.0) * p * r / (p + r)) < lit(1e-12))
+          .otherwise(col("f1_score") === 0).as("f1_consistent"))
+    }),
+    // M8: catalog coverage. items_total = |trained items| = |distinct
+    // interaction items| (deterministic); the covered fraction is
+    // solver-dependent → bounded + self-consistent.
+    "reco_coverage" -> ((s, dir) => {
+      val cov = Recommender.coverage(s, dir)
+      cov.select(
+        col("items_total"),
+        (col("items_recommended") >= 1 &&
+          col("items_recommended") <= lit(100L * K)).as("recommended_in_range"),
+        (col("coverage") > 0 && col("coverage") <= 1).as("coverage_in_range"),
+        (abs(col("coverage") -
+          col("items_recommended").cast("double") / col("items_total")) < lit(1e-12))
+          .as("coverage_consistent"))
+    }),
+    // M9: PCA(2) item projection. The item list is deterministic (one
+    // factor row per trained item); the coordinates are solver-
+    // dependent → finiteness contract.
+    "reco_item_pca" -> ((s, dir) =>
+      Recommender.itemPca(Recommender.train(s, dir))
+        .select(col("item"),
+          (col("x").isNotNull && !isnan(col("x")) &&
+            col("y").isNotNull && !isnan(col("y"))).as("coords_finite"))),
     "reco_model_info" -> ((s, dir) => Recommender.modelInfo(s, dir)))
 
   val oracles: Map[String, String] = Map(
@@ -48,6 +152,51 @@ object Reco {
     "reco_interactions" ->
       """SELECT DISTINCT CAST(o_custkey AS INTEGER) AS "user",
         |       CAST(l_partkey AS INTEGER) AS item
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL""".stripMargin,
+    "reco_topk_cosine" ->
+      s"""SELECT "user", CAST($K AS BIGINT) AS k_rows, TRUE AS ranks_dense,
+         |       TRUE AS scores_valid, TRUE AS items_distinct,
+         |       TRUE AS scores_monotone
+         |FROM ($sampleUsersSql)""".stripMargin,
+    "reco_topk_als" ->
+      s"""SELECT "user", CAST($K AS BIGINT) AS k_rows, TRUE AS ranks_dense,
+         |       TRUE AS scores_valid, TRUE AS items_distinct,
+         |       TRUE AS scores_monotone
+         |FROM ($sampleUsersSql)""".stripMargin,
+    "reco_mmr" ->
+      s"""SELECT "user", CAST($K AS BIGINT) AS k_rows, TRUE AS ranks_dense,
+         |       TRUE AS scores_valid, TRUE AS items_distinct,
+         |       TRUE AS first_is_top_relevance
+         |FROM ($sampleUsersSql)""".stripMargin,
+    "reco_eval" ->
+      """WITH inter AS (
+        |  SELECT DISTINCT CAST(o_custkey AS INTEGER) AS u,
+        |         CAST(l_partkey AS INTEGER) AS i
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |f AS (
+        |  SELECT u, i,
+        |         (instr('0123456789abcdef',
+        |            substr(md5(CAST(u AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1))
+        |          - 1) % 5 AS fold
+        |  FROM inter)
+        |SELECT CAST(LEAST(1000, (
+        |         SELECT COUNT(*) FROM (
+        |           SELECT DISTINCT u FROM f WHERE fold = 0
+        |           INTERSECT
+        |           SELECT DISTINCT u FROM f WHERE fold <> 0) t)) AS BIGINT)
+        |         AS num_evaluated_users,
+        |       TRUE AS precision_in_range, TRUE AS recall_in_range,
+        |       TRUE AS f1_consistent""".stripMargin,
+    "reco_coverage" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS items_total,
+        |       TRUE AS recommended_in_range, TRUE AS coverage_in_range,
+        |       TRUE AS coverage_consistent
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL""".stripMargin,
+    "reco_item_pca" ->
+      """SELECT DISTINCT CAST(l_partkey AS INTEGER) AS item, TRUE AS coords_finite
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE o_custkey IS NOT NULL AND l_partkey IS NOT NULL""".stripMargin)
 }
