@@ -8,11 +8,19 @@ import org.apache.spark.sql.SparkSession
   * all-queries line was longer than the capture window and parsed as
   * null). `GRAFT_BENCH_ALL=1` or a prefix arg widens the set for
   * local iteration.
-  */
+  *
+  * Steal-awareness: this box suffers host-level CPU-steal waves that
+  * can inflate a single timing 20× (round 3's headline read 269 s for
+  * a ~27 s suite). The JSON line therefore carries (a) /proc/loadavg
+  * before and after the run and (b) every per-run timing, not just the
+  * min — a contaminated run is self-identifying (high load + one
+  * blown-up run among normal ones) instead of masquerading as a code
+  * regression. */
 object Bench {
   /** One per family: scan/agg/join/window/topk/set/etl/dedup/ann/
-    * text/stream/reco/multimodal. Keep ≈20 entries so the JSON line
-    * stays well under the driver's output-tail capture. */
+    * text/stream/reco/multimodal. 26 entries × (min + 3 per-run times)
+    * ≈ 1.5 KB of JSON — measured well inside the driver's output-tail
+    * capture (the round-1 overflow was the full 100+-query map). */
   val headline: Seq[String] = Seq(
     "q1_agg", "a10_salted_agg", "a6_distinct_count", "a13_cube",
     "j2_fact_join_chain", "j6_asof_join", "j7_band_join",
@@ -24,6 +32,11 @@ object Bench {
     "tx_langid", "tx_ngram_profile",
     "st_hourly_agg", "st_user_journey", "st_upsert_sink",
     "reco_topk_cosine", "mm_features")
+
+  private def loadavg(): Double =
+    scala.util.Try(
+      scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split(" ")(0).toDouble).getOrElse(-1.0)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -37,14 +50,12 @@ object Bench {
     val names =
       if (all) SparkEntry.queries.keys.toSeq.sorted.filter(_.startsWith(prefix))
       else headline.filter(SparkEntry.queries.contains)
-    // default best-of-3: the box suffers host-level CPU-steal waves that
-    // inflate single-shot timings up to 20× — the min of 3 runs reports
-    // steady-state throughput instead of scheduler luck
+    // default best-of-3: the min of 3 runs reports steady-state
+    // throughput instead of scheduler luck (see steal note above)
     val runs = sys.env.get("GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+    val loadBefore = loadavg()
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      // GRAFT_BENCH_RUNS>1 reports the best of N runs — steady-state
-      // timing that excludes first-run JIT/codegen (local iteration aid).
       val timings = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
@@ -58,19 +69,24 @@ object Bench {
       // a regression that errors out would otherwise read as a speedup
       val good = timings.filter(_._1).map(_._2)
       val sec = if (good.nonEmpty) Some(good.min) else None
-      System.err.println(f"[bench] $name%-24s ${sec.getOrElse(-1.0)}%8.2f s")
+      System.err.println(f"[bench] $name%-24s ${sec.getOrElse(-1.0)}%8.2f s" +
+        timings.map(t => f"${t._2}%.2f").mkString("  [", " ", "]"))
       // release per-query persisted intermediates so one query's cache
       // doesn't squeeze the next query's execution memory
       spark.catalog.clearCache()
-      name -> sec
+      (name, sec, timings)
     }
-    val qs = results.map { case (k, v) =>
+    val loadAfter = loadavg()
+    val qs = results.map { case (k, v, _) =>
       "\"" + k + "\":" + v.map(s => f"$s%.3f").getOrElse("null")
     }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, None) => "\"" + k + "\"" }
+    val runsJson = results.map { case (k, _, ts) =>
+      "\"" + k + "\":" + ts.map(t => f"${t._2}%.2f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, None, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","load":[$loadBefore%.2f,$loadAfter%.2f],"queries":$qs,"runs":$runsJson,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -29,6 +29,31 @@ object Warehouse {
   def surrogateKey(df: DataFrame, keyName: String, naturalOrder: Column*): DataFrame =
     df.withColumn(keyName, row_number().over(Window.orderBy(naturalOrder: _*)))
 
+  /** Fact-scale dense surrogate keys (SURVEY.md §4.3.3): the same
+    * ROW_NUMBER-by-natural-key contract as [[surrogateKey]] without its
+    * single-partition sort. `repartitionByRange` makes the partitions
+    * ordered and disjoint in the key, `sortWithinPartitions` orders
+    * inside each, so `zipWithIndex` — which numbers rows in partition
+    * order, contiguously, with one extra count job and NO data movement
+    * — yields exactly the global dense rank. Range-sampling boundaries
+    * may vary between runs, but with a UNIQUE natural key the assigned
+    * ranks cannot: any ordered disjoint partitioning gives the same
+    * global order. Scales to any row count and cluster size. */
+  def surrogateKeyScale(df: DataFrame, keyName: String, naturalKey: String,
+                        partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val n = if (partitions > 0) partitions
+            else spark.sparkContext.defaultParallelism
+    val ordered = df.repartitionByRange(n, col(naturalKey))
+      .sortWithinPartitions(naturalKey)
+    val schema = ordered.schema.add(keyName,
+      org.apache.spark.sql.types.LongType, nullable = false)
+    val rdd = ordered.rdd.zipWithIndex.map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ (i + 1))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** zfill(5) on a code column (transform_dim_customers.py:14). */
   def zfill5(c: Column): Column = lpad(c.cast("string"), 5, "0")
 

@@ -49,23 +49,56 @@ object VectorFunctions {
     * pure projection, candidates come from an equi-join on the bucket,
     * so the search is one shuffle and never a cartesian. The plane
     * matrix is inlined as double literals; the projection itself is
-    * the native vec_dot. */
-  def signBucketSql(emb: String, dim: Int, nPlanes: Int): String = {
+    * the native vec_dot. `offset` selects a disjoint plane family —
+    * band b of a banded scheme uses offset b*nPlanes, so bands are
+    * independent hash functions drawn from the same deterministic
+    * stream. */
+  def signBucketSql(emb: String, dim: Int, nPlanes: Int, offset: Int = 0): String = {
     val bits = (0 until nPlanes).map { j =>
-      val arr = planeCoeffs(j, dim).map(c => s"${c}.0D").mkString("array(", ", ", ")")
+      val arr = planeCoeffs(offset + j, dim).map(c => s"${c}.0D").mkString("array(", ", ", ")")
       s"CASE WHEN vec_dot($emb, $arr) >= 0 THEN '1' ELSE '0' END"
     }
     s"concat(${bits.mkString(", ")})"
   }
 
   /** DuckDB: the same sign bucket from the same inlined literals. */
-  def signBucketDuck(emb: String, dim: Int, nPlanes: Int): String = {
+  def signBucketDuck(emb: String, dim: Int, nPlanes: Int, offset: Int = 0): String = {
     val bits = (0 until nPlanes).map { j =>
-      val coeffs = planeCoeffs(j, dim)
+      val coeffs = planeCoeffs(offset + j, dim)
       val proj = s"list_reduce(list_transform(range(1, ${dim + 1}), " +
         s"i -> CAST($emb[i] AS DOUBLE) * ([${coeffs.mkString(", ")}][i])), (x, y) -> x + y)"
       s"CASE WHEN $proj >= 0 THEN '1' ELSE '0' END"
     }
     s"concat(${bits.mkString(", ")})"
   }
+
+  /** Multi-probe set for a sign bucket: the bucket itself plus every
+    * bucket within Hamming distance 2 — 1 + n + n(n-1)/2 probes. The
+    * probe count grows O(nPlanes²) while the bucket count grows
+    * 2^nPlanes, so the probed FRACTION of the index shrinks as the
+    * corpus (and with it the adaptive plane count) grows: 22/64 probes
+    * at 6 planes, 301/16.7M at 24 planes. This is what makes
+    * plane-count scaling recall-safe — extra planes sharpen buckets
+    * without starving the candidate set. */
+  def probeArraySql(bucketCol: String, nPlanes: Int): String = {
+    val flipSets: Seq[Seq[Int]] =
+      Seq(Seq.empty[Int]) ++
+        (1 to nPlanes).map(Seq(_)) ++
+        (for { i <- 1 to nPlanes; j <- i + 1 to nPlanes } yield Seq(i, j))
+    val probes = flipSets.map {
+      case Seq() => bucketCol
+      case fs =>
+        val chars = (1 to nPlanes).map { pos =>
+          if (fs.contains(pos))
+            s"(CASE WHEN substr($bucketCol, $pos, 1) = '1' THEN '0' ELSE '1' END)"
+          else s"substr($bucketCol, $pos, 1)"
+        }
+        s"concat(${chars.mkString(", ")})"
+    }
+    s"array(${probes.mkString(", ")})"
+  }
+
+  /** Probed fraction of the bucket space under Hamming≤2 multi-probe. */
+  def probeFraction(nPlanes: Int): Double =
+    (1.0 + nPlanes + nPlanes * (nPlanes - 1) / 2.0) / math.pow(2.0, nPlanes)
 }

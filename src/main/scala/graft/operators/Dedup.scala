@@ -190,24 +190,47 @@ object Dedup {
     * the fixpoint arrives in 2-3 rounds. The driver loop only checks
     * the converged count — all data stays distributed. */
   def clusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
+    // Generation discipline — the two failure modes of iterative plans,
+    // both fatal long before 100 TB, handled explicitly:
+    //  - PLAN growth: labels_k naively references labels_{k-1} twice
+    //    (join input + neighbor lookup), so the analyzed tree doubles
+    //    per iteration and the ANALYZER, not the cluster, becomes the
+    //    bottleneck (measured: a diameter-10 component stalls the
+    //    driver for minutes). Each generation is therefore re-rooted
+    //    as a LogicalRDD over its materialized cache — iteration plans
+    //    stay O(1).
+    //  - CACHE growth: the previous generation is dropped once the new
+    //    one is materialized, so a long fixpoint holds exactly one
+    //    labels copy in executor memory, not one per iteration.
+    var cachedGen: Option[DataFrame] = None
+    def advance(df: DataFrame): DataFrame = {
+      val next = df.persist()
+      next.count()
+      cachedGen.foreach(_.unpersist())
+      cachedGen = Some(next)
+      spark.createDataFrame(next.rdd, next.schema)
+    }
+    var labels = advance(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var changed = 1L
     while (changed > 0) {
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("dlabel")).as("nmin"))
-      val updated = labels
+      val updated = advance(labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("new_label"))
-        .persist()
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("new_label")))
       changed = updated.filter(col("new_label") < col("label")).count()
       labels = updated.select(col("id"), col("new_label").as("label"))
     }
+    // edges fed only the (now materialized) final generation, which the
+    // returned frame reads from.
+    edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -156,7 +156,10 @@ object ScaleOps {
       // query shuffle-free forever.
       val h = dir.hashCode.abs
       val ordT = s"g_orders_b$h"; val liT = s"g_lineitem_b$h"
-      if (!s.catalog.tableExists(ordT)) {
+      // recreate BOTH tables if EITHER is missing — a prior run that
+      // died between the two writes must not leave a half-built layout
+      // that later runs trust
+      if (!s.catalog.tableExists(ordT) || !s.catalog.tableExists(liT)) {
         // the in-memory catalog forgets tables between JVMs but the
         // warehouse directory persists: clear any stale location first
         Seq(ordT, liT).foreach { tn =>
@@ -178,7 +181,36 @@ object ScaleOps {
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n_rows"),
              dsum(col("l_extendedprice")).as("sum_price"))
-    }))
+    }),
+
+    // ---- S10: drop / truncate lifecycle ------------------------------------
+    "s12_drop_truncate" -> ((s, dir) => {
+      // the reference's table-reset plumbing (plugins/mysql_operator.py:
+      // 94-110): stage a copy, TRUNCATE it (0 rows, schema intact),
+      // then DROP it (catalog forgets it). The emitted row carries the
+      // observed row counts and catalog state so the oracle checks the
+      // whole lifecycle, not just that the query ran.
+      val tn = s"g_scratch_${dir.hashCode.abs}"
+      Tables(s, dir).region.write.mode("overwrite").saveAsTable(tn)
+      val preRows = s.table(tn).count()
+      s.sql(s"TRUNCATE TABLE $tn")
+      val rowsAfter = s.table(tn).count()
+      s.sql(s"DROP TABLE $tn")
+      val dropped = !s.catalog.tableExists(tn)
+      import s.implicits._
+      Seq((preRows, rowsAfter, dropped))
+        .toDF("pre_rows", "rows_after_truncate", "table_dropped")
+    }),
+
+    // ---- fact-scale surrogate keys -----------------------------------------
+    "w1b_surrogate_key_scale" -> ((s, dir) =>
+      // the ROW_NUMBER surrogate (w1) needs a single-partition sort —
+      // fine for dimensions, wrong for facts; this is the fact-scale
+      // form (SURVEY.md §4.3.3): range-partition + local sort +
+      // zipWithIndex = the same dense global rank with no global sort.
+      graft.etl.Warehouse.surrogateKeyScale(
+        Tables(s, dir).customer.select("c_custkey", "c_name"),
+        "customer_key", "c_custkey")))
 
   val oracles: Map[String, String] = Map(
     "a13_cube" ->
@@ -237,5 +269,13 @@ object ScaleOps {
       """SELECT o_orderpriority, COUNT(*) AS n_rows,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-        |GROUP BY o_orderpriority""".stripMargin)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "s12_drop_truncate" ->
+      """SELECT (SELECT COUNT(*) FROM region) AS pre_rows,
+        |       CAST(0 AS BIGINT) AS rows_after_truncate,
+        |       TRUE AS table_dropped""".stripMargin,
+    "w1b_surrogate_key_scale" ->
+      """SELECT c_custkey, c_name,
+        |       ROW_NUMBER() OVER (ORDER BY c_custkey) AS customer_key
+        |FROM customer""".stripMargin)
 }

@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{LongType, DecimalType, DoubleType}
+import org.apache.hadoop.fs.Path
 
 /** Structured Streaming ingest over the `events` table.
   *
@@ -55,35 +56,38 @@ object EventStream {
   private def streamShufflePartitions: String =
     sys.env.getOrElse("GRAFT_STREAM_PARTS", "8")
 
-  private def runToTable(df: DataFrame, name: String,
-                         mode: String = "complete"): DataFrame = {
-    val spark = df.sparkSession
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
-    try {
-      val q = df.writeStream
-        .format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    df.sparkSession.table(name)
+  /** Run a one-shot stream to an in-memory table. The stream is built
+    * on a CHILD SESSION (`newSession`: shared SparkContext and catalog
+    * cache, session-local SQL conf) so the streaming shuffle-partition
+    * sizing can never leak into — or race with — batch queries running
+    * concurrently on the caller's session. */
+  private def runToTable(spark: SparkSession, name: String,
+                         mode: String = "complete")
+                        (build: SparkSession => DataFrame): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
+    val q = build(ss).writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ss.table(name)
   }
 
   /** Tumbling 1-hour windows per event_type: count + exact value sum. */
-  def hourlyAgg(spark: SparkSession, dir: String): DataFrame = {
-    val agg = readEvents(spark, dir)
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n_events"), col("sum_value"))
-    runToTable(agg, s"st_hourly_${dir.hashCode.abs}")
-  }
+  def hourlyAgg(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, s"st_hourly_${dir.hashCode.abs}") { ss =>
+      readEvents(ss, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+    }
 
   /** Stream-stream join: attribute each purchase to the same user's
     * views in the preceding 30 minutes. Both sides carry watermarks and
@@ -92,60 +96,60 @@ object EventStream {
     * under which an unbounded two-stream join runs forever at scale.
     * Inner join in append mode: matches emit as soon as both sides
     * arrive. */
-  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val ev = readEvents(spark, dir)
-    val views = ev.filter(col("event_type") === "view")
-      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
-        col("ts").as("v_ts"))
-      .withWatermark("v_ts", "1 hour")
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
-        col("ts").as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
-    val joined = views.join(purchases,
-      col("v_user") === col("p_user") &&
-        col("p_ts") >= col("v_ts") &&
-        col("p_ts") < col("v_ts") + expr("INTERVAL 30 MINUTES"))
-      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
-        col("v_ts"), col("p_ts"))
-    runToTable(joined, s"st_join_${dir.hashCode.abs}", mode = "append")
-  }
+  def streamJoin(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, s"st_join_${dir.hashCode.abs}", mode = "append") { ss =>
+      val ev = readEvents(ss, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") < col("v_ts") + expr("INTERVAL 30 MINUTES"))
+        .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+          col("v_ts"), col("p_ts"))
+    }
 
   /** Stream-static enrichment: the event stream left-joins the (small,
     * broadcast) customer dimension — the canonical streaming-ingest
     * lookup shape; the static side is re-planned per micro-batch, so
     * at warehouse scale a slowly-changing dim is picked up without
     * restarting the query. Aggregated per enriched segment. */
-  def enrich(spark: SparkSession, dir: String): DataFrame = {
-    val cust = graft.core.Tables(spark, dir).customer
-      .select(col("c_custkey"), col("c_mktsegment"))
-    val agg = readEvents(spark, dir)
-      .join(broadcast(cust), col("user_id") === col("c_custkey"), "left")
-      .select(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
-        col("value"))
-      .groupBy(col("segment"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
-    runToTable(agg, s"st_enrich_${dir.hashCode.abs}")
-  }
+  def enrich(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, s"st_enrich_${dir.hashCode.abs}") { ss =>
+      val cust = graft.core.Tables(ss, dir).customer
+        .select(col("c_custkey"), col("c_mktsegment"))
+      readEvents(ss, dir)
+        .join(broadcast(cust), col("user_id") === col("c_custkey"), "left")
+        .select(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"),
+          col("value"))
+        .groupBy(col("segment"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+    }
 
   /** Sliding 1-hour windows advancing every 30 minutes, per event_type:
     * each event contributes to the two overlapping windows. Same
     * complete-mode one-shot semantics as hourlyAgg; the engine expands
     * the window set per row before the keyed shuffle, so the cost is a
     * constant small multiple of the tumbling case at any scale. */
-  def slidingAgg(spark: SparkSession, dir: String): DataFrame = {
-    val agg = readEvents(spark, dir)
-      .withWatermark("ts", "1 hour")
-      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
-      .select(col("window.start").as("window_start"), col("event_type"),
-        col("n_events"), col("sum_value"))
-    runToTable(agg, s"st_sliding_${dir.hashCode.abs}")
-  }
+  def slidingAgg(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, s"st_sliding_${dir.hashCode.abs}") { ss =>
+      readEvents(ss, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+    }
 
   /** Custom per-key streaming state via flatMapGroupsWithState: the
     * per-user "journey" — monotone event sequence number, 30-minute-gap
@@ -159,34 +163,34 @@ object EventStream {
     * sessionization. Events within a batch are ordered (ts, event_id)
     * in-group; the cumulative sum is decimal-exact so replay /
     * parallelism changes can never drift the output. */
-  def userJourney(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val ev = readEvents(spark, dir)
-      .select(col("user_id"), col("event_id"), col("ts"),
-        unix_micros(col("ts")).as("tus"), col("value"))
-      .as[(Long, Long, java.sql.Timestamp, Long, Double)]
-    val out = ev.groupByKey(_._1)
-      .flatMapGroupsWithState[JourneyState, (Long, Long, java.sql.Timestamp, Long, Long, Double)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        case (uid, it, state: GroupState[JourneyState]) =>
-          var st = state.getOption.getOrElse(JourneyState(Long.MinValue, 0L, 0L, java.math.BigDecimal.ZERO))
-          val rows = it.toSeq.sortBy { case (_, eid, _, tus, _) => (tus, eid) }.map {
-            case (_, eid, ts, tus, v) =>
-              val newSession = st.lastTsMicros == Long.MinValue ||
-                tus - st.lastTsMicros >= 30L * 60 * 1000 * 1000
-              val cum = st.cum.add(
-                new java.math.BigDecimal(v).setScale(4, java.math.RoundingMode.HALF_UP))
-              st = JourneyState(tus, st.seq + 1,
-                st.sessionIdx + (if (newSession) 1 else 0), cum)
-              (uid, eid, ts, st.seq, st.sessionIdx, cum.doubleValue)
-          }
-          state.update(st)
-          rows.iterator
-      }
-      .toDF("user_id", "event_id", "ts", "event_seq", "session_idx", "cum_value")
-    runToTable(out, s"st_journey_${dir.hashCode.abs}", mode = "append")
-  }
+  def userJourney(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, s"st_journey_${dir.hashCode.abs}", mode = "append") { ss =>
+      import ss.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val ev = readEvents(ss, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          unix_micros(col("ts")).as("tus"), col("value"))
+        .as[(Long, Long, java.sql.Timestamp, Long, Double)]
+      ev.groupByKey(_._1)
+        .flatMapGroupsWithState[JourneyState, (Long, Long, java.sql.Timestamp, Long, Long, Double)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          case (uid, it, state: GroupState[JourneyState]) =>
+            var st = state.getOption.getOrElse(JourneyState(Long.MinValue, 0L, 0L, java.math.BigDecimal.ZERO))
+            val rows = it.toSeq.sortBy { case (_, eid, _, tus, _) => (tus, eid) }.map {
+              case (_, eid, ts, tus, v) =>
+                val newSession = st.lastTsMicros == Long.MinValue ||
+                  tus - st.lastTsMicros >= 30L * 60 * 1000 * 1000
+                val cum = st.cum.add(
+                  new java.math.BigDecimal(v).setScale(4, java.math.RoundingMode.HALF_UP))
+                st = JourneyState(tus, st.seq + 1,
+                  st.sessionIdx + (if (newSession) 1 else 0), cum)
+                (uid, eid, ts, st.seq, st.sessionIdx, cum.doubleValue)
+            }
+            state.update(st)
+            rows.iterator
+        }
+        .toDF("user_id", "event_id", "ts", "event_seq", "session_idx", "cum_value")
+    }
 
   /** Streaming ingest dedup: exactly-once event delivery over an
     * at-least-once transport. dropDuplicatesWithinWatermark keys the
@@ -194,13 +198,18 @@ object EventStream {
     * passes — bounded state, unlike an unwindowed distinct which
     * would grow forever on an unbounded stream. On replay-clean input
     * the output equals batch DISTINCT (the oracle). */
-  def dedupedIngest(spark: SparkSession, dir: String): DataFrame = {
-    val out = readEvents(spark, dir)
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("event_id")
-      .select("event_id", "user_id", "event_type", "value")
-    runToTable(out, s"st_dedup_${dir.hashCode.abs}", mode = "append")
-  }
+  def dedupedIngest(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, s"st_dedup_${dir.hashCode.abs}", mode = "append") { ss =>
+      readEvents(ss, dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select("event_id", "user_id", "event_type", "value")
+    }
+
+  /** How many chunk files the upsert source is split into — with
+    * `maxFilesPerTrigger=1` this is the micro-batch count, so the
+    * multi-batch MERGE path runs on every invocation. */
+  val UpsertSourceFiles = 4
 
   /** Streaming upsert sink via foreachBatch: each micro-batch MERGEs
     * into a keyed parquet target (union + keep-latest-per-key, the
@@ -208,62 +217,117 @@ object EventStream {
     * stand-in for Delta's whenMatchedUpdateAll). State lives in the
     * TARGET TABLE, not the state store, so arbitrarily many keys cost
     * no streaming memory — the standard shape for a streaming-ingest
-    * upsert at warehouse scale. Batches write to alternating
-    * generation dirs (a poor man's atomic swap; a real lakehouse
-    * commit log does this transactionally).
+    * upsert at warehouse scale.
+    *
+    * Restart safety (the reason checkpointed streaming exists): each
+    * merged generation is committed to `gen/b<batchId>` and the
+    * in-memory pointer is RECOVERED FROM DISK at (re)start, so a
+    * crashed run resumes from its last committed generation. A batch
+    * whose id is ≤ the committed generation already reached the target
+    * (the crash fell between target commit and checkpoint commit) and
+    * is skipped — idempotent re-apply, i.e. exactly-once output over
+    * the engine's at-least-once replay. The previous generation dir is
+    * deleted only after the new one is committed; a crash in between
+    * leaves an extra dir that recovery ignores.
     *
     * Target grain: one row per user — latest event (last-write-wins on
-    * (ts, event_id)) plus an additively-merged event count. */
-  def upsertSink(spark: SparkSession, dir: String): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft_upsert_${dir.hashCode.abs}"
-    var current: Option[String] = None
-    var gen = 0
-    val ev = readEvents(spark, dir)
+    * (ts, event_id)) plus an additively-merged event count.
+    *
+    * @param baseDir work root (source split + checkpoint + target
+    *                generations); fresh temp dir when None. Pass an
+    *                explicit dir to resume a crashed run.
+    * @param failAfterBatches test hook: throw after N merged batches
+    *                         in this run, simulating a mid-stream
+    *                         crash (the query fails, the checkpoint
+    *                         and committed generation survive). */
+  def upsertSink(spark: SparkSession, dir: String,
+                 baseDir: Option[String] = None,
+                 failAfterBatches: Option[Int] = None): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
+    val base = baseDir.getOrElse(
+      s"${System.getProperty("java.io.tmpdir")}/graft_upsert_" +
+        java.util.UUID.randomUUID().toString.take(8))
+    val fs = new Path(base).getFileSystem(ss.sparkContext.hadoopConfiguration)
+    // multi-batch source: pre-split events into chunk files once;
+    // maxFilesPerTrigger=1 yields one micro-batch per chunk, so the
+    // union+keep-latest merge below runs for real — never just the
+    // empty-target fast path.
+    val srcDir = s"$base/src"
+    if (!fs.exists(new Path(s"$srcDir/_SUCCESS")))
+      ss.read.parquet(s"$dir/events.parquet").repartition(UpsertSourceFiles)
+        .write.mode("overwrite").parquet(srcDir)
+    val static = ss.read.parquet(srcDir)
+    val raw = ss.readStream.schema(static.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val ev = (if (static.schema("ts").dataType == LongType)
+                raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+              else raw)
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+
+    val genRoot = new Path(s"$base/gen")
+    def committed(): Option[(Long, String)] =
+      if (!fs.exists(genRoot)) None
+      else fs.listStatus(genRoot).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("b") &&
+          fs.exists(new Path(st.getPath, "_SUCCESS")))
+        .map(st => (st.getPath.getName.drop(1).toLong, st.getPath.toString))
+        .sortBy(_._1).lastOption
+    var current: Option[(Long, String)] = committed()
+    var batchesThisRun = 0
+
     val q = ev.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        // per-batch partial upsert rows: latest event + count per user
-        val partial = batch
-          .groupBy(col("user_id"))
-          .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("_m"),
-               count(lit(1)).as("n_events"))
-          .select(col("user_id"), col("_m.ts").as("last_ts"),
-            col("_m.event_id").as("last_event_id"),
-            col("_m.event_type").as("last_type"), col("n_events"))
-        val merged = current match {
-          case None => partial
-          case Some(path) =>
-            spark.read.parquet(path).unionByName(partial)
-              .groupBy(col("user_id"))
-              .agg(max(struct(col("last_ts"), col("last_event_id"),
-                     col("last_type"))).as("_m"),
-                   sum(col("n_events")).as("n_events"))
-              .select(col("user_id"), col("_m.last_ts").as("last_ts"),
-                col("_m.last_event_id").as("last_event_id"),
-                col("_m.last_type").as("last_type"), col("n_events"))
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (current.exists(_._1 >= batchId)) {
+          // replayed batch already merged into the target — skip.
+        } else {
+          val partial = batch
+            .groupBy(col("user_id"))
+            .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("_m"),
+                 count(lit(1)).as("n_events"))
+            .select(col("user_id"), col("_m.ts").as("last_ts"),
+              col("_m.event_id").as("last_event_id"),
+              col("_m.event_type").as("last_type"), col("n_events"))
+          val merged = current match {
+            case None => partial
+            case Some((_, path)) =>
+              ss.read.parquet(path).unionByName(partial)
+                .groupBy(col("user_id"))
+                .agg(max(struct(col("last_ts"), col("last_event_id"),
+                       col("last_type"))).as("_m"),
+                     sum(col("n_events")).as("n_events"))
+                .select(col("user_id"), col("_m.last_ts").as("last_ts"),
+                  col("_m.last_event_id").as("last_event_id"),
+                  col("_m.last_type").as("last_type"), col("n_events"))
+          }
+          val next = s"$base/gen/b$batchId"
+          merged.write.mode("overwrite").parquet(next)
+          val prev = current
+          current = Some((batchId, next))
+          prev.foreach { case (_, p) => fs.delete(new Path(p), true) }
+          batchesThisRun += 1
+          if (failAfterBatches.exists(batchesThisRun >= _))
+            throw new RuntimeException("graft-injected-crash")
         }
-        gen += 1
-        val next = s"$base/gen$gen"
-        merged.write.mode("overwrite").parquet(next)
-        current = Some(next)
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(current.getOrElse(
-      sys.error("upsertSink: stream produced no batches")))
+    spark.read.parquet(current.map(_._2).getOrElse(
+      sys.error("upsertSink: no committed generation")))
   }
 
   /** Native session windows: 30-minute inactivity gap per user. */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
-    val agg = readEvents(spark, dir)
-      .withWatermark("ts", "1 hour")
-      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
-      .select(col("session_window.start").as("session_start"), col("user_id"),
-        col("n_events"), col("sum_value"))
-    runToTable(agg, s"st_sessions_${dir.hashCode.abs}")
-  }
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, s"st_sessions_${dir.hashCode.abs}") { ss =>
+      readEvents(ss, dir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+        .select(col("session_window.start").as("session_start"), col("user_id"),
+          col("n_events"), col("sum_value"))
+    }
 }

@@ -88,15 +88,23 @@ class PlanSpec extends SparkSpec {
   }
 
   test("s11: bucketed join has no exchange on either join side") {
-    val q = SparkEntry.queries("s11_bucketed_join")(spark, dir)
-    q.collect()
-    val plan = q.queryExecution.executedPlan.toString
-    // the only exchange allowed is the one feeding the final group-by;
-    // the join itself must consume the bucketed layout directly
-    val joinPart = plan.split("SortMergeJoin|ShuffledHashJoin").drop(1).mkString
-    assert(!joinPart.contains("Exchange hashpartitioning(o_orderkey"), plan)
-    assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey"), plan)
-    assert(plan.contains("SelectedBucketsCount"), plan)
+    // pin the join to a shuffle-family strategy: with broadcast
+    // enabled, AQE can pick BroadcastHashJoin on the tiny test data and
+    // the no-exchange assertions below would pass vacuously
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = SparkEntry.queries("s11_bucketed_join")(spark, dir)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      // the only exchange allowed is the one feeding the final group-by;
+      // the join itself must consume the bucketed layout directly
+      val joinPart = plan.split("SortMergeJoin|ShuffledHashJoin").drop(1).mkString
+      assert(!joinPart.contains("Exchange hashpartitioning(o_orderkey"), plan)
+      assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey"), plan)
+      assert(plan.contains("SelectedBucketsCount"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
   test("a13: cube computes all grouping combinations in one pass (single Expand)") {

@@ -51,6 +51,53 @@ class ScaleOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"sq recall $recall")
   }
 
+  test("ann contracts: adaptive LSH / trained IVF / banded near-dup hold their recall and volume bounds") {
+    val lsh = SparkEntry.queries("ss_knn_lsh")(spark, dir).collect().head
+    assert(lsh.getAs[Boolean]("recall_ok") && lsh.getAs[Boolean]("scan_bounded"), lsh.toString)
+    val ivf = SparkEntry.queries("ss_knn_ivf_kmeans")(spark, dir).collect().head
+    assert(ivf.getAs[Boolean]("recall_ok") && ivf.getAs[Boolean]("scan_bounded"), ivf.toString)
+    val nd = SparkEntry.queries("ss_embed_neardup")(spark, dir).collect().head
+    assert(nd.getAs[Boolean]("recall_ok") && nd.getAs[Boolean]("precision_exact") &&
+      nd.getAs[Boolean]("cands_linear_in_n"), nd.toString)
+  }
+
+  test("lsh scaling: probed index fraction shrinks as the corpus grows") {
+    import graft.functions.VectorFunctions.probeFraction
+    import graft.queries.Similarity.adaptivePlanes
+    // candidate volume per query ≈ probeFraction × corpus: sublinear in
+    // n ⇔ the probed fraction falls as the adaptive plane count rises
+    val fracs = Seq(1e3, 1e6, 1e9).map(n => probeFraction(adaptivePlanes(n.toLong)))
+    assert(fracs.sliding(2).forall { case Seq(a, b) => b < a }, fracs.toString)
+    assert(fracs.last < 1e-4, fracs.toString) // 301 of 16.7M buckets at 1e9 rows
+    assert(adaptivePlanes(500) == 6 && adaptivePlanes(1000000000L) == 24)
+  }
+
+  test("w1b: scale surrogate keys are dense 1..n in natural-key order, no global sort") {
+    val rows = SparkEntry.queries("w1b_surrogate_key_scale")(spark, dir)
+      .orderBy("customer_key").collect()
+    assert(rows.nonEmpty)
+    // dense 1..n
+    assert(rows.map(_.getAs[Long]("customer_key")).toSeq == (1L to rows.length).toSeq)
+    // rank order == natural-key order
+    val keys = rows.map(_.getAs[Long]("c_custkey")).toSeq
+    assert(keys == keys.sorted && keys.distinct.size == keys.size)
+  }
+
+  test("dd_clusters: fixpoint keeps at most one cached label generation") {
+    import org.apache.spark.sql.functions._
+    spark.catalog.clearCache()
+    val docs = graft.core.Tables(spark, dir).documents
+    val pairs = graft.operators.Dedup.simhashPairs(
+      graft.operators.Dedup.simhash(docs))
+    val out = graft.operators.Dedup.clusters(pairs)
+    assert(out.count() > 0)
+    // cached after the run: the final label generation + the persisted
+    // simhash signature relation — NOT one frame per iteration
+    val cached = spark.sparkContext.getPersistentRDDs.size
+    assert(cached <= 2, s"cached RDD count after clusters: $cached")
+    spark.catalog.clearCache()
+  }
+
   test("st_upsert_sink: merged target equals last-event-per-user with total counts") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
