@@ -202,6 +202,33 @@ object ScaleOps {
         .toDF("pre_rows", "rows_after_truncate", "table_dropped")
     }),
 
+    // ---- small-file compaction ---------------------------------------------
+    "s13_compact" -> ((s, dir) => {
+      // the 100 TB housekeeping operator: streaming/CDC ingest leaves
+      // thousands of KB-sized files and every scan pays per-file open +
+      // task-scheduling cost. Compaction rewrites a directory to
+      // ceil(bytes / 128MB) files with coalesce — a NARROW rewrite, no
+      // shuffle: partitions are concatenated, never redistributed. The
+      // emitted row carries the rewritten file count and a
+      // content-equality check, both oracle-stated.
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_compact_${dir.hashCode.abs}"
+      val src = Tables(s, dir).orders
+      src.repartition(64).write.mode("overwrite").parquet(s"$out/small")
+      val small = s.read.parquet(s"$out/small")
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def dataFiles(p: String) = fs.listStatus(new org.apache.hadoop.fs.Path(p))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+      val bytes = dataFiles(s"$out/small").map(_.getLen).sum
+      val target = math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
+      small.coalesce(target).write.mode("overwrite").parquet(s"$out/compact")
+      val compacted = s.read.parquet(s"$out/compact")
+      val preserved = compacted.exceptAll(src).isEmpty && src.exceptAll(compacted).isEmpty
+      import s.implicits._
+      Seq((src.count(), dataFiles(s"$out/compact").length, preserved))
+        .toDF("n_rows", "files_after", "content_preserved")
+    }),
+
     // ---- fact-scale surrogate keys -----------------------------------------
     "w1b_surrogate_key_scale" -> ((s, dir) =>
       // the ROW_NUMBER surrogate (w1) needs a single-partition sort —
@@ -274,6 +301,10 @@ object ScaleOps {
       """SELECT (SELECT COUNT(*) FROM region) AS pre_rows,
         |       CAST(0 AS BIGINT) AS rows_after_truncate,
         |       TRUE AS table_dropped""".stripMargin,
+    "s13_compact" ->
+      """SELECT COUNT(*) AS n_rows, CAST(1 AS INTEGER) AS files_after,
+        |       TRUE AS content_preserved
+        |FROM orders""".stripMargin,
     "w1b_surrogate_key_scale" ->
       """SELECT c_custkey, c_name,
         |       ROW_NUMBER() OVER (ORDER BY c_custkey) AS customer_key

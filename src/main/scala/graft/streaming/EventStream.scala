@@ -314,6 +314,13 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // ephemeral mode (no caller-owned work dir): the source split and
+    // checkpoint are dead weight once the run completed — only the
+    // committed generation backing the returned frame stays.
+    if (baseDir.isEmpty) {
+      fs.delete(new Path(srcDir), true)
+      fs.delete(new Path(s"$base/ckpt"), true)
+    }
     spark.read.parquet(current.map(_._2).getOrElse(
       sys.error("upsertSink: no committed generation")))
   }

@@ -86,15 +86,35 @@ class ScaleOpsSpec extends SparkSpec {
   test("dd_clusters: fixpoint keeps at most one cached label generation") {
     import org.apache.spark.sql.functions._
     spark.catalog.clearCache()
+    // baseline: MLlib leaves internal RDD-level persists (ALS factor
+    // blocks, KMeans norms) that the SQL cache manager doesn't own —
+    // the property under test is the DELTA clusters() adds on top
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val docs = graft.core.Tables(spark, dir).documents
     val pairs = graft.operators.Dedup.simhashPairs(
       graft.operators.Dedup.simhash(docs))
     val out = graft.operators.Dedup.clusters(pairs)
     assert(out.count() > 0)
-    // cached after the run: the final label generation + the persisted
+    // added by the run: the final label generation + the persisted
     // simhash signature relation — NOT one frame per iteration
-    val cached = spark.sparkContext.getPersistentRDDs.size
-    assert(cached <= 2, s"cached RDD count after clusters: $cached")
+    val added = spark.sparkContext.getPersistentRDDs.filterNot {
+      case (id, _) => before.contains(id)
+    }
+    assert(added.size <= 2,
+      s"cached RDDs added by clusters: ${added.size}\n" +
+        added.values.map(r => s"  rdd ${r.id}: ${r.toString.take(120)}").mkString("\n"))
+    spark.catalog.clearCache()
+  }
+
+  test("dd_clusters: deep-diameter chain converges (per-iteration plans stay O(1))") {
+    import spark.implicits._
+    // a 17-node chain needs 16 min-label iterations; without lineage
+    // re-rooting the analyzed plan doubles per iteration (2^16 tree)
+    // and the driver stalls — this converging in seconds IS the assert
+    val pairs = (0L until 16L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = graft.operators.Dedup.clusters(pairs).collect()
+    assert(out.length == 17)
+    assert(out.forall(_.getAs[Long]("cluster_id") == 0L))
     spark.catalog.clearCache()
   }
 
