@@ -39,7 +39,42 @@ object AnalyticsQueries {
       Tables(s, dir).orders
         .orderBy(col("o_orderkey"))
         .offset(200).limit(100)
-        .select("o_orderkey", "o_totalprice")))
+        .select("o_orderkey", "o_totalprice")),
+    // Cost-based-optimizer statistics surface: ANALYZE TABLE writes
+    // table-level (row count, size) and column-level (HLL-approximate
+    // NDV) statistics to the catalog; with CBO on, the optimizer uses
+    // them for join reordering and build-side selection — the stats
+    // pass that makes multi-join plans survive 100 TB. The emitted row
+    // carries the OPTIMIZER-VISIBLE row count (exact, oracle-checked)
+    // and a15-style 10%-error-bound contracts for the approximate NDVs (ANALYZE uses a coarser default HLL precision than approx_count_distinct).
+    // CBO is enabled on a child session so the flag can't leak.
+    "an_analyze_stats" -> ((s, dir) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.cbo.enabled", "true")
+      val tn = s"g_stats_${dir.hashCode.abs}"
+      Tables(ss, dir).orders.write.mode("overwrite").saveAsTable(tn)
+      ss.sql(s"ANALYZE TABLE $tn COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_orderstatus")
+      // plan-level statistics read SQLConf.get from the thread's ACTIVE
+      // session — pin it to the CBO-enabled child for the read, then
+      // restore, so the stats visitor actually runs in CBO mode
+      org.apache.spark.sql.SparkSession.setActiveSession(ss)
+      val stats = try ss.table(tn).queryExecution.optimizedPlan.stats
+                  finally org.apache.spark.sql.SparkSession.setActiveSession(s)
+      val rowCount = stats.rowCount.map(_.toLong).getOrElse(-1L)
+      val ndv = stats.attributeStats.map { case (a, st) =>
+        a.name -> st.distinctCount.map(_.toLong).getOrElse(-1L) }
+      val exact = ss.table(tn)
+        .agg(countDistinct(col("o_orderkey")), countDistinct(col("o_orderstatus"))).head
+      val (ek, es) = (exact.getLong(0), exact.getLong(1))
+      ss.sql(s"DROP TABLE $tn")
+      import s.implicits._
+      Seq((rowCount,
+        stats.sizeInBytes > 0,
+        math.abs(ndv("o_orderkey") - ek) <= (ek * 0.10).toLong,
+        math.abs(ndv("o_orderstatus") - es) <= math.max(1L, (es * 0.10).toLong)))
+        .toDF("row_count", "size_known",
+          "ndv_orderkey_within_10pct", "ndv_status_within_10pct")
+    }))
 
   val oracles: Map[String, String] = Map(
     "an_adhoc_sql" ->
@@ -67,5 +102,9 @@ object AnalyticsQueries {
         |FROM customer GROUP BY c_mktsegment""".stripMargin,
     "t2_pagination" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_orderkey LIMIT 100 OFFSET 200""".stripMargin)
+        |ORDER BY o_orderkey LIMIT 100 OFFSET 200""".stripMargin,
+    "an_analyze_stats" ->
+      """SELECT COUNT(*) AS row_count, TRUE AS size_known,
+        |       TRUE AS ndv_orderkey_within_10pct, TRUE AS ndv_status_within_10pct
+        |FROM orders""".stripMargin)
 }

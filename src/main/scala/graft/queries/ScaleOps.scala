@@ -202,6 +202,30 @@ object ScaleOps {
         .toDF("pre_rows", "rows_after_truncate", "table_dropped")
     }),
 
+    // ---- runtime bloom-filter join -----------------------------------------
+    "j8_bloom_filter_join" -> ((s, dir) => {
+      // row-level runtime filtering: the selective dim-side predicate
+      // becomes a bloom filter evaluated on the probe side BEFORE its
+      // shuffle — at 100 TB the difference between shuffling the whole
+      // fact table and shuffling only the ~matching slice. Session-
+      // scoped confs on a child session; the application-side size
+      // floor is zeroed only because the harness fact is tiny (the
+      // 10 GB default triggers naturally at scale). Results are
+      // hash-exact: bloom filters have no false negatives, and false
+      // positives are removed by the join itself. PlanSpec pins the
+      // might_contain probe in the executed plan.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val t = Tables(ss, dir)
+      val ord = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+      t.lineitem.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+             dsum(col("l_extendedprice")).as("sum_price"))
+    }),
+
     // ---- small-file compaction ---------------------------------------------
     "s13_compact" -> ((s, dir) => {
       // the 100 TB housekeeping operator: streaming/CDC ingest leaves
@@ -305,6 +329,12 @@ object ScaleOps {
       """SELECT COUNT(*) AS n_rows, CAST(1 AS INTEGER) AS files_after,
         |       TRUE AS content_preserved
         |FROM orders""".stripMargin,
+    "j8_bloom_filter_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderpriority""".stripMargin,
     "w1b_surrogate_key_scale" ->
       """SELECT c_custkey, c_name,
         |       ROW_NUMBER() OVER (ORDER BY c_custkey) AS customer_key

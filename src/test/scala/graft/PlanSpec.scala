@@ -107,6 +107,11 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("j8: runtime bloom filter prunes the probe side before its shuffle") {
+    val plan = executedPlan("j8_bloom_filter_join")
+    assert(plan.contains("might_contain"), plan)
+  }
+
   test("a13: cube computes all grouping combinations in one pass (single Expand)") {
     // AQE plan strings repeat the tree under "== Initial Plan ==";
     // inspect only the final executed section
