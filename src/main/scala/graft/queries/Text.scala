@@ -91,7 +91,40 @@ object Text {
       tri.groupBy("lang", "tri").agg(count(lit(1)).as("n"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
+    }),
+    "tx_hash_embed" -> ((s, dir) => {
+      // feature-hashing document embeddings (the hashing trick): every
+      // word hashes to one of 64 buckets with an independent ±1 sign;
+      // the doc vector is the signed bucket histogram, L2-normalized.
+      // This closes the text → embedding → ANN/dedup loop with a
+      // model-free, engine-independent featurizer: buckets and signs
+      // are md5-digit arithmetic and the coordinates are integer sums
+      // normalized by one exact division, so the oracle reproduces the
+      // vectors bit-for-bit. Scale shape: explode → one partial-agg
+      // groupBy on doc_id (64 conditional sums ride the same shuffle),
+      // normalization is a projection.
+      val words = Tables(s, dir).documents
+        .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("w"))
+        .withColumn("m", md5(col("w")))
+        .withColumn("b",
+          (expr("instr('0123456789abcdef', substr(m, 1, 1)) - 1") * 16 +
+            expr("instr('0123456789abcdef', substr(m, 2, 1)) - 1")) % HashDims)
+        .withColumn("sg",
+          (expr("instr('0123456789abcdef', substr(m, 3, 1)) - 1") % 2) * 2 - 1)
+      val sums = (0 until HashDims).map(d =>
+        sum(when(col("b") === d, col("sg")).otherwise(0)).as(s"v_$d"))
+      words.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+        .withColumn("raw",
+          array((0 until HashDims).map(d => col(s"v_$d").cast("double")): _*))
+        .withColumn("_n", sqrt(expr("vec_dot(raw, raw)")))
+        .select(col("doc_id"),
+          when(col("_n") > 0, expr("transform(raw, x -> x / _n)"))
+            .otherwise(col("raw")).as("embedding"))
     }))
+
+  private val HashDims = 64
+
+  private val normDuck = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
 
   private val stopsEn = "the|and|of|to|in|is|a"
   /** PII patterns shared by the Spark query and the DuckDB oracle —
@@ -177,5 +210,31 @@ object Text {
         |            THEN list_min(list_transform(range(1, len(words) - 3),
         |                   i -> md5(array_to_string(words[i:i+4], ' '))))
         |            ELSE md5(t) END AS shingle_fp
-        |FROM norm""".stripMargin)
+        |FROM norm""".stripMargin,
+    "tx_hash_embed" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, md5(unnest(string_split($normDuck, ' '))) AS m
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id,
+         |         ((instr('0123456789abcdef', substr(m, 1, 1)) - 1) * 16
+         |          + (instr('0123456789abcdef', substr(m, 2, 1)) - 1)) % 64 AS b,
+         |         ((instr('0123456789abcdef', substr(m, 3, 1)) - 1) % 2) * 2 - 1 AS sg
+         |  FROM w),
+         |agg AS (SELECT doc_id, b, SUM(sg) AS v FROM h GROUP BY 1, 2),
+         |filled AS (
+         |  SELECT d.doc_id, r.range AS b, CAST(COALESCE(a.v, 0) AS DOUBLE) AS v
+         |  FROM (SELECT DISTINCT doc_id FROM documents) d
+         |  CROSS JOIN range(64) r
+         |  LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.b = r.range),
+         |vecs AS (SELECT doc_id, list(v ORDER BY b) AS raw FROM filled GROUP BY doc_id),
+         |normed AS (
+         |  SELECT doc_id, raw,
+         |         sqrt(list_reduce(list_transform(range(1, 65),
+         |           i -> raw[i] * raw[i]), (x, y) -> x + y)) AS n
+         |  FROM vecs)
+         |SELECT doc_id,
+         |       CASE WHEN n > 0 THEN list_transform(raw, x -> x / n)
+         |            ELSE raw END AS embedding
+         |FROM normed""".stripMargin)
 }
