@@ -92,6 +92,25 @@ object Text {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
     }),
+    "tx_chunk" -> ((s, dir) => {
+      // sliding-window chunking — the operator that turns documents
+      // into training samples: 50-word windows advancing by 40 (10
+      // words of overlap so no boundary context is lost). Pure
+      // projection + explode: chunk count per doc is
+      // ceil((n-W)/S)+1 (min 1), computed inside the row — no shuffle,
+      // scales linearly with corpus size. Short docs yield exactly one
+      // whole-doc chunk; the final window truncates at the doc end.
+      val (w, st) = (ChunkWords, ChunkStride)
+      Tables(s, dir).documents
+        .withColumn("words", split(normText(col("text")), " "))
+        .select(col("doc_id"),
+          posexplode(expr(
+            s"""transform(
+               |  sequence(0, greatest(CAST(ceil((size(words) - $w) / $st.0) AS INT), 0)),
+               |  k -> concat_ws(' ', slice(words, k * $st + 1, $w)))""".stripMargin)))
+        .select(col("doc_id"), col("pos").as("chunk_idx"),
+          col("col").as("chunk_text"))
+    }),
     "tx_hash_embed" -> ((s, dir) => {
       // feature-hashing document embeddings (the hashing trick): every
       // word hashes to one of 64 buckets with an independent ±1 sign;
@@ -123,6 +142,8 @@ object Text {
     }))
 
   private val HashDims = 64
+  private val ChunkWords = 50
+  private val ChunkStride = 40
 
   private val normDuck = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
 
@@ -211,6 +232,20 @@ object Text {
         |                   i -> md5(array_to_string(words[i:i+4], ' '))))
         |            ELSE md5(t) END AS shingle_fp
         |FROM norm""".stripMargin,
+    "tx_chunk" ->
+      s"""WITH d AS (SELECT doc_id, string_split($normDuck, ' ') AS words
+         |           FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(
+         |           range(0, CAST(greatest(ceil((len(words) - $ChunkWords) / $ChunkStride.0), 0) AS INT) + 1),
+         |           k -> struct_pack(chunk_idx := k,
+         |                  chunk_text := array_to_string(
+         |                    words[k * $ChunkStride + 1 : k * $ChunkStride + $ChunkWords], ' ')))) AS ch
+         |  FROM d)
+         |SELECT doc_id, CAST(ch.chunk_idx AS INT) AS chunk_idx,
+         |       ch.chunk_text AS chunk_text
+         |FROM c""".stripMargin,
     "tx_hash_embed" ->
       s"""WITH w AS (
          |  SELECT doc_id, md5(unnest(string_split($normDuck, ' '))) AS m
