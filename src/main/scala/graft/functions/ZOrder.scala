@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) codes as pure Column expressions.
+  *
+  * Interleaving the bits of two bucketed dimensions gives a 1-D sort
+  * key whose ordering preserves 2-D locality: rows close in BOTH
+  * dimensions land in the same files and row groups. A range-partition
+  * + local sort on the code therefore turns any 2-D box predicate into
+  * file/row-group pruning via parquet min/max stats — the multi-column
+  * analog of `partitionBy` on one column, and the layout trick behind
+  * every "skip 99% of a 100 TB table" scan. Everything here is plain
+  * shift/mask arithmetic on longs, so it stays inside whole-stage
+  * codegen (no UDF, no boxing).
+  */
+object ZOrder {
+
+  /** Spread the low 16 bits of `x` so bit i lands at position 2i
+    * (the standard shift-or-mask bit-dilation ladder). */
+  private def spread16(x: Column): Column =
+    Seq((8, 0x00FF00FFL), (4, 0x0F0F0F0FL), (2, 0x33333333L), (1, 0x55555555L))
+      .foldLeft(x.bitwiseAND(lit(0xFFFFL))) { case (c, (sh, m)) =>
+        c.bitwiseOR(shiftleft(c, sh)).bitwiseAND(lit(m))
+      }
+
+  /** 32-bit Morton code interleaving two 16-bit bucket ids
+    * (x in even bits, y in odd bits). */
+  def morton2(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** Scale a value with known bounds [mn, mx] to a 16-bit bucket id.
+    * The bounds come from a one-row metadata aggregate (constant-size
+    * driver traffic at any table size). */
+  def bucket16(v: Column, mn: Long, mx: Long): Column = {
+    val span = math.max(1L, mx - mn)
+    least(lit(65535L), ((v - lit(mn)) * lit(65535L)) / lit(span)).cast("long")
+  }
+}

@@ -74,6 +74,24 @@ object AnalyticsQueries {
         math.abs(ndv("o_orderstatus") - es) <= math.max(1L, (es * 0.10).toLong)))
         .toDF("row_count", "size_known",
           "ndv_orderkey_within_10pct", "ndv_status_within_10pct")
+    }),
+    // cohort retention — the e-commerce analytics staple the reference's
+    // dashboards gesture at (README.md:63-66 "customer behavior"): bucket
+    // every customer by first-order month, then count distinct returning
+    // customers and revenue at each month-age. One shuffle for the
+    // per-customer window min, one for the cohort × age aggregate; no
+    // self-join (the classic formulation joins orders to itself).
+    "w7_cohort_retention" -> ((s, dir) => {
+      val m = trunc(to_date(col("o_orderdate")), "month")
+      val perCust = Window.partitionBy(col("o_custkey"))
+      Tables(s, dir).orders
+        .select(col("o_custkey"), m.as("order_month"), col("o_totalprice"))
+        .withColumn("cohort_month", min(col("order_month")).over(perCust))
+        .withColumn("month_age",
+          months_between(col("order_month"), col("cohort_month")).cast("bigint"))
+        .groupBy(col("cohort_month"), col("month_age"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+             Relational.dsum(col("o_totalprice")).as("revenue"))
     }))
 
   val oracles: Map[String, String] = Map(
@@ -106,5 +124,18 @@ object AnalyticsQueries {
     "an_analyze_stats" ->
       """SELECT COUNT(*) AS row_count, TRUE AS size_known,
         |       TRUE AS ndv_orderkey_within_10pct, TRUE AS ndv_status_within_10pct
-        |FROM orders""".stripMargin)
+        |FROM orders""".stripMargin,
+    "w7_cohort_retention" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+        |         o_totalprice,
+        |         MIN(CAST(date_trunc('month', o_orderdate) AS DATE))
+        |           OVER (PARTITION BY o_custkey) AS cohort_month
+        |  FROM orders)
+        |SELECT cohort_month,
+        |       date_diff('month', cohort_month, order_month) AS month_age,
+        |       COUNT(DISTINCT o_custkey) AS n_customers,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM o GROUP BY 1, 2""".stripMargin)
 }

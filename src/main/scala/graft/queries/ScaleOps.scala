@@ -261,7 +261,94 @@ object ScaleOps {
       // zipWithIndex = the same dense global rank with no global sort.
       graft.etl.Warehouse.surrogateKeyScale(
         Tables(s, dir).customer.select("c_custkey", "c_name"),
-        "customer_key", "c_custkey")))
+        "customer_key", "c_custkey")),
+
+    // ---- storage layout: Z-order (multi-dimensional clustering) ------------
+    "s14_zorder_layout" -> ((s, dir) => {
+      // partitionBy prunes on ONE column; Z-order prunes on TWO: the
+      // fact is laid out in Morton-code order so rows close in BOTH
+      // l_partkey and l_suppkey share files and row groups, and any
+      // 2-D box predicate skips via parquet min/max stats. The bounds
+      // pass is a one-row aggregate (constant driver traffic at any
+      // scale); the layout write is range-partition + local sort on
+      // the code — exactly one shuffle, paid once, pruning forever.
+      // ZOrderSpec proves the clustering property against a 1-D sort.
+      import graft.functions.ZOrder
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_${dir.hashCode.abs}"
+      val li = Tables(s, dir).lineitem
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
+      val b = li.agg(min("l_partkey"), max("l_partkey"),
+                     min("l_suppkey"), max("l_suppkey")).head()
+      val (pMn, pMx, sMn, sMx) =
+        (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+      li.withColumn("_z", ZOrder.morton2(
+            ZOrder.bucket16(col("l_partkey"), pMn, pMx),
+            ZOrder.bucket16(col("l_suppkey"), sMn, sMx)))
+        .repartitionByRange(16, col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite").parquet(out)
+      // the payoff read: a box over the bottom quarter of each dim —
+      // same literal bounds the oracle derives with FLOOR arithmetic
+      val (pHi, sHi) = (pMn + (pMx - pMn) / 4, sMn + (sMx - sMn) / 4)
+      s.read.parquet(out)
+        .filter(col("l_partkey") <= pHi && col("l_suppkey") <= sHi)
+        .agg(count(lit(1)).as("n_rows"),
+             dsum(col("l_extendedprice")).as("sum_price"))
+    }),
+
+    // ---- skew-safe salted join ---------------------------------------------
+    "j9_salted_skew_join" -> ((s, dir) => {
+      // when one join key carries a disproportionate share of the fact
+      // (hot product, bot user), a plain shuffle join puts that whole
+      // key on ONE task and the stage runs at straggler speed. Salting
+      // splits every probe key across N sub-partitions (deterministic
+      // hash-mod salt) and replicates the build side N× with explode —
+      // the hot key becomes N parallel tasks. The salt never reaches
+      // the result, so output is hash-identical to the plain join.
+      // Broadcast is disabled on a child session: salting only matters
+      // when the build side is too big to broadcast.
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val n = 8
+      val t = Tables(ss, dir)
+      val fact = t.lineitem.select("l_orderkey", "l_extendedprice")
+        .withColumn("_fs", pmod(hash(col("l_orderkey"), col("l_extendedprice")), lit(n)))
+      val dim = t.orders.select("o_orderkey", "o_orderpriority")
+        .withColumn("_ds", explode(sequence(lit(0), lit(n - 1))))
+      fact.join(dim,
+          col("l_orderkey") === col("o_orderkey") && col("_fs") === col("_ds"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+             dsum(col("l_extendedprice")).as("sum_price"))
+    }),
+
+    // ---- incremental aggregate maintenance ---------------------------------
+    "a17_incremental_agg" -> ((s, dir) => {
+      // the materialized-view move: at 100 TB you never re-aggregate
+      // three years of history to add one day — you keep ALGEBRAIC
+      // partials (count, decimal sum) per group, aggregate only the
+      // delta partition, and MERGE partials by addition. This entry
+      // computes base (< 1997) and delta (>= 1997) partials separately
+      // and merges; the oracle recomputes from scratch — hash-equality
+      // IS the proof that partial-merge maintenance is lossless.
+      val ord = Tables(s, dir).orders
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          to_date(col("o_orderdate")).as("d"), col("o_totalprice"))
+      def partials(df: DataFrame) = df.groupBy("month")
+        .agg(count(lit(1)).as("_n"), dsumDec(col("o_totalprice")).as("_s"))
+      partials(ord.filter(col("d") < lit("1997-01-01")))
+        .unionByName(partials(ord.filter(col("d") >= lit("1997-01-01"))))
+        .groupBy("month")
+        .agg(sum(col("_n")).as("n_orders"),
+             sum(col("_s")).cast("double").as("sum_price"))
+    }))
+
+  /** Decimal partial sum (merge-safe, no double drift) — the partial
+    * half of [[Relational.dsum]]; result stays DECIMAL for exact
+    * re-aggregation. */
+  private def dsumDec(c: org.apache.spark.sql.Column) =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 4)))
 
   val oracles: Map[String, String] = Map(
     "a13_cube" ->
@@ -338,5 +425,24 @@ object ScaleOps {
     "w1b_surrogate_key_scale" ->
       """SELECT c_custkey, c_name,
         |       ROW_NUMBER() OVER (ORDER BY c_custkey) AS customer_key
-        |FROM customer""".stripMargin)
+        |FROM customer""".stripMargin,
+    "s14_zorder_layout" ->
+      """WITH b AS (SELECT MIN(l_partkey) AS pmn, MAX(l_partkey) AS pmx,
+        |                  MIN(l_suppkey) AS smn, MAX(l_suppkey) AS smx
+        |           FROM lineitem)
+        |SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem, b
+        |WHERE l_partkey <= pmn + CAST(FLOOR((pmx - pmn) / 4.0) AS BIGINT)
+        |  AND l_suppkey <= smn + CAST(FLOOR((smx - smn) / 4.0) AS BIGINT)""".stripMargin,
+    "j9_salted_skew_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+    "a17_incremental_agg" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1""".stripMargin)
 }

@@ -127,4 +127,23 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
     assert(plan.contains("Exchange hashpartitioning(l_returnflag"), plan)
   }
+
+  test("j9: salted join shuffles on (key, salt) — no broadcast, no straggler key") {
+    // the query pins autoBroadcastJoinThreshold=-1 on its child session,
+    // so a shuffle-family join with the salt in the join keys is the
+    // only acceptable shape
+    val plan = executedPlan("j9_salted_skew_join")
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("_fs") && plan.contains("_ds"), plan)
+  }
+
+  test("s14: box predicate is pushed to the z-ordered parquet scan") {
+    // the rendered PushedFilters list truncates ("LessThanOrEqual(l_sup…")
+    // so assert the first pushed filter there and the second via the
+    // un-truncated DataFilters list
+    val plan = executedPlan("s14_zorder_layout")
+    assert(plan.contains("LessThanOrEqual(l_partkey"), plan)
+    assert("""\(l_suppkey#\d+L? <= \d+\)""".r.findFirstIn(plan).isDefined, plan)
+  }
 }

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.ZOrder
+
+/** Z-order layout: unit-test the Morton code arithmetic, then prove the
+  * clustering property that makes the layout worth paying for — under a
+  * 2-D box predicate, far fewer files of the Z-ordered layout intersect
+  * the box (by parquet-visible min/max bounds) than of a 1-D sorted
+  * layout. File-level min/max is exactly what parquet row-group stats
+  * expose to the scan, so "fewer intersecting files" IS "more skipped
+  * row groups" at scale. */
+class ZOrderSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("morton2 interleaves bits (known values)") {
+    import spark.implicits._
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L),
+                   (0xFFFFL, 0L), (0L, 0xFFFFL), (0xFFFFL, 0xFFFFL),
+                   (0xF0F0L, 0x0F0FL))
+      .toDF("x", "y")
+      .select(ZOrder.morton2(col("x"), col("y")).as("z"))
+      .as[Long].collect().toSeq
+    // reference values from the textbook bit-by-bit definition
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) |
+                            (((y >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val expect = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L),
+                     (0xFFFFL, 0L), (0L, 0xFFFFL), (0xFFFFL, 0xFFFFL),
+                     (0xF0F0L, 0x0F0FL)).map { case (x, y) => ref(x, y) }
+    assert(rows == expect)
+  }
+
+  test("morton2 ordering preserves 2-D locality vs 1-D sort (file pruning)") {
+    val t = graft.core.Tables(spark, dir).lineitem
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+    val b = t.agg(min("l_partkey"), max("l_partkey"),
+                  min("l_suppkey"), max("l_suppkey")).head()
+    val (pMn, pMx, sMn, sMx) =
+      (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
+
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_spec"
+    // layout A: Z-ordered on (partkey, suppkey)
+    t.withColumn("_z", ZOrder.morton2(
+        ZOrder.bucket16(col("l_partkey"), pMn, pMx),
+        ZOrder.bucket16(col("l_suppkey"), sMn, sMx)))
+      .repartitionByRange(16, col("_z")).sortWithinPartitions("_z").drop("_z")
+      .write.mode("overwrite").parquet(s"$tmp/z")
+    // layout B: 1-D sort on partkey only (what a naive ORDER BY gives)
+    t.repartitionByRange(16, col("l_partkey")).sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(s"$tmp/lin")
+
+    // per-file [min,max] of both dims — the same stats parquet row
+    // groups carry; a file whose box misses the predicate box is a
+    // file a stats-pruning scan never opens
+    def filesHit(path: String, pHi: Long, sHi: Long): (Int, Int) = {
+      val perFile = spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(min("l_partkey").as("pmn"), min("l_suppkey").as("smn"))
+        .collect()
+      val hit = perFile.count(r => r.getLong(1) <= pHi && r.getLong(2) <= sHi)
+      (hit, perFile.length)
+    }
+    // box = bottom quarter of each dimension (same shape as s14's read)
+    val (pHi, sHi) = (pMn + (pMx - pMn) / 4, sMn + (sMx - sMn) / 4)
+    val (zHit, zAll) = filesHit(s"$tmp/z", pHi, sHi)
+    val (lHit, lAll) = filesHit(s"$tmp/lin", pHi, sHi)
+    assert(zAll >= 8 && lAll >= 8, s"want real file counts, got $zAll/$lAll")
+    // 1-D layout: every file spans all of suppkey, so ~1/4 of files
+    // (the partkey quarter) intersect. Z-order: only files whose
+    // 2-D box overlaps — ~1/16 of them. Require strict improvement.
+    assert(zHit < lHit, s"zorder hit $zHit of $zAll, linear hit $lHit of $lAll")
+    // and the s14 query over the layout still returns the right data
+    val n = spark.read.parquet(s"$tmp/z")
+      .filter(col("l_partkey") <= pHi && col("l_suppkey") <= sHi).count()
+    val exact = t.filter(col("l_partkey") <= pHi && col("l_suppkey") <= sHi).count()
+    assert(n == exact)
+  }
+}
