@@ -18,15 +18,17 @@ import org.apache.spark.sql.SparkSession
   * regression. */
 object Bench {
   /** One per family: scan/agg/join/window/topk/set/etl/dedup/ann/
-    * text/stream/reco/multimodal. 26 entries × (min + 3 per-run times)
-    * ≈ 1.5 KB of JSON — measured well inside the driver's output-tail
-    * capture (the round-1 overflow was the full 100+-query map). */
+    * text/stream/reco/multimodal + the storage-layout ops. 29 entries
+    * × (min + 3 per-run times) ≈ 1.7 KB of JSON — measured well inside
+    * the driver's output-tail capture (the round-1 overflow was the
+    * full 100+-query map). */
   val headline: Seq[String] = Seq(
     "q1_agg", "a10_salted_agg", "a6_distinct_count", "a13_cube",
     "j2_fact_join_chain", "j6_asof_join", "j7_band_join",
+    "j9_salted_skew_join",
     "w4_analytics", "t4_topk_per_group", "u2_intersect",
     "p13_json_extract", "etl_pipeline", "etl_scd2",
-    "s11_bucketed_join",
+    "s11_bucketed_join", "s14_zorder_layout", "s15_manifest_prune",
     "dd_exact", "dd_minhash_pairs", "dd_simhash",
     "ss_knn_brute", "ss_knn_ivf",
     "tx_langid", "tx_ngram_profile",

@@ -323,6 +323,61 @@ object ScaleOps {
              dsum(col("l_extendedprice")).as("sum_price"))
     }),
 
+    // ---- metadata-manifest file pruning ------------------------------------
+    "s15_manifest_prune" -> ((s, dir) => {
+      // Iceberg/Delta's core trick on PLAIN parquet: a file-level
+      // min/max manifest (one row per file — O(files), not O(rows))
+      // is evaluated against the predicate first, and only surviving
+      // files reach the scan. At 100 TB the manifest is a few MB of
+      // metadata answering "which of 500k files can contain key range
+      // [lo, hi]" without opening any of them. The write is range-
+      // partitioned so files carry tight, disjoint key ranges; the
+      // planner move (filter manifest → collect file list) is exactly
+      // what every table format's scan planner does driver-side.
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_manifest_${dir.hashCode.abs}"
+      val li = Tables(s, dir).lineitem.select("l_orderkey", "l_extendedprice")
+      li.repartitionByRange(16, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(out)
+      val manifest = s.read.parquet(out)
+        .groupBy(input_file_name().as("file"))
+        .agg(min("l_orderkey").as("kmin"), max("l_orderkey").as("kmax"))
+        .collect()
+      val b = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+      val (kMn, kMx) = (b.getLong(0), b.getLong(1))
+      // probe the middle eighth of the key space — same FLOOR
+      // arithmetic as the oracle
+      val lo = kMn + (kMx - kMn) / 2
+      val hi = kMn + (kMx - kMn) * 5 / 8
+      val survivors = manifest
+        .filter(r => r.getLong(2) >= lo && r.getLong(1) <= hi)
+        .map(_.getString(0))
+      val prunedSomething = survivors.length < manifest.length
+      s.read.parquet(survivors: _*)
+        .filter(col("l_orderkey").between(lo, hi))
+        .agg(count(lit(1)).as("n_rows"),
+             dsum(col("l_extendedprice")).as("sum_price"))
+        .withColumn("manifest_pruned", lit(prunedSomething))
+    }),
+
+    // ---- sketch heavy hitters ----------------------------------------------
+    "a18_heavy_hitters" -> ((s, dir) => {
+      // DataSketches frequent-items (approx_top_k): bounded-memory
+      // heavy hitters in ONE pass — at 100 TB the exact form shuffles
+      // every distinct key, the sketch ships KBs per partition. The
+      // emitted rows are the EXACT top-3 (oracle-checkable); the
+      // boolean asserts the sketch's no-false-negative contract: every
+      // exact heavy hitter appears in the sketch's top-3 estimate.
+      val ev = Tables(s, dir).events
+      val exact = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("event_type")).limit(3)
+      val sketch = ev
+        .select(explode(expr("approx_top_k(event_type, 3)")).as("x"))
+        .select(col("x.item").as("event_type"))
+      val agree = exact.join(sketch, Seq("event_type"), "left_semi").count() == 3
+      exact.withColumn("sketch_contains_all", lit(agree))
+    }),
+
     // ---- incremental aggregate maintenance ---------------------------------
     "a17_incremental_agg" -> ((s, dir) => {
       // the materialized-view move: at 100 TB you never re-aggregate
@@ -444,5 +499,20 @@ object ScaleOps {
       """SELECT strftime(o_orderdate, '%Y-%m') AS month,
         |       COUNT(*) AS n_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
-        |FROM orders GROUP BY 1""".stripMargin)
+        |FROM orders GROUP BY 1""".stripMargin,
+    "s15_manifest_prune" ->
+      """WITH b AS (SELECT MIN(l_orderkey) AS kmn, MAX(l_orderkey) AS kmx
+        |           FROM lineitem),
+        |r AS (SELECT kmn + CAST(FLOOR((kmx - kmn) / 2.0) AS BIGINT) AS lo,
+        |             kmn + CAST(FLOOR((kmx - kmn) * 5 / 8.0) AS BIGINT) AS hi
+        |      FROM b)
+        |SELECT COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |       TRUE AS manifest_pruned
+        |FROM lineitem, r
+        |WHERE l_orderkey BETWEEN lo AND hi""".stripMargin,
+    "a18_heavy_hitters" ->
+      """SELECT event_type, COUNT(*) AS n, TRUE AS sketch_contains_all
+        |FROM events GROUP BY event_type
+        |ORDER BY n DESC, event_type LIMIT 3""".stripMargin)
 }
