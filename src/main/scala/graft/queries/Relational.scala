@@ -415,7 +415,45 @@ object Relational {
           |FROM (SELECT explode(sequence(to_date('2016-01-01'),
           |                              to_date('2025-12-31'),
           |                              interval 1 day)) AS date_key)
-          |""".stripMargin))
+          |""".stripMargin)),
+    "d10_gapfill" -> ((s, dir) => {
+      // time-series densification: every (customer, month) cell over
+      // the whole order span, zero-filled where no orders exist — what
+      // every trend/retention chart needs before it can plot. Scale
+      // shape: the month spine is O(months) — broadcast it; the only
+      // shuffle is the per-(customer, month) count. Never the naive
+      // custs × months × orders triple join.
+      val ord = Tables(s, dir).orders
+        .select(col("o_custkey"), trunc(to_date(col("o_orderdate")), "month").as("month"))
+      val spine = ord.agg(min(col("month")).as("mn"), max(col("month")).as("mx"))
+        .select(explode(expr("sequence(mn, mx, interval 1 month)")).as("month"))
+      val counts = ord.groupBy(col("o_custkey"), col("month"))
+        .agg(count(lit(1)).as("n"))
+      ord.select("o_custkey").distinct()
+        .crossJoin(broadcast(spine))
+        .join(counts, Seq("o_custkey", "month"), "left")
+        .select(col("o_custkey"), col("month"),
+          coalesce(col("n"), lit(0L)).as("n_orders"))
+    }),
+    "w8_sessionize_batch" -> ((s, dir) => {
+      // batch sessionization (the offline twin of st_sessionize): a new
+      // session starts after a >30 min silence; session id = running
+      // count of session starts per user. One shuffle on user_id; both
+      // window passes share its sort. Microsecond ticks so both engines
+      // cut sessions on the exact same boundary.
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      Tables(s, dir).events
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
+        .withColumn("new_sess",
+          when(col("tus") - lag(col("tus"), 1).over(byUser) > 1800000000L, 1)
+            .otherwise(when(lag(col("tus"), 1).over(byUser).isNull, 1).otherwise(0)))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+             min(col("tus")).as("start_us"),
+             max(col("tus")).as("end_us"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -617,6 +655,35 @@ object Relational {
         |       dayname(gs) AS day_name,
         |       monthname(gs) AS month_name,
         |       dayofweek(gs) IN (0, 6) AS is_weekend
-        |FROM generate_series(DATE '2016-01-01', DATE '2025-12-31', INTERVAL 1 DAY) t(gs)""".stripMargin
+        |FROM generate_series(DATE '2016-01-01', DATE '2025-12-31', INTERVAL 1 DAY) t(gs)""".stripMargin,
+    "d10_gapfill" ->
+      """WITH span AS (
+        |  SELECT CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS mn,
+        |         CAST(date_trunc('month', MAX(o_orderdate)) AS DATE) AS mx
+        |  FROM orders),
+        |months AS (
+        |  SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 MONTH)) AS DATE) AS month
+        |  FROM span),
+        |counts AS (
+        |  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         COUNT(*) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT c.o_custkey, m.month, COALESCE(ct.n, 0) AS n_orders
+        |FROM (SELECT DISTINCT o_custkey FROM orders) c
+        |CROSS JOIN months m
+        |LEFT JOIN counts ct ON ct.o_custkey = c.o_custkey AND ct.month = m.month""".stripMargin,
+    "w8_sessionize_batch" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |f AS (SELECT user_id, event_id, tus,
+        |             CASE WHEN tus - LAG(tus) OVER w > 1800000000 THEN 1
+        |                  WHEN LAG(tus) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |g AS (SELECT user_id, event_id, tus,
+        |             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        |      FROM f)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |       MIN(tus) AS start_us, MAX(tus) AS end_us
+        |FROM g GROUP BY 1, 2""".stripMargin
   )
 }
