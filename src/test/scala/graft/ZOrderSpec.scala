@@ -32,6 +32,26 @@ class ZOrderSpec extends SparkSpec {
     assert(rows == expect)
   }
 
+  test("morton2 matches the bit-by-bit reference on 512 random pairs; " +
+       "per-coordinate order is preserved") {
+    import spark.implicits._
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) |
+                            (((y >> i) & 1L) << (2 * i + 1))).reduce(_ | _)
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(512)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pairs.toDF("x", "y")
+      .select(ZOrder.morton2(col("x"), col("y")).as("z")).as[Long].collect()
+    pairs.zip(got).foreach { case ((x, y), z) => assert(z == ref(x, y), s"($x,$y)") }
+    // fixing one coordinate, the code is strictly monotone in the other —
+    // the property that makes min/max ranges on the code meaningful
+    for (c <- Seq(0L, 1L, 37L, 65535L)) {
+      val xs = pairs.map(_._1).distinct.sorted
+      assert(xs.map(x => ref(x, c)) == xs.map(x => ref(x, c)).sorted)
+      assert(xs.map(y => ref(c, y)) == xs.map(y => ref(c, y)).sorted)
+    }
+  }
+
   test("morton2 ordering preserves 2-D locality vs 1-D sort (file pruning)") {
     val t = graft.core.Tables(spark, dir).lineitem
       .select("l_partkey", "l_suppkey", "l_extendedprice")
