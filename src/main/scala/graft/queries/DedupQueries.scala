@@ -36,6 +36,25 @@ object DedupQueries {
       docs.join(exactKeep, Seq("doc_id"), "left_semi")
         .join(nearDrop, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("lang"), length(col("text")).as("n_chars"))
+    }),
+    // train/eval decontamination — the gate that keeps benchmark
+    // answers out of training data: an eval document is contaminated
+    // if it shares ANY 3-word shingle with any train document (the
+    // split here is doc_id parity, a deterministic stand-in for two
+    // real corpora). Scale shape: both sides reduce to slim
+    // (shingle, doc_id) rows meeting in ONE equi-join on the shingle;
+    // the train side ships DISTINCT shingles only, and no document
+    // text ever reaches the join (at 100 TB you'd front the probe
+    // with a bloom filter of the train shingle set — see
+    // j8_bloom_filter_join for that machinery).
+    "dd_decontaminate" -> ((s, dir) => {
+      val sh = Dedup.withShingles(Tables(s, dir).documents)
+        .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      val train = sh.filter(col("doc_id") % 2 === 0).select("shingle").distinct()
+      sh.filter(col("doc_id") % 2 === 1)
+        .join(train, Seq("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("shingle")).as("n_shared_shingles"))
     }))
 
   private val norm = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
@@ -111,6 +130,17 @@ object DedupQueries {
       s"""SELECT md5($norm) AS content_hash,
          |       MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
          |FROM documents GROUP BY 1""".stripMargin,
+    "dd_decontaminate" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(string_split($norm, ' ')) - 2, 1) + 1),
+         |    i -> array_to_string((string_split($norm, ' '))[i:i+2], ' ')))) AS shingle
+         |  FROM documents),
+         |train AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0)
+         |SELECT e.doc_id, COUNT(DISTINCT e.shingle) AS n_shared_shingles
+         |FROM sh e JOIN train USING (shingle)
+         |WHERE e.doc_id % 2 = 1
+         |GROUP BY 1""".stripMargin,
     "dd_minhash_pairs" -> minhashPairsSql,
     // connected components over the minhash pair list as a recursive
     // transitive closure; cluster_id = min reachable doc_id — exactly

@@ -139,7 +139,25 @@ object Text {
         .select(col("doc_id"),
           when(col("_n") > 0, expr("transform(raw, x -> x / _n)"))
             .otherwise(col("raw")).as("embedding"))
+    }),
+    "tx_corpus_mix" -> ((s, dir) => {
+      // deterministic domain mixing — the "data mix" step of a
+      // pretraining pipeline: cap every (lang, source) cell at
+      // MixCap docs, chosen by md5(doc_id) order. Hash order is
+      // uniform-random-like but IDENTICAL on any engine, cluster
+      // size, or partitioning — the mix is reproducible forever,
+      // which `ORDER BY rand()` never is. One shuffle (the window
+      // partition); per-cell state is a bounded rank counter.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"), col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables(s, dir).documents
+        .withColumn("pick_rank", row_number().over(w))
+        .filter(col("pick_rank") <= MixCap)
+        .select("doc_id", "lang", "source", "pick_rank")
     }))
+
+  private val MixCap = 50
 
   private val HashDims = 64
   private val ChunkWords = 50
@@ -271,5 +289,12 @@ object Text {
          |SELECT doc_id,
          |       CASE WHEN n > 0 THEN list_transform(raw, x -> x / n)
          |            ELSE raw END AS embedding
-         |FROM normed""".stripMargin)
+         |FROM normed""".stripMargin,
+    "tx_corpus_mix" ->
+      s"""SELECT doc_id, lang, source, pick_rank FROM (
+         |  SELECT doc_id, lang, source,
+         |         ROW_NUMBER() OVER (PARTITION BY lang, source
+         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick_rank
+         |  FROM documents)
+         |WHERE pick_rank <= $MixCap""".stripMargin)
 }
