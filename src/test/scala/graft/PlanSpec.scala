@@ -138,6 +138,18 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("_fs") && plan.contains("_ds"), plan)
   }
 
+  test("dd_decontaminate: shingle overlap is an equi-join, never a cartesian") {
+    val plan = executedPlan("dd_decontaminate")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("tx_corpus_mix: exactly one shuffle (the mix-cell window partition)") {
+    val plan = executedPlan("tx_corpus_mix").split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning\\(lang".r.findAllIn(plan).size == 1, plan)
+    assert("Exchange".r.findAllIn(plan).size == 1, plan)
+  }
+
   test("s14: box predicate is pushed to the z-ordered parquet scan") {
     // the rendered PushedFilters list truncates ("LessThanOrEqual(l_sup…")
     // so assert the first pushed filter there and the second via the
