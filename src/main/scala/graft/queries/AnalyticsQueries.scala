@@ -75,6 +75,66 @@ object AnalyticsQueries {
         .toDF("row_count", "size_known",
           "ndv_orderkey_within_10pct", "ndv_status_within_10pct")
     }),
+    // malformed-input handling — the ingest reality at 100 TB: feeds
+    // always contain broken lines, and the mode choice (fail / keep +
+    // quarantine / drop) must be explicit, not incidental. PERMISSIVE
+    // parses good rows and captures broken lines in a corrupt-record
+    // column (the quarantine pattern: bad rows land in a side table
+    // for reprocessing, the pipeline keeps moving); DROPMALFORMED
+    // silently discards. The emitted row carries all three observed
+    // counts, every one oracle-stated.
+    "an_badrecords" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_badrec_${dir.hashCode.abs}"
+      val t = Tables(s, dir)
+      t.nation.toJSON.write.mode("overwrite").text(out)
+      // append a file of known-broken lines (truncated JSON, plain
+      // text, bare bracket) — the shapes real feeds break in
+      import s.implicits._
+      Seq("""{"n_nationkey": 991, "n_name": "TRUNCATED""",
+          "not json at all",
+          "[")
+        .toDF("value").coalesce(1).write.mode("append").text(out)
+      val schema = org.apache.spark.sql.types.StructType(
+        t.nation.schema.fields :+
+          org.apache.spark.sql.types.StructField("_bad",
+            org.apache.spark.sql.types.StringType))
+      // Spark disallows filtering on ONLY the corrupt column straight
+      // off the raw scan (it would be pruned away) — materialize the
+      // parse once, then split good/quarantined from the cached frame
+      val permissive = s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(out)
+        .cache()
+      val dropped = s.read.schema(org.apache.spark.sql.types.StructType(schema.dropRight(1)))
+        .option("mode", "DROPMALFORMED").json(out)
+      try Seq((permissive.filter(col("_bad").isNull).count(),
+               permissive.filter(col("_bad").isNotNull).count(),
+               dropped.count()))
+        .toDF("n_good", "n_quarantined", "n_after_drop")
+      finally permissive.unpersist()
+    }),
+    // schema evolution — the lake's tables grow columns over years;
+    // mergeSchema unions the per-file schemas at read time so old
+    // files surface NULL for columns they predate. The emitted row
+    // pins both generation counts and the null accounting of the
+    // late-added column.
+    "s16_schema_evolution" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_schevo_${dir.hashCode.abs}"
+      val t = Tables(s, dir)
+      t.region.select("r_regionkey", "r_name")
+        .write.mode("overwrite").parquet(s"$out/gen=1")
+      t.region.select(col("r_regionkey"), col("r_name"),
+          upper(col("r_name")).as("r_name_upper"))
+        .write.mode("overwrite").parquet(s"$out/gen=2")
+      val merged = s.read.option("mergeSchema", "true").parquet(out)
+      import s.implicits._
+      Seq((merged.count(),
+           merged.filter(col("r_name_upper").isNull).count(),
+           merged.filter(col("gen") === 1 && col("r_name_upper").isNotNull).count(),
+           merged.columns.sorted.mkString(",")))
+        .toDF("n_rows", "n_null_new_col", "n_old_gen_with_new_col", "merged_columns")
+    }),
     // cohort retention — the e-commerce analytics staple the reference's
     // dashboards gesture at (README.md:63-66 "customer behavior"): bucket
     // every customer by first-order month, then count distinct returning
@@ -125,6 +185,15 @@ object AnalyticsQueries {
       """SELECT COUNT(*) AS row_count, TRUE AS size_known,
         |       TRUE AS ndv_orderkey_within_10pct, TRUE AS ndv_status_within_10pct
         |FROM orders""".stripMargin,
+    "an_badrecords" ->
+      """SELECT (SELECT COUNT(*) FROM nation) AS n_good,
+        |       CAST(3 AS BIGINT) AS n_quarantined,
+        |       (SELECT COUNT(*) FROM nation) AS n_after_drop""".stripMargin,
+    "s16_schema_evolution" ->
+      """SELECT (SELECT COUNT(*) * 2 FROM region) AS n_rows,
+        |       (SELECT COUNT(*) FROM region) AS n_null_new_col,
+        |       CAST(0 AS BIGINT) AS n_old_gen_with_new_col,
+        |       'gen,r_name,r_name_upper,r_regionkey' AS merged_columns""".stripMargin,
     "w7_cohort_retention" ->
       """WITH o AS (
         |  SELECT o_custkey,
