@@ -35,6 +35,9 @@ object ZOrder {
     * driver traffic at any table size). */
   def bucket16(v: Column, mn: Long, mx: Long): Column = {
     val span = math.max(1L, mx - mn)
-    least(lit(65535L), ((v - lit(mn)) * lit(65535L)) / lit(span)).cast("long")
+    // clamp BOTH ends: a value outside [mn, mx] (stale bounds, late
+    // data) must saturate, not wrap through the bit mask
+    greatest(lit(0L),
+      least(lit(65535L), ((v - lit(mn)) * lit(65535L)) / lit(span))).cast("long")
   }
 }

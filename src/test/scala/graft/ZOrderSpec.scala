@@ -52,6 +52,17 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("bucket16 clamps to [0, 65535] and survives a degenerate span") {
+    import spark.implicits._
+    val got = Seq(5L, 10L, 20L, 99L).toDF("v")
+      .select(
+        ZOrder.bucket16(col("v"), 10L, 20L).as("b"),     // 5 below mn, 99 above mx
+        ZOrder.bucket16(col("v"), 7L, 7L).as("flat"))    // mn == mx: span clamps to 1
+      .as[(Long, Long)].collect()
+    assert(got.map(_._1).toSeq == Seq(0L, 0L, 65535L, 65535L), got.mkString(","))
+    assert(got.forall(p => p._2 >= 0L && p._2 <= 65535L), got.mkString(","))
+  }
+
   test("morton2 ordering preserves 2-D locality vs 1-D sort (file pruning)") {
     val t = graft.core.Tables(spark, dir).lineitem
       .select("l_partkey", "l_suppkey", "l_extendedprice")
