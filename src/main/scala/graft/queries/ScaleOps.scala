@@ -374,7 +374,10 @@ object ScaleOps {
       val sketch = ev
         .select(explode(expr("approx_top_k(event_type, 3)")).as("x"))
         .select(col("x.item").as("event_type"))
-      val agree = exact.join(sketch, Seq("event_type"), "left_semi").count() == 3
+      // compare against the exact row count, not a literal 3 — a domain
+      // with fewer than 3 distinct types must still contract-check
+      val agree =
+        exact.join(sketch, Seq("event_type"), "left_semi").count() == exact.count()
       exact.withColumn("sketch_contains_all", lit(agree))
     }),
 
