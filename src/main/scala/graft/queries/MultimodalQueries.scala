@@ -61,9 +61,23 @@ object MultimodalQueries {
         .map(f => (f.media_id, f.kind, f.n_bytes, f.feature.length,
           f.feature.map(x => Math.round(x * 65535f)).mkString(",")))
         .toDF("media_id", "kind", "n_bytes", "feature_dim", "feature_u16")
-    }))
+    }),
+    // byte-level content dedup — the first gate of any media pipeline
+    // (identical files arrive via N crawls/mirrors): group by payload
+    // digest, keep the smallest id. Only (digest, id) rows shuffle;
+    // the binary payloads never move.
+    "mm_dedup" -> ((s, dir) =>
+      Multimodal.mediaTable(Tables(s, dir).documents)
+        .select(col("media_id"), md5(col("payload")).as("content_digest"))
+        .groupBy(col("content_digest"))
+        .agg(min(col("media_id")).as("keep_id"),
+             count(lit(1)).as("n_copies"))))
 
   val oracles: Map[String, String] = Map(
+    "mm_dedup" ->
+      """SELECT md5(text) AS content_digest,
+        |       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
     "mm_resize" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,
