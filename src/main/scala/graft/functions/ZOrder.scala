@@ -35,9 +35,15 @@ object ZOrder {
     * driver traffic at any table size). */
   def bucket16(v: Column, mn: Long, mx: Long): Column = {
     val span = math.max(1L, mx - mn)
-    // clamp BOTH ends: a value outside [mn, mx] (stale bounds, late
-    // data) must saturate, not wrap through the bit mask
+    // double arithmetic: (v - mn) * 65535 in long overflows once the
+    // span tops ~1.4e14 (e.g. microsecond epochs years apart) — ANSI
+    // mode would kill the job, non-ANSI would silently wrap and
+    // degenerate the layout. Doubles can land one bucket off at the
+    // rounding edge, which is harmless for a locality code. Clamp
+    // BOTH ends: a value outside [mn, mx] (stale bounds, late data)
+    // must saturate, not wrap through the bit mask.
     greatest(lit(0L),
-      least(lit(65535L), ((v - lit(mn)) * lit(65535L)) / lit(span))).cast("long")
+      least(lit(65535L),
+        ((v - lit(mn)).cast("double") * 65535.0 / span.toDouble).cast("long")))
   }
 }

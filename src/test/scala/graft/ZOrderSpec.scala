@@ -43,12 +43,17 @@ class ZOrderSpec extends SparkSpec {
     val got = pairs.toDF("x", "y")
       .select(ZOrder.morton2(col("x"), col("y")).as("z")).as[Long].collect()
     pairs.zip(got).foreach { case ((x, y), z) => assert(z == ref(x, y), s"($x,$y)") }
-    // fixing one coordinate, the code is strictly monotone in the other —
-    // the property that makes min/max ranges on the code meaningful
+    // fixing one coordinate, the PRODUCTION code is strictly monotone in
+    // the other — the property that makes min/max ranges on the code
+    // meaningful. Evaluated through morton2 itself, not the local ref.
+    val xs = pairs.map(_._1).distinct.sorted
     for (c <- Seq(0L, 1L, 37L, 65535L)) {
-      val xs = pairs.map(_._1).distinct.sorted
-      assert(xs.map(x => ref(x, c)) == xs.map(x => ref(x, c)).sorted)
-      assert(xs.map(y => ref(c, y)) == xs.map(y => ref(c, y)).sorted)
+      val inX = xs.toDF("x")
+        .select(ZOrder.morton2(col("x"), lit(c)).as("z")).as[Long].collect().toSeq
+      val inY = xs.toDF("y")
+        .select(ZOrder.morton2(lit(c), col("y")).as("z")).as[Long].collect().toSeq
+      assert(inX == inX.sorted && inX.distinct.size == inX.size, s"x-monotone c=$c")
+      assert(inY == inY.sorted && inY.distinct.size == inY.size, s"y-monotone c=$c")
     }
   }
 
