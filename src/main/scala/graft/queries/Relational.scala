@@ -435,6 +435,28 @@ object Relational {
         .select(col("o_custkey"), col("month"),
           coalesce(col("n"), lit(0L)).as("n_orders"))
     }),
+    "w9_funnel" -> ((s, dir) => {
+      // ordered conversion funnel — view → click → purchase, each step
+      // only counting if it happens AT OR AFTER the user's previous
+      // step (the ordering is what separates a funnel from three
+      // independent counts). Three window passes over ONE shuffle on
+      // user_id (same partitioning, Spark reuses the exchange), then a
+      // global one-row rollup. Microsecond ticks for engine-identical
+      // step boundaries.
+      val w = Window.partitionBy(col("user_id"))
+      Tables(s, dir).events
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+        .withColumn("mv", min(when(col("event_type") === "view", col("tus"))).over(w))
+        .withColumn("mc", min(when(col("event_type") === "click" &&
+          col("tus") >= col("mv"), col("tus"))).over(w))
+        .withColumn("mp", min(when(col("event_type") === "purchase" &&
+          col("tus") >= col("mc"), col("tus"))).over(w))
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(when(col("mv").isNotNull, col("user_id"))).as("n_viewed"),
+          countDistinct(when(col("mc").isNotNull, col("user_id"))).as("n_clicked_after_view"),
+          countDistinct(when(col("mp").isNotNull, col("user_id"))).as("n_purchased_after_click"))
+    }),
     "w8_sessionize_batch" -> ((s, dir) => {
       // batch sessionization (the offline twin of st_sessionize): a new
       // session starts after a >30 min silence; session id = running
@@ -672,6 +694,19 @@ object Relational {
         |FROM (SELECT DISTINCT o_custkey FROM orders) c
         |CROSS JOIN months m
         |LEFT JOIN counts ct ON ct.o_custkey = c.o_custkey AND ct.month = m.month""".stripMargin,
+    "w9_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |v AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN tus END)
+        |                  OVER (PARTITION BY user_id) AS mv FROM e),
+        |c AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND tus >= mv THEN tus END)
+        |                  OVER (PARTITION BY user_id) AS mc FROM v),
+        |p AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND tus >= mc THEN tus END)
+        |                  OVER (PARTITION BY user_id) AS mp FROM c)
+        |SELECT COUNT(DISTINCT user_id) AS n_users,
+        |       COUNT(DISTINCT CASE WHEN mv IS NOT NULL THEN user_id END) AS n_viewed,
+        |       COUNT(DISTINCT CASE WHEN mc IS NOT NULL THEN user_id END) AS n_clicked_after_view,
+        |       COUNT(DISTINCT CASE WHEN mp IS NOT NULL THEN user_id END) AS n_purchased_after_click
+        |FROM p""".stripMargin,
     "w8_sessionize_batch" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
         |f AS (SELECT user_id, event_id, tus,
