@@ -30,6 +30,34 @@ object ZOrder {
   def morton2(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 
+  /** Spread the low 21 bits of x so bit i lands at position 3i (the
+    * stride-3 dilation ladder; 3 × 21 = 63 bits fits a long). */
+  private def spread21x3(x: Column): Column =
+    Seq((32, 0x1F00000000FFFFL), (16, 0x1F0000FF0000FFL),
+        (8, 0x100F00F00F00F00FL), (4, 0x10C30C30C30C30C3L),
+        (2, 0x1249249249249249L))
+      .foldLeft(x.bitwiseAND(lit(0x1FFFFFL))) { case (c, (sh, m)) =>
+        c.bitwiseOR(shiftleft(c, sh)).bitwiseAND(lit(m))
+      }
+
+  /** 63-bit Morton code of three 21-bit bucket ids — the 3-D layout
+    * key (e.g. time × key × region). Same pruning story as morton2,
+    * one more dimension. */
+  def morton3(x: Column, y: Column, z: Column): Column =
+    spread21x3(x)
+      .bitwiseOR(shiftleft(spread21x3(y), 1))
+      .bitwiseOR(shiftleft(spread21x3(z), 2))
+
+  /** Scale a value with known bounds to a 21-bit bucket id (for
+    * morton3). Same clamp-both-ends / double-arithmetic rationale as
+    * [[bucket16]]. */
+  def bucket21(v: Column, mn: Long, mx: Long): Column = {
+    val span = math.max(1L, mx - mn)
+    greatest(lit(0L),
+      least(lit(0x1FFFFFL),
+        ((v - lit(mn)).cast("double") * 0x1FFFFF.toDouble / span.toDouble).cast("long")))
+  }
+
   /** Scale a value with known bounds [mn, mx] to a 16-bit bucket id.
     * The bounds come from a one-row metadata aggregate (constant-size
     * driver traffic at any table size). */

@@ -57,6 +57,22 @@ class ZOrderSpec extends SparkSpec {
     }
   }
 
+  test("morton3 matches the bit-by-bit reference on 512 random triples") {
+    import spark.implicits._
+    def ref3(x: Long, y: Long, z: Long): Long =
+      (0 until 21).map(i => (((x >> i) & 1L) << (3 * i)) |
+                            (((y >> i) & 1L) << (3 * i + 1)) |
+                            (((z >> i) & 1L) << (3 * i + 2))).reduce(_ | _)
+    val rnd = new scala.util.Random(7)
+    def r() = rnd.nextInt(1 << 21).toLong
+    val triples = Seq.fill(512)((r(), r(), r())) ++
+      Seq((0L, 0L, 0L), (0x1FFFFFL, 0x1FFFFFL, 0x1FFFFFL), (1L, 0L, 0L), (0L, 0L, 1L))
+    val got = triples.toDF("x", "y", "z")
+      .select(ZOrder.morton3(col("x"), col("y"), col("z")).as("m")).as[Long].collect()
+    triples.zip(got).foreach { case ((x, y, z), m) =>
+      assert(m == ref3(x, y, z), s"($x,$y,$z)") }
+  }
+
   test("bucket16 clamps to [0, 65535] and survives a degenerate span") {
     import spark.implicits._
     val got = Seq(5L, 10L, 20L, 99L).toDF("v")
