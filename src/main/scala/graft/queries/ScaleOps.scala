@@ -391,6 +391,33 @@ object ScaleOps {
       exact.withColumn("sketch_contains_all", lit(agree))
     }),
 
+    // ---- mergeable persisted sketches --------------------------------------
+    "a19_sketch_merge" -> ((s, dir) => {
+      // the incremental-distinct pattern (a17's analog for COUNT
+      // DISTINCT, which has no algebraic partial): build one compact
+      // DataSketches HLL per month, PERSIST the binary sketches, and
+      // answer "distinct customers overall" by merging sketches —
+      // never rescanning history. At 100 TB the per-partition sketch
+      // build is the only pass over raw data, forever; the merge is
+      // KBs per partition. The exact value is emitted for the oracle;
+      // the boolean asserts the merged estimate's documented ~2%
+      // (lgConfigK=12) error contract with margin.
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sketch_${dir.hashCode.abs}"
+      val ord = Tables(s, dir).orders
+        .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+          col("o_custkey"))
+      ord.groupBy("month")
+        .agg(expr("hll_sketch_agg(o_custkey, 12)").as("sk"))
+        .write.mode("overwrite").parquet(out)
+      val merged = s.read.parquet(out)
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("_est"))
+      val exact = ord.agg(countDistinct(col("o_custkey")).as("n")).head().getLong(0)
+      merged.select(
+        lit(exact).as("exact_customers"),
+        (abs(col("_est") - lit(exact)) <= lit(math.max(1.0, exact * 0.05)))
+          .as("merged_within_5pct"))
+    }),
+
     // ---- incremental aggregate maintenance ---------------------------------
     "a17_incremental_agg" -> ((s, dir) => {
       // the materialized-view move: at 100 TB you never re-aggregate
@@ -527,5 +554,9 @@ object ScaleOps {
     "a18_heavy_hitters" ->
       """SELECT event_type, COUNT(*) AS n, TRUE AS sketch_contains_all
         |FROM events GROUP BY event_type
-        |ORDER BY n DESC, event_type LIMIT 3""".stripMargin)
+        |ORDER BY n DESC, event_type LIMIT 3""".stripMargin,
+    "a19_sketch_merge" ->
+      """SELECT COUNT(DISTINCT o_custkey) AS exact_customers,
+        |       TRUE AS merged_within_5pct
+        |FROM orders""".stripMargin)
 }
