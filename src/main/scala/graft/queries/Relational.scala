@@ -459,10 +459,14 @@ object Relational {
     }),
     "w8_sessionize_batch" -> ((s, dir) => {
       // batch sessionization (the offline twin of st_sessionize): a new
-      // session starts after a >30 min silence; session id = running
-      // count of session starts per user. One shuffle on user_id; both
-      // window passes share its sort. Microsecond ticks so both engines
-      // cut sessions on the exact same boundary.
+      // session starts when the silence EXCEEDS 30 min. The boundary is
+      // session_window's: Spark merges adjacent session windows, so an
+      // event landing exactly 30:00 after its predecessor still merges
+      // (SessionBoundarySpec pins all three sessionizers to this rule
+      // on exact-boundary fixtures). Session id = running count of
+      // session starts per user. One shuffle on user_id; both window
+      // passes share its sort. Microsecond ticks so every engine cuts
+      // on the same boundary.
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
       Tables(s, dir).events
         .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"))
@@ -714,8 +718,8 @@ object Relational {
         |                  WHEN LAG(tus) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
         |g AS (SELECT user_id, event_id, tus,
-        |             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
-        |                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        |             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |      FROM f)
         |SELECT user_id, session_id, COUNT(*) AS n_events,
         |       MIN(tus) AS start_us, MAX(tus) AS end_us

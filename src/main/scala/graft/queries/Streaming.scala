@@ -54,14 +54,16 @@ object Streaming {
         |       COUNT(*) AS n_events,
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM w GROUP BY 1, 2""".stripMargin,
-    // gaps-and-islands rendering of 30-min-gap sessions; >= matches
-    // Spark's exclusive session-end boundary.
+    // gaps-and-islands rendering of 30-min-gap sessions. Strict >
+    // matches session_window: Spark merges ADJACENT session windows,
+    // so an exact-30:00 gap stays one session (SessionBoundarySpec
+    // pins this on a boundary fixture).
     "st_sessionize" ->
       """WITH o AS (
         |  SELECT user_id, ts, value,
         |         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |                OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |                     >= INTERVAL '30 minutes'
+        |                     > INTERVAL '30 minutes'
         |              THEN 1 ELSE 0 END AS new_sess
         |  FROM events),
         |s AS (
@@ -80,7 +82,7 @@ object Streaming {
       """WITH o AS (
         |  SELECT user_id, event_id, ts, value,
         |         CASE WHEN LAG(ts) OVER w IS NULL
-        |                OR ts - LAG(ts) OVER w >= INTERVAL '30 minutes'
+        |                OR ts - LAG(ts) OVER w > INTERVAL '30 minutes'
         |              THEN 1 ELSE 0 END AS new_sess
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))

@@ -111,35 +111,16 @@ object Text {
         .select(col("doc_id"), col("pos").as("chunk_idx"),
           col("col").as("chunk_text"))
     }),
-    "tx_hash_embed" -> ((s, dir) => {
-      // feature-hashing document embeddings (the hashing trick): every
-      // word hashes to one of 64 buckets with an independent ±1 sign;
-      // the doc vector is the signed bucket histogram, L2-normalized.
-      // This closes the text → embedding → ANN/dedup loop with a
-      // model-free, engine-independent featurizer: buckets and signs
-      // are md5-digit arithmetic and the coordinates are integer sums
-      // normalized by one exact division, so the oracle reproduces the
-      // vectors bit-for-bit. Scale shape: explode → one partial-agg
-      // groupBy on doc_id (64 conditional sums ride the same shuffle),
-      // normalization is a projection.
-      val words = Tables(s, dir).documents
-        .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("w"))
-        .withColumn("m", md5(col("w")))
-        .withColumn("b",
-          (expr("instr('0123456789abcdef', substr(m, 1, 1)) - 1") * 16 +
-            expr("instr('0123456789abcdef', substr(m, 2, 1)) - 1")) % HashDims)
-        .withColumn("sg",
-          (expr("instr('0123456789abcdef', substr(m, 3, 1)) - 1") % 2) * 2 - 1)
-      val sums = (0 until HashDims).map(d =>
-        sum(when(col("b") === d, col("sg")).otherwise(0)).as(s"v_$d"))
-      words.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
-        .withColumn("raw",
-          array((0 until HashDims).map(d => col(s"v_$d").cast("double")): _*))
-        .withColumn("_n", sqrt(expr("vec_dot(raw, raw)")))
-        .select(col("doc_id"),
-          when(col("_n") > 0, expr("transform(raw, x -> x / _n)"))
-            .otherwise(col("raw")).as("embedding"))
-    }),
+    "tx_hash_embed" -> ((s, dir) =>
+      // declared form of the feature-hashing featurizer (see hashEmbed
+      // below): exploded to one scalar row per (doc, dim) so every cell
+      // is hashable by any downstream engine — the array form stays
+      // available as the library function. posexplode keeps the dim
+      // index without a join; still no extra shuffle (explode is a
+      // projection over hashEmbed's single groupBy output).
+      hashEmbed(Tables(s, dir).documents)
+        .select(col("doc_id"), posexplode(col("embedding")))
+        .select(col("doc_id"), col("pos").as("dim"), col("col").as("value"))),
     "tx_corpus_mix" -> ((s, dir) => {
       // deterministic domain mixing — the "data mix" step of a
       // pretraining pipeline: cap every (lang, source) cell at
@@ -156,6 +137,36 @@ object Text {
         .filter(col("pick_rank") <= MixCap)
         .select("doc_id", "lang", "source", "pick_rank")
     }))
+
+  /** Feature-hashing document embeddings (the hashing trick): every
+    * word hashes to one of 64 buckets with an independent ±1 sign; the
+    * doc vector is the signed bucket histogram, L2-normalized. This
+    * closes the text → embedding → ANN/dedup loop with a model-free,
+    * engine-independent featurizer: buckets and signs are md5-digit
+    * arithmetic and the coordinates are integer sums normalized by one
+    * exact division, so any engine reproduces the vectors bit-for-bit.
+    * Scale shape: explode → one partial-agg groupBy on doc_id (64
+    * conditional sums ride the same shuffle); normalization is a
+    * projection. Returns (doc_id, embedding: array<double>[64]). */
+  def hashEmbed(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("doc_id"), explode(split(normText(col("text")), " ")).as("w"))
+      .withColumn("m", md5(col("w")))
+      .withColumn("b",
+        (expr("instr('0123456789abcdef', substr(m, 1, 1)) - 1") * 16 +
+          expr("instr('0123456789abcdef', substr(m, 2, 1)) - 1")) % HashDims)
+      .withColumn("sg",
+        (expr("instr('0123456789abcdef', substr(m, 3, 1)) - 1") % 2) * 2 - 1)
+    val sums = (0 until HashDims).map(d =>
+      sum(when(col("b") === d, col("sg")).otherwise(0)).as(s"v_$d"))
+    words.groupBy(col("doc_id")).agg(sums.head, sums.tail: _*)
+      .withColumn("raw",
+        array((0 until HashDims).map(d => col(s"v_$d").cast("double")): _*))
+      .withColumn("_n", sqrt(expr("vec_dot(raw, raw)")))
+      .select(col("doc_id"),
+        when(col("_n") > 0, expr("transform(raw, x -> x / _n)"))
+          .otherwise(col("raw")).as("embedding"))
+  }
 
   private val MixCap = 50
 
@@ -280,16 +291,10 @@ object Text {
          |  FROM (SELECT DISTINCT doc_id FROM documents) d
          |  CROSS JOIN range(64) r
          |  LEFT JOIN agg a ON a.doc_id = d.doc_id AND a.b = r.range),
-         |vecs AS (SELECT doc_id, list(v ORDER BY b) AS raw FROM filled GROUP BY doc_id),
-         |normed AS (
-         |  SELECT doc_id, raw,
-         |         sqrt(list_reduce(list_transform(range(1, 65),
-         |           i -> raw[i] * raw[i]), (x, y) -> x + y)) AS n
-         |  FROM vecs)
-         |SELECT doc_id,
-         |       CASE WHEN n > 0 THEN list_transform(raw, x -> x / n)
-         |            ELSE raw END AS embedding
-         |FROM normed""".stripMargin,
+         |norms AS (SELECT doc_id, sqrt(SUM(v * v)) AS n FROM filled GROUP BY doc_id)
+         |SELECT f.doc_id, CAST(f.b AS INT) AS dim,
+         |       CASE WHEN n > 0 THEN f.v / n ELSE f.v END AS value
+         |FROM filled f JOIN norms USING (doc_id)""".stripMargin,
     "tx_corpus_mix" ->
       s"""SELECT doc_id, lang, source, pick_rank FROM (
          |  SELECT doc_id, lang, source,

@@ -178,8 +178,11 @@ object EventStream {
             var st = state.getOption.getOrElse(JourneyState(Long.MinValue, 0L, 0L, java.math.BigDecimal.ZERO))
             val rows = it.toSeq.sortBy { case (_, eid, _, tus, _) => (tus, eid) }.map {
               case (_, eid, ts, tus, v) =>
+                // strict >: the session-boundary rule everywhere is
+                // session_window's (adjacent windows merge), so an
+                // exact-30:00 gap continues the session
                 val newSession = st.lastTsMicros == Long.MinValue ||
-                  tus - st.lastTsMicros >= 30L * 60 * 1000 * 1000
+                  tus - st.lastTsMicros > 30L * 60 * 1000 * 1000
                 val cum = st.cum.add(
                   new java.math.BigDecimal(v).setScale(4, java.math.RoundingMode.HALF_UP))
                 st = JourneyState(tus, st.seq + 1,
