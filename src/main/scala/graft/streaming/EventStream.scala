@@ -214,24 +214,51 @@ object EventStream {
     * multi-batch MERGE path runs on every invocation. */
   val UpsertSourceFiles = 4
 
-  /** Streaming upsert sink via foreachBatch: each micro-batch MERGEs
-    * into a keyed parquet target (union + keep-latest-per-key, the
-    * anti-join/overwrite upsert of SURVEY.md §4.3.5 — the plain-parquet
-    * stand-in for Delta's whenMatchedUpdateAll). State lives in the
-    * TARGET TABLE, not the state store, so arbitrarily many keys cost
-    * no streaming memory — the standard shape for a streaming-ingest
-    * upsert at warehouse scale.
+  /** Hash-bucket count for the compacted upsert base: it is laid out
+    * as pmod(hash(user_id), this) partitions, so compaction and any
+    * per-bucket maintenance operate on one bucket at a time. 16 suits
+    * the test scale; a production target sizes it so one bucket ≈ one
+    * comfortable rewrite unit. */
+  val UpsertBuckets = 16
+
+  /** Compact the delta log every N micro-batches. The LSM knob:
+    * per-batch cost is O(batch) for the delta write, plus O(target)
+    * once every N batches — amortized O(batch + target/N) instead of
+    * the O(target)-every-batch full rewrite. */
+  val UpsertCompactEvery = 4
+
+  /** Streaming upsert sink via foreachBatch, MERGE-ON-READ with
+    * periodic compaction (the LSM / Delta-Lake shape, re-expressed on
+    * plain parquet — the stand-in for Delta's whenMatchedUpdateAll).
+    * State lives in the TARGET TABLE, not the state store, so
+    * arbitrarily many keys cost no streaming memory.
     *
-    * Restart safety (the reason checkpointed streaming exists): each
-    * merged generation is committed to `gen/b<batchId>` and the
-    * in-memory pointer is RECOVERED FROM DISK at (re)start, so a
-    * crashed run resumes from its last committed generation. A batch
-    * whose id is ≤ the committed generation already reached the target
-    * (the crash fell between target commit and checkpoint commit) and
-    * is skipped — idempotent re-apply, i.e. exactly-once output over
-    * the engine's at-least-once replay. The previous generation dir is
-    * deleted only after the new one is committed; a crash in between
-    * leaves an extra dir that recovery ignores.
+    * Write path: each micro-batch writes ONLY its own pre-aggregated
+    * delta `gen/b<id>` — O(batch) work, the target is never read.
+    * Every [[UpsertCompactEvery]] batches the committed base + deltas
+    * fold into a new base `gen/c<id>` and the inputs are retired —
+    * amortized per-batch cost O(batch + target/N), the shape that
+    * survives 1B users where a read-modify-write-per-batch sink
+    * rewrites the world every trigger. The base is hash-bucketed by
+    * user_id (`bk=<k>` subdirs) so compaction and selective reads stay
+    * per-bucket; deltas are deliberately unclustered (O(batch),
+    * transient).
+    *
+    * Read path: current state = newest committed base + the deltas
+    * after it, merged per key (last-write-wins on (ts, event_id) via
+    * max(struct), counts summed — both merges are associative, so
+    * delta boundaries can't change the answer). Right after a
+    * compaction the returned frame is a plain scan of the base.
+    *
+    * Restart safety (the reason checkpointed streaming exists): a
+    * delta/base is committed by its parquet `_SUCCESS` marker and the
+    * log is RECOVERED FROM DISK at (re)start. A replayed batch whose
+    * id is ≤ the newest committed id already reached the log (the
+    * crash fell between log commit and checkpoint commit) and is
+    * skipped — idempotent re-apply, i.e. exactly-once output over the
+    * engine's at-least-once replay. Compaction inputs are deleted only
+    * AFTER the new base commits; a crash in between leaves stale
+    * deltas that recovery ignores (anything ≤ the newest base id).
     *
     * Target grain: one row per user — latest event (last-write-wins on
     * (ts, event_id)) plus an additively-merged event count.
@@ -242,7 +269,7 @@ object EventStream {
     * @param failAfterBatches test hook: throw after N merged batches
     *                         in this run, simulating a mid-stream
     *                         crash (the query fails, the checkpoint
-    *                         and committed generation survive). */
+    *                         and committed generations survive). */
   def upsertSink(spark: SparkSession, dir: String,
                  baseDir: Option[String] = None,
                  failAfterBatches: Option[Int] = None): DataFrame = {
@@ -269,46 +296,96 @@ object EventStream {
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
 
     val genRoot = new Path(s"$base/gen")
-    def committed(): Option[(Long, String)] =
-      if (!fs.exists(genRoot)) None
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      pmod(hash(c), lit(UpsertBuckets))
+    // committed entries of one kind ('b' = delta, 'c' = compacted
+    // base; parquet _SUCCESS = commit marker), oldest first. All log
+    // scans here are file-level METADATA over O(entries × buckets)
+    // names — never data reads.
+    def committedDirs(kind: Char): Seq[(Long, Path)] =
+      if (!fs.exists(genRoot)) Nil
       else fs.listStatus(genRoot).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.startsWith("b") &&
+        .filter(st => st.isDirectory && st.getPath.getName.head == kind &&
           fs.exists(new Path(st.getPath, "_SUCCESS")))
-        .map(st => (st.getPath.getName.drop(1).toLong, st.getPath.toString))
-        .sortBy(_._1).lastOption
-    var current: Option[(Long, String)] = committed()
+        .map(st => (st.getPath.getName.drop(1).toLong, st.getPath))
+        .sortBy(_._1)
+    // live log = newest committed base + the deltas strictly after it
+    def liveLog(): (Option[(Long, Path)], Seq[(Long, Path)]) = {
+      val bas = committedDirs('c').lastOption
+      val floor = bas.map(_._1).getOrElse(-1L)
+      (bas, committedDirs('b').filter(_._1 > floor))
+    }
+    // readable paths under a generation dir: a compacted base holds
+    // bk=<k> leaf dirs (read directly so no partition-discovery
+    // basePath juggling is needed — bk is re-derived from user_id
+    // where required); a delta is a plain parquet dir
+    def readPaths(p: Path): Seq[Path] = {
+      val bk = fs.listStatus(p).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("bk="))
+        .map(_.getPath)
+      if (bk.nonEmpty) bk else Seq(p)
+    }
+    def mergePerKey(df: DataFrame): DataFrame =
+      df.groupBy(col("user_id"))
+        .agg(max(struct(col("last_ts"), col("last_event_id"),
+               col("last_type"))).as("_m"),
+             sum(col("n_events")).as("n_events"))
+        .select(col("user_id"), col("_m.last_ts").as("last_ts"),
+          col("_m.last_event_id").as("last_event_id"),
+          col("_m.last_type").as("last_type"), col("n_events"))
+
+    // recovery: a crash between base commit and input retirement can
+    // strand deltas at ids ≤ the base — retire them now
+    locally {
+      val floor = committedDirs('c').lastOption.map(_._1).getOrElse(-1L)
+      committedDirs('b').filter(_._1 <= floor)
+        .foreach { case (_, p) => fs.delete(p, true) }
+    }
+    var lastCommitted: Long =
+      (committedDirs('b') ++ committedDirs('c')).map(_._1)
+        .foldLeft(-1L)(math.max)
     var batchesThisRun = 0
+
+    def compact(upToId: Long): Unit = {
+      val (bas, deltas) = liveLog()
+      val inputDirs = bas.map(_._2).toSeq ++ deltas.map(_._2)
+      val paths = inputDirs.flatMap(readPaths).map(_.toString)
+      if (paths.nonEmpty) {
+        val out = s"$genRoot/c$upToId"
+        mergePerKey(ss.read.parquet(paths: _*))
+          .withColumn("bk", bucketOf(col("user_id")))
+          .repartition(UpsertBuckets, col("bk"))
+          .write.partitionBy("bk").mode("overwrite").parquet(out)
+        // base committed (_SUCCESS) — retiring inputs is now safe;
+        // a crash mid-delete strands dirs that recovery ignores
+        inputDirs.foreach(p => fs.delete(p, true))
+      }
+    }
 
     val q = ev.writeStream
       .option("checkpointLocation", s"$base/ckpt")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        if (current.exists(_._1 >= batchId)) {
-          // replayed batch already merged into the target — skip.
+        if (batchId <= lastCommitted) {
+          // replayed batch already in the committed log — skip.
         } else {
-          val partial = batch
+          // O(batch): pre-aggregate to per-user grain and append one
+          // delta. The target is NOT read on the write path, and the
+          // delta is deliberately UNclustered — it is O(batch) and
+          // transient; compaction below is what clusters into buckets
+          // (the same split Delta Lake makes: cheap appends, OPTIMIZE
+          // clusters later).
+          val delta = batch
             .groupBy(col("user_id"))
             .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("_m"),
                  count(lit(1)).as("n_events"))
             .select(col("user_id"), col("_m.ts").as("last_ts"),
               col("_m.event_id").as("last_event_id"),
               col("_m.event_type").as("last_type"), col("n_events"))
-          val merged = current match {
-            case None => partial
-            case Some((_, path)) =>
-              ss.read.parquet(path).unionByName(partial)
-                .groupBy(col("user_id"))
-                .agg(max(struct(col("last_ts"), col("last_event_id"),
-                       col("last_type"))).as("_m"),
-                     sum(col("n_events")).as("n_events"))
-                .select(col("user_id"), col("_m.last_ts").as("last_ts"),
-                  col("_m.last_event_id").as("last_event_id"),
-                  col("_m.last_type").as("last_type"), col("n_events"))
-          }
-          val next = s"$base/gen/b$batchId"
-          merged.write.mode("overwrite").parquet(next)
-          val prev = current
-          current = Some((batchId, next))
-          prev.foreach { case (_, p) => fs.delete(new Path(p), true) }
+          // the _SUCCESS this write drops is the delta's commit marker
+          delta.write.mode("overwrite").parquet(s"$genRoot/b$batchId")
+          lastCommitted = batchId
+          if (batchId % UpsertCompactEvery == UpsertCompactEvery - 1)
+            compact(batchId)
           batchesThisRun += 1
           if (failAfterBatches.exists(batchesThisRun >= _))
             throw new RuntimeException("graft-injected-crash")
@@ -319,13 +396,18 @@ object EventStream {
     q.awaitTermination()
     // ephemeral mode (no caller-owned work dir): the source split and
     // checkpoint are dead weight once the run completed — only the
-    // committed generation backing the returned frame stays.
+    // committed log backing the returned frame stays.
     if (baseDir.isEmpty) {
       fs.delete(new Path(srcDir), true)
       fs.delete(new Path(s"$base/ckpt"), true)
     }
-    spark.read.parquet(current.map(_._2).getOrElse(
-      sys.error("upsertSink: no committed generation")))
+    val (bas, deltas) = liveLog()
+    val livePaths = (bas.map(_._2).toSeq ++ deltas.map(_._2))
+      .flatMap(readPaths).map(_.toString)
+    if (livePaths.isEmpty) sys.error("upsertSink: no committed generation")
+    val scan = spark.read.parquet(livePaths: _*)
+    // merge-on-read only when uncompacted deltas remain
+    if (deltas.isEmpty) scan else mergePerKey(scan)
   }
 
   /** Native session windows: 30-minute inactivity gap per user. */
