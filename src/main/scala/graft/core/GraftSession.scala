@@ -37,4 +37,22 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Scratch path for a query's side-effect output, unique per
+    * (operator, data dir, SPARK APPLICATION): two processes running
+    * the same query against the same data dir (e.g. Verify and Bench
+    * concurrently) must never overwrite each other's layout mid-read.
+    * toUnsignedString instead of .abs — Int.MinValue.abs is negative. */
+  def scratchDir(spark: SparkSession, tag: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
+      s"${spark.sparkContext.applicationId}_" +
+      java.lang.Integer.toUnsignedString(dir.hashCode)
+
+  /** Scratch TABLE name, unique the same way (catalog names share the
+    * derby metastore across sessions in one JVM but not across
+    * processes writing to the same warehouse dir). */
+  def scratchTable(spark: SparkSession, tag: String, dir: String): String =
+    s"g_${tag}_" +
+      s"${spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}_" +
+      java.lang.Integer.toUnsignedString(dir.hashCode)
 }

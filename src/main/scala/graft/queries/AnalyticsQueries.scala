@@ -51,7 +51,7 @@ object AnalyticsQueries {
     "an_analyze_stats" -> ((s, dir) => {
       val ss = s.newSession()
       ss.conf.set("spark.sql.cbo.enabled", "true")
-      val tn = s"g_stats_${dir.hashCode.abs}"
+      val tn = graft.core.GraftSession.scratchTable(s, "stats", dir)
       Tables(ss, dir).orders.write.mode("overwrite").saveAsTable(tn)
       ss.sql(s"ANALYZE TABLE $tn COMPUTE STATISTICS FOR COLUMNS o_orderkey, o_orderstatus")
       // plan-level statistics read SQLConf.get from the thread's ACTIVE
@@ -84,7 +84,7 @@ object AnalyticsQueries {
     // silently discards. The emitted row carries all three observed
     // counts, every one oracle-stated.
     "an_badrecords" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_badrec_${dir.hashCode.abs}"
+      val out = graft.core.GraftSession.scratchDir(s, "badrec", dir)
       val t = Tables(s, dir)
       t.nation.toJSON.write.mode("overwrite").text(out)
       // append a file of known-broken lines (truncated JSON, plain
@@ -120,7 +120,7 @@ object AnalyticsQueries {
     // pins both generation counts and the null accounting of the
     // late-added column.
     "s16_schema_evolution" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_schevo_${dir.hashCode.abs}"
+      val out = graft.core.GraftSession.scratchDir(s, "schevo", dir)
       val t = Tables(s, dir)
       t.region.select("r_regionkey", "r_name")
         .write.mode("overwrite").parquet(s"$out/gen=1")

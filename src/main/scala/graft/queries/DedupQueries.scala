@@ -48,19 +48,20 @@ object DedupQueries {
     // with a bloom filter of the train shingle set — see
     // j8_bloom_filter_join for that machinery).
     "dd_decontaminate" -> ((s, dir) => {
-      // persisted: train and eval branches both consume the exploded
-      // relation — without it the regex-normalize + shingle transform
-      // lineage runs twice (the harness clears the cache per query; a
-      // pipeline embedding this would unpersist after the action)
-      val sh = Dedup.withShingles(Tables(s, dir).documents)
+      // the parity filter runs BEFORE shingling, so the two branches
+      // shingle DISJOINT halves — every document is normalized and
+      // shingled exactly once with no cache to manage (the filter
+      // reaches the parquet scan on both branches)
+      val docs = Tables(s, dir).documents
+      def shingled(half: DataFrame) = Dedup.withShingles(half)
         .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-        .persist()
-      val train = sh.filter(col("doc_id") % 2 === 0).select("shingle").distinct()
+      val train = shingled(docs.filter(col("doc_id") % 2 === 0))
+        .select("shingle").distinct()
       // count, not countDistinct: shingles are distinct WITHIN a doc
       // (withShingles array_distincts) and the train side is distinct,
       // so each (eval doc, shingle) row joins at most once — the
       // countDistinct dedup pass would be pure waste
-      sh.filter(col("doc_id") % 2 === 1)
+      shingled(docs.filter(col("doc_id") % 2 === 1))
         .join(train, Seq("shingle"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shared_shingles"))

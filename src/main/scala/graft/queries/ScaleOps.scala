@@ -137,7 +137,7 @@ object ScaleOps {
       // the difference between touching 1/7th of the data and all of
       // it. (The write is part of the measured operator: layout is a
       // cost you pay once to prune forever.)
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_${dir.hashCode.abs}"
+      val out = graft.core.GraftSession.scratchDir(s, "part", dir)
       Tables(s, dir).lineitem
         .select("l_orderkey", "l_extendedprice", "l_returnflag")
         .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
@@ -154,8 +154,8 @@ object ScaleOps {
       // per-query shuffle is traded for a one-time bucketed write.
       // On a cluster the same layout makes every orders⋈lineitem
       // query shuffle-free forever.
-      val h = dir.hashCode.abs
-      val ordT = s"g_orders_b$h"; val liT = s"g_lineitem_b$h"
+      val ordT = graft.core.GraftSession.scratchTable(s, "orders_b", dir)
+      val liT = graft.core.GraftSession.scratchTable(s, "lineitem_b", dir)
       // recreate BOTH tables if EITHER is missing — a prior run that
       // died between the two writes must not leave a half-built layout
       // that later runs trust
@@ -190,7 +190,7 @@ object ScaleOps {
       // then DROP it (catalog forgets it). The emitted row carries the
       // observed row counts and catalog state so the oracle checks the
       // whole lifecycle, not just that the query ran.
-      val tn = s"g_scratch_${dir.hashCode.abs}"
+      val tn = graft.core.GraftSession.scratchTable(s, "scratch", dir)
       Tables(s, dir).region.write.mode("overwrite").saveAsTable(tn)
       val preRows = s.table(tn).count()
       s.sql(s"TRUNCATE TABLE $tn")
@@ -235,7 +235,7 @@ object ScaleOps {
       // shuffle: partitions are concatenated, never redistributed. The
       // emitted row carries the rewritten file count and a
       // content-equality check, both oracle-stated.
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_compact_${dir.hashCode.abs}"
+      val out = graft.core.GraftSession.scratchDir(s, "compact", dir)
       val src = Tables(s, dir).orders
       src.repartition(64).write.mode("overwrite").parquet(s"$out/small")
       val small = s.read.parquet(s"$out/small")
@@ -274,7 +274,7 @@ object ScaleOps {
       // the code — exactly one shuffle, paid once, pruning forever.
       // ZOrderSpec proves the clustering property against a 1-D sort.
       import graft.functions.ZOrder
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_zorder_${dir.hashCode.abs}"
+      val out = graft.core.GraftSession.scratchDir(s, "zorder", dir)
       val li = Tables(s, dir).lineitem
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
       val b = li.agg(min("l_partkey"), max("l_partkey"),
@@ -334,7 +334,7 @@ object ScaleOps {
       // partitioned so files carry tight, disjoint key ranges; the
       // planner move (filter manifest → collect file list) is exactly
       // what every table format's scan planner does driver-side.
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_manifest_${dir.hashCode.abs}"
+      val out = graft.core.GraftSession.scratchDir(s, "manifest", dir)
       val li = Tables(s, dir).lineitem.select("l_orderkey", "l_extendedprice")
       li.repartitionByRange(16, col("l_orderkey"))
         .sortWithinPartitions("l_orderkey")
@@ -402,7 +402,7 @@ object ScaleOps {
       // KBs per partition. The exact value is emitted for the oracle;
       // the boolean asserts the merged estimate's documented ~2%
       // (lgConfigK=12) error contract with margin.
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_sketch_${dir.hashCode.abs}"
+      val out = graft.core.GraftSession.scratchDir(s, "sketch", dir)
       val ord = Tables(s, dir).orders
         .select(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
           col("o_custkey"))
