@@ -63,6 +63,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("etl_scd2: both window passes share one exchange and one sort") {
+    // lag → filter → row_number/lead all run on the same (o_custkey)
+    // partitioning and (valid_from, o_orderkey) ordering — the plan
+    // must carry exactly one shuffle and one sort, or history builds
+    // pay a second full exchange at dimension scale. (Round-4's bench
+    // blip on this query was steal; the plan was and is right — this
+    // pins it.)
+    val finalPlan = executedPlan("etl_scd2").split("== Initial Plan ==").head
+    assert("Exchange hashpartitioning".r.findAllIn(finalPlan).size == 1, finalPlan)
+    assert("Sort \\[".r.findAllIn(finalPlan).size == 1, finalPlan)
+  }
+
   test("st_enrich: stream-static lookup joins by broadcast, not shuffle") {
     import org.apache.spark.sql.functions._
     // inspect the equivalent batch plan shape (the streaming plan wraps
