@@ -65,6 +65,33 @@ object DedupQueries {
         .join(train, Seq("shingle"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shared_shingles"))
+    }),
+    // bloom-filter-fronted decontamination — the promise in
+    // dd_decontaminate's comment, kept: Spark's runtime bloom-filter
+    // injection builds a bloom over the train shingle set and
+    // evaluates might_contain on the eval side BEFORE its shuffle, so
+    // at 100 TB the eval corpus ships only probably-contaminated
+    // shingles instead of all of them. Results are hash-identical to
+    // dd_decontaminate: blooms have no false negatives, and false
+    // positives die in the join. Session-scoped confs on a child
+    // session; the size floors are zeroed only because the harness
+    // corpus is tiny (the defaults trigger naturally at scale).
+    // PlanSpec pins the might_contain probe in the executed plan.
+    "dd_decontaminate_bloom" -> ((s, dir) => {
+      val ss = s.newSession()
+      ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val docs = Tables(ss, dir).documents
+      def shingled(half: DataFrame) = Dedup.withShingles(half)
+        .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      val train = shingled(docs.filter(col("doc_id") % 2 === 0))
+        .select("shingle").distinct()
+      shingled(docs.filter(col("doc_id") % 2 === 1))
+        .join(train, Seq("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shared_shingles"))
     }))
 
   private val norm = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
@@ -141,6 +168,17 @@ object DedupQueries {
          |       MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
          |FROM documents GROUP BY 1""".stripMargin,
     "dd_decontaminate" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(string_split($norm, ' ')) - 2, 1) + 1),
+         |    i -> array_to_string((string_split($norm, ' '))[i:i+2], ' ')))) AS shingle
+         |  FROM documents),
+         |train AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 2 = 0)
+         |SELECT e.doc_id, COUNT(DISTINCT e.shingle) AS n_shared_shingles
+         |FROM sh e JOIN train USING (shingle)
+         |WHERE e.doc_id % 2 = 1
+         |GROUP BY 1""".stripMargin,
+    "dd_decontaminate_bloom" ->
       s"""WITH sh AS (
          |  SELECT doc_id, unnest(list_distinct(list_transform(
          |    range(1, greatest(len(string_split($norm, ' ')) - 2, 1) + 1),

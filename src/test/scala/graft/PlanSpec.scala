@@ -63,6 +63,11 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("dd_decontaminate_bloom: eval side probes a runtime bloom before its shuffle") {
+    val plan = executedPlan("dd_decontaminate_bloom")
+    assert(plan.contains("might_contain"), plan)
+  }
+
   test("etl_scd2: both window passes share one exchange and one sort") {
     // lag → filter → row_number/lead all run on the same (o_custkey)
     // partitioning and (valid_from, o_orderkey) ordering — the plan
