@@ -77,7 +77,16 @@ object Bench {
       // codegen warmup, which looks like a blown run but isn't steal).
       def good = timings.filter(_._1).map(_._2)
       val basis = if (good.size >= 3) good.tail else good
-      val retried = basis.nonEmpty && basis.max / basis.min > 2.0
+      val spreadRetry = basis.nonEmpty && basis.max / basis.min > 2.0
+      // uniform-steal shape (round 5's st_user_journey phantom:
+      // [2.14, 7.61, 6.57]): run 1 — which CARRIES codegen warmup —
+      // is the minimum and every post-warmup run is ≥2× it.
+      // Steady-state can't be slower than warmup, so that shape means
+      // every steady-state sample was contaminated AND the reported
+      // min is a warmup-laden outlier of an earlier, milder wave.
+      val uniformRetry = good.size >= 3 && good.head <= good.min &&
+        basis.min / good.head > 2.0
+      val retried = spreadRetry || uniformRetry
       if (retried) timings ++= (1 to 2).map(_ => once())
       // a failed run's fast-fail elapsed time must never enter the min:
       // a regression that errors out would otherwise read as a speedup
@@ -103,6 +112,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","load":[$loadBefore%.2f,$loadAfter%.2f],"queries":$qs,"runs":$runsJson,"failed":$failed,"retried":$retriedJson,"sf":"$sfDir"}""")
+    graft.core.GraftSession.dropScratch(spark)
     spark.stop()
   }
 }

@@ -35,6 +35,7 @@ object GraftSession {
     val cpus = defaultCpus
     val s = builder(appName, cpus).master(s"local[$cpus]").getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    sweepStaleScratch(s)
     s
   }
 
@@ -55,4 +56,54 @@ object GraftSession {
     s"g_${tag}_" +
       s"${spark.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")}_" +
       java.lang.Integer.toUnsignedString(dir.hashCode)
+
+  /** Drop THIS application's scratch tables and delete its scratch
+    * dirs — mains call it right before `spark.stop()`, so every normal
+    * run leaves the warehouse and tmp exactly as it found them (the
+    * app-scoped names otherwise accumulate one full bucketed-table
+    * copy per run, without bound). */
+  def dropScratch(spark: SparkSession): Unit = {
+    val app = spark.sparkContext.applicationId
+    val sanitized = app.replaceAll("[^A-Za-z0-9]", "_")
+    scala.util.Try {
+      spark.catalog.listTables().collect()
+        .map(_.name).filter(n => n.startsWith("g_") && n.contains(sanitized))
+        .foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
+    }
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(f => f.getName.startsWith("graft_") && f.getName.contains(app))
+      .foreach(deleteRecursively)
+  }
+
+  /** Sweep scratch left behind by CRASHED/KILLED runs: an app-scoped
+    * artifact untouched for 2 h cannot belong to a live harness
+    * process (Verify and Bench run minutes; concurrent runs are the
+    * reason the names are app-scoped, and age is what keeps this sweep
+    * from touching them). Runs once per JVM, from local(). */
+  private val sweptStale = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def sweepStaleScratch(spark: SparkSession): Unit =
+    if (sweptStale.compareAndSet(false, true)) scala.util.Try {
+      val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.getName.startsWith("graft_") && f.lastModified < cutoff)
+        .foreach(deleteRecursively)
+      val warehouse = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)
+      spark.catalog.listTables().collect().map(_.name)
+        .filter(_.startsWith("g_"))
+        .filter { n =>
+          val d = new java.io.File(warehouse, n)
+          !d.exists || d.lastModified < cutoff // dangling or stale
+        }
+        .foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
+    }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(deleteRecursively)
+    f.delete()
+  }
 }

@@ -67,28 +67,31 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_shared_shingles"))
     }),
     // bloom-filter-fronted decontamination — the promise in
-    // dd_decontaminate's comment, kept: Spark's runtime bloom-filter
-    // injection builds a bloom over the train shingle set and
-    // evaluates might_contain on the eval side BEFORE its shuffle, so
-    // at 100 TB the eval corpus ships only probably-contaminated
-    // shingles instead of all of them. Results are hash-identical to
-    // dd_decontaminate: blooms have no false negatives, and false
-    // positives die in the join. Session-scoped confs on a child
-    // session; the size floors are zeroed only because the harness
-    // corpus is tiny (the defaults trigger naturally at scale).
-    // PlanSpec pins the might_contain probe in the executed plan.
+    // dd_decontaminate's comment, kept. Spark's own InjectRuntimeFilter
+    // can NEVER produce this plan: the rule only fires when the
+    // probe-side key is a plain scan column, and both keys here are
+    // explode(shingles) outputs. So the engine builds the identical
+    // expression tree explicitly (BloomFilterSupport): a distributed
+    // BloomFilterAggregate over xxhash64(train shingle) in a scalar
+    // subquery, probed with might_contain on the eval side BEFORE its
+    // shuffle — at 100 TB the eval corpus ships only
+    // probably-contaminated shingles instead of all of them. Results
+    // are hash-identical to dd_decontaminate: blooms have no false
+    // negatives, and false positives die in the join. PlanSpec pins
+    // the might_contain probe in the executed plan.
     "dd_decontaminate_bloom" -> ((s, dir) => {
-      val ss = s.newSession()
-      ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-      ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
-      ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
-      ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val docs = Tables(ss, dir).documents
+      val docs = Tables(s, dir).documents
       def shingled(half: DataFrame) = Dedup.withShingles(half)
         .select(col("doc_id"), explode(col("shingles")).as("shingle"))
       val train = shingled(docs.filter(col("doc_id") % 2 === 0))
         .select("shingle").distinct()
-      shingled(docs.filter(col("doc_id") % 2 === 1))
+      val eval = shingled(docs.filter(col("doc_id") % 2 === 1))
+      // sized like Spark's own injected runtime filters (1M items →
+      // 1 MB bloom); at real scale size to the train-corpus NDV —
+      // undersizing only raises the FP rate, never loses a match
+      val probe = graft.functions.BloomFilterSupport
+        .mightContainProbe(train, "shingle", col("shingle"), 1L * 1000 * 1000)
+      eval.filter(probe)
         .join(train, Seq("shingle"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shared_shingles"))
