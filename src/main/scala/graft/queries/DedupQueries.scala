@@ -95,6 +95,32 @@ object DedupQueries {
         .join(train, Seq("shingle"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shared_shingles"))
+    }),
+    // graded decontamination — the production form most pipelines
+    // actually run: an eval doc sharing ONE shingle with train is
+    // usually a stock phrase, not contamination, so the gate is the
+    // OVERLAP FRACTION (shared / own shingles) against a threshold.
+    // Emits every eval doc (zero-overlap docs included) with its exact
+    // fraction and the ≥10% flag. Same slim-equi-join scale shape as
+    // dd_decontaminate plus one broadcast-joinable per-doc size table;
+    // the division is a single IEEE op so the oracle matches
+    // bit-for-bit.
+    "dd_decontaminate_overlap" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+      def shingled(half: DataFrame) = Dedup.withShingles(half)
+        .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      val train = shingled(docs.filter(col("doc_id") % 2 === 0))
+        .select("shingle").distinct()
+      val shared = shingled(docs.filter(col("doc_id") % 2 === 1))
+        .join(train, Seq("shingle"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+      Dedup.withShingles(docs.filter(col("doc_id") % 2 === 1))
+        .select(col("doc_id"), size(col("shingles")).as("n_shingles"))
+        .join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_shingles"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_shingles")
+            >= 0.1).as("contaminated"))
     }))
 
   private val norm = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
@@ -192,6 +218,21 @@ object DedupQueries {
          |FROM sh e JOIN train USING (shingle)
          |WHERE e.doc_id % 2 = 1
          |GROUP BY 1""".stripMargin,
+    "dd_decontaminate_overlap" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(
+         |    range(1, greatest(len(string_split($norm, ' ')) - 2, 1) + 1),
+         |    i -> array_to_string((string_split($norm, ' '))[i:i+2], ' '))) AS shingles
+         |  FROM documents),
+         |train AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh WHERE doc_id % 2 = 0),
+         |ev AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE doc_id % 2 = 1),
+         |sc AS (SELECT doc_id, COUNT(*) AS n_shared
+         |       FROM ev JOIN train USING (shingle) GROUP BY 1),
+         |evd AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh WHERE doc_id % 2 = 1)
+         |SELECT evd.doc_id, n_shingles,
+         |       coalesce(n_shared, 0) AS n_shared,
+         |       CAST(coalesce(n_shared, 0) AS DOUBLE) / n_shingles >= 0.1 AS contaminated
+         |FROM evd LEFT JOIN sc USING (doc_id)""".stripMargin,
     "dd_minhash_pairs" -> minhashPairsSql,
     // connected components over the minhash pair list as a recursive
     // transitive closure; cluster_id = min reachable doc_id — exactly

@@ -121,6 +121,36 @@ object Text {
       hashEmbed(Tables(s, dir).documents)
         .select(col("doc_id"), posexplode(col("embedding")))
         .select(col("doc_id"), col("pos").as("dim"), col("col").as("value"))),
+    "tx_repetition" -> ((s, dir) => {
+      // repetition-based quality signals (the Gopher/RefinedWeb family
+      // of filters): a document whose mass concentrates in one
+      // repeated bigram — or whose vocabulary collapses to few
+      // distinct words — is boilerplate/spam, not prose, and gets
+      // culled before training. Two exact fractions per doc:
+      // dup_word_frac = 1 - distinct/total words, and
+      // top_bigram_frac = occurrences of the most frequent word
+      // bigram / total bigrams. Scale shape: one explode → one
+      // (doc, gram) partial-agg groupBy → one bounded per-doc max —
+      // linear, no wide rows; the scan prunes to (doc_id, text).
+      // Divisions are single IEEE ops so the oracle matches
+      // bit-for-bit.
+      val docs = Tables(s, dir).documents
+      val words = docs.select(col("doc_id"), split(normText(col("text")), " ").as("ws"))
+      val base = words.select(col("doc_id"),
+        size(col("ws")).as("n_words"),
+        size(array_distinct(col("ws"))).as("n_distinct"))
+      val top = words.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("top2"))
+      base.join(top, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_words"))
+            .as("dup_word_frac"),
+          coalesce(col("top2").cast("double") / (col("n_words") - 1), lit(0.0))
+            .as("top_bigram_frac"))
+    }),
     "tx_corpus_mix" -> ((s, dir) => {
       // deterministic domain mixing — the "data mix" step of a
       // pretraining pipeline: cap every (lang, source) cell at
@@ -301,5 +331,19 @@ object Text {
          |         ROW_NUMBER() OVER (PARTITION BY lang, source
          |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick_rank
          |  FROM documents)
-         |WHERE pick_rank <= $MixCap""".stripMargin)
+         |WHERE pick_rank <= $MixCap""".stripMargin,
+    "tx_repetition" ->
+      s"""WITH w AS (SELECT doc_id, string_split($normDuck, ' ') AS ws FROM documents),
+         |b AS (SELECT doc_id, len(ws) AS n_words,
+         |             len(list_distinct(ws)) AS n_distinct FROM w),
+         |t AS (SELECT doc_id, MAX(c) AS top2 FROM (
+         |        SELECT doc_id, g, COUNT(*) AS c FROM (
+         |          SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |                 i -> ws[i] || ' ' || ws[i+1])) AS g
+         |          FROM w WHERE len(ws) >= 2) GROUP BY doc_id, g)
+         |      GROUP BY doc_id)
+         |SELECT b.doc_id, n_words,
+         |       1.0 - CAST(n_distinct AS DOUBLE) / n_words AS dup_word_frac,
+         |       coalesce(CAST(top2 AS DOUBLE) / (n_words - 1), 0.0) AS top_bigram_frac
+         |FROM b LEFT JOIN t USING (doc_id)""".stripMargin)
 }
