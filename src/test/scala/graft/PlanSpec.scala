@@ -68,6 +68,30 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("might_contain"), plan)
   }
 
+  test("t4: top-k filter becomes a map-side partial WindowGroupLimit") {
+    // only ~k rows per group per partition may reach the exchange —
+    // at fact-table scale the difference between shuffling 3 rows and
+    // shuffling every row per group
+    val plan = executedPlan("t4_topk_per_group")
+    assert(plan.contains("row_number(), 3, Partial"), plan)
+  }
+
+  test("ss_knn_ivfpq: cell probe is a broadcast hash join on the cell id") {
+    val plan = executedPlan("ss_knn_ivfpq")
+    assert(plan.contains("BroadcastHashJoin [cid"), plan)
+  }
+
+  test("tx_repetition: scan prunes to (doc_id, text)") {
+    val plan = executedPlan("tx_repetition")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
+
+  test("dd_decontaminate_overlap: candidate generation never goes cartesian") {
+    val plan = executedPlan("dd_decontaminate_overlap")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("etl_scd2: both window passes share one exchange and one sort") {
     // lag → filter → row_number/lead all run on the same (o_custkey)
     // partitioning and (valid_from, o_orderkey) ordering — the plan
