@@ -538,6 +538,30 @@ object Similarity {
         .select(col("id_a"), col("id_b"),
           expr(cosineSql("e_a", "e_b", DIM)).as("cosine"))
         .filter(col("cosine") >= 0.3)
+    }),
+    // SEMANTIC dedup end-to-end — the embedding-space analog of
+    // dd_dedup_corpus: near-dup pairs (the oracle-exact fixed-form
+    // bucketing, so DuckDB replays every edge) → min-label connected
+    // components (Dedup.clusters — the same generation-disciplined
+    // fixpoint) → per-vector keep/drop, keeping each cluster's min-id
+    // representative. Vectors with no near-dup edge are their own
+    // cluster and always keep. This is the pipeline that actually
+    // shrinks a corpus: pairs alone can't drive a drop decision.
+    "ss_semantic_dedup" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+        .withColumn("bucket", expr(signBucketSql("embedding", DIM, PLANES)))
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("e_a"), col("bucket"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("e_b"), col("bucket"))
+      val pairs = a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+        .filter(expr(cosineSql("e_a", "e_b", DIM)) >= 0.3)
+        .select("id_a", "id_b")
+      val cl = graft.operators.Dedup.clusters(pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      Tables(s, dir).embeddings.select(col("vec_id"))
+        .join(cl, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+        .withColumn("keep", col("cluster_id") === col("vec_id"))
     }))
 
   private def contractOracle(extra: String): String =
@@ -637,5 +661,25 @@ object Similarity {
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |       ${cosineDuck("a.embedding", "b.embedding", DIM)} AS cosine
          |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE ${cosineDuck("a.embedding", "b.embedding", DIM)} >= 0.3""".stripMargin)
+         |WHERE ${cosineDuck("a.embedding", "b.embedding", DIM)} >= 0.3""".stripMargin,
+    // min-label connected components over the fixed-form pair list as
+    // a recursive transitive closure (the dd_clusters oracle shape),
+    // then keep = is-own-cluster-representative.
+    "ss_semantic_dedup" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding,
+         |                  ${signBucketDuck("embedding", DIM, PLANES)} AS bucket
+         |           FROM embeddings),
+         |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |      WHERE ${cosineDuck("a.embedding", "b.embedding", DIM)} >= 0.3),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+         |          UNION ALL SELECT id_b, id_a FROM p),
+         |reach(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e2.src, r.label FROM edges e2 JOIN reach r ON e2.dst = r.id),
+         |cl AS (SELECT id AS vec_id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+         |SELECT v.vec_id, coalesce(cl.cluster_id, v.vec_id) AS cluster_id,
+         |       coalesce(cl.cluster_id, v.vec_id) = v.vec_id AS keep
+         |FROM (SELECT vec_id FROM embeddings) v LEFT JOIN cl USING (vec_id)""".stripMargin)
 }

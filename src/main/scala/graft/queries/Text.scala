@@ -139,17 +139,40 @@ object Text {
       val base = words.select(col("doc_id"),
         size(col("ws")).as("n_words"),
         size(array_distinct(col("ws"))).as("n_distinct"))
-      val top = words.filter(size(col("ws")) >= 2)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("g"))
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(max(col("c")).as("top2"))
-      base.join(top, Seq("doc_id"), "left")
+      topBigram(words).join(base, Seq("doc_id"), "right")
         .select(col("doc_id"), col("n_words"),
           (lit(1.0) - col("n_distinct").cast("double") / col("n_words"))
             .as("dup_word_frac"),
           coalesce(col("top2").cast("double") / (col("n_words") - 1), lit(0.0))
             .as("top_bigram_frac"))
+    }),
+    "tx_filter_pipeline" -> ((s, dir) => {
+      // composed keep/drop gate — the C4/Gopher-style filter pipeline
+      // run before any pretraining corpus ships: minimum length,
+      // repetition bounds, and a stopword prose signal (applied only
+      // to the language whose stopword list this engine carries),
+      // each emitted as its own boolean so downstream can audit WHY a
+      // doc dropped, plus the conjunction. One scan, one bounded
+      // per-doc bigram agg — same linear shape as tx_repetition;
+      // thresholds sit at the corpus quartiles so the gate genuinely
+      // splits (≈half keeps at sf0.01), not rubber-stamps.
+      val docs = Tables(s, dir).documents
+      val words = docs.select(col("doc_id"), col("lang"),
+        stopwordHits(col("text")).as("stop_hits"),
+        split(normText(col("text")), " ").as("ws"))
+      val base = words.select(col("doc_id"), col("lang"), col("stop_hits"),
+        size(col("ws")).as("n_words"),
+        size(array_distinct(col("ws"))).as("n_distinct"))
+      val gated = topBigram(words).join(base, Seq("doc_id"), "right")
+        .select(col("doc_id"),
+          (col("n_words") >= 30).as("len_ok"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_words") <= 0.65)
+            .as("rep_ok"),
+          (coalesce(col("top2").cast("double") / (col("n_words") - 1), lit(0.0))
+            <= 0.08).as("bigram_ok"),
+          (col("lang") =!= "en" || col("stop_hits") >= 1).as("stop_ok"))
+      gated.withColumn("keep",
+        col("len_ok") && col("rep_ok") && col("bigram_ok") && col("stop_ok"))
     }),
     "tx_corpus_mix" -> ((s, dir) => {
       // deterministic domain mixing — the "data mix" step of a
@@ -197,6 +220,16 @@ object Text {
         when(col("_n") > 0, expr("transform(raw, x -> x / _n)"))
           .otherwise(col("raw")).as("embedding"))
   }
+
+  /** Most-frequent word bigram count per doc (docs with ≥2 words) —
+    * shared by tx_repetition and tx_filter_pipeline. Input needs
+    * (doc_id, ws: array<string>). */
+  private def topBigram(words: DataFrame): DataFrame =
+    words.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("top2"))
 
   private val MixCap = 50
 
@@ -332,6 +365,28 @@ object Text {
          |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick_rank
          |  FROM documents)
          |WHERE pick_rank <= $MixCap""".stripMargin,
+    "tx_filter_pipeline" ->
+      s"""WITH w AS (SELECT doc_id, lang,
+         |             len(regexp_extract_all(lower(text), '\\b($stopsEn)\\b')) AS stop_hits,
+         |             string_split($normDuck, ' ') AS ws FROM documents),
+         |b AS (SELECT doc_id, lang, stop_hits, len(ws) AS n_words,
+         |             len(list_distinct(ws)) AS n_distinct FROM w),
+         |t AS (SELECT doc_id, MAX(c) AS top2 FROM (
+         |        SELECT doc_id, g, COUNT(*) AS c FROM (
+         |          SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |                 i -> ws[i] || ' ' || ws[i+1])) AS g
+         |          FROM w WHERE len(ws) >= 2) GROUP BY doc_id, g)
+         |      GROUP BY doc_id)
+         |SELECT doc_id,
+         |       n_words >= 30 AS len_ok,
+         |       1.0 - CAST(n_distinct AS DOUBLE) / n_words <= 0.65 AS rep_ok,
+         |       coalesce(CAST(top2 AS DOUBLE) / (n_words - 1), 0.0) <= 0.08 AS bigram_ok,
+         |       (lang <> 'en' OR stop_hits >= 1) AS stop_ok,
+         |       (n_words >= 30
+         |        AND 1.0 - CAST(n_distinct AS DOUBLE) / n_words <= 0.65
+         |        AND coalesce(CAST(top2 AS DOUBLE) / (n_words - 1), 0.0) <= 0.08
+         |        AND (lang <> 'en' OR stop_hits >= 1)) AS keep
+         |FROM b LEFT JOIN t USING (doc_id)""".stripMargin,
     "tx_repetition" ->
       s"""WITH w AS (SELECT doc_id, string_split($normDuck, ' ') AS ws FROM documents),
          |b AS (SELECT doc_id, len(ws) AS n_words,
