@@ -26,7 +26,10 @@ object Etl {
     // The summary is deterministic (stage names + row counts), so it
     // gets a real oracle; the per-table oracles above cover content.
     "etl_pipeline" -> ((s, dir) => {
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse"
+      // app-scoped like every other scratch output (a fixed path
+      // would let concurrent Verify and Bench rebuilds overwrite each
+      // other mid-read); dropScratch cleans it at main exit
+      val out = graft.core.GraftSession.scratchDir(s, "warehouse", dir)
       val results = Pipeline.run(s, dir, out)
       import s.implicits._
       results.map(r => (r.name, r.rows, r.ok)).toDF("stage", "rows", "ok")
