@@ -30,7 +30,7 @@ object Bench {
     "p13_json_extract", "etl_pipeline", "etl_scd2",
     "s11_bucketed_join", "s14_zorder_layout", "s15_manifest_prune",
     "dd_exact", "dd_minhash_pairs", "dd_simhash",
-    "ss_knn_brute", "ss_knn_ivf",
+    "ss_knn_brute", "ss_knn_ivf", "ss_knn_ivfpq",
     "tx_langid", "tx_ngram_profile",
     "st_hourly_agg", "st_user_journey", "st_upsert_sink",
     "reco_topk_cosine", "mm_features")
