@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Unit specs for the composed corpus operators (filter pipeline,
+  * repetition metrics, semantic dedup) on crafted fixtures with
+  * hand-computed expectations — the oracle gate checks them against
+  * DuckDB on the random harness corpus; these pin the SEMANTICS on
+  * inputs built to trip each gate individually. */
+class ComposedOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Fixture dir with documents.parquet (+ optionally embeddings). */
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_composed_fix").toString
+    val good = (1 to 39).map(i => s"w$i").mkString("the ", " ", "") // 40 words, distinct, has stopword
+    val spam = Seq.fill(40)("spam").mkString(" ")                   // one word 40x
+    val zh = (1 to 35).map(i => s"z$i").mkString(" ")               // 35 distinct, no en stopwords
+    Seq(
+      (1L, good, "en", "web", good.length.toLong),
+      (2L, spam, "en", "web", spam.length.toLong),
+      (3L, "five short words only here", "en", "web", 26L),
+      (4L, zh, "zh", "web", zh.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // embeddings: 1,2,3 along +e1 (cos 1 pairwise, one bucket/cluster),
+    // 4 along a mixed direction far from the others
+    def vec(main: Int, alt: Boolean): Seq[Float] =
+      (0 until 64).map { i =>
+        if (!alt) { if (i == main) 1f else 0f }
+        else { if (i < 32) 0.18f else -0.11f } // different sign bucket
+      }
+    Seq(
+      (1L, vec(0, alt = false), 0),
+      (2L, vec(0, alt = false), 0),
+      (3L, vec(0, alt = false), 0),
+      (4L, vec(0, alt = true), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("tx_repetition: exact fractions on a degenerate and a clean doc") {
+    val out = SparkEntry.queries("tx_repetition")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+    // spam doc: 40 words, 1 distinct -> dup 1 - 1/40; every bigram is
+    // "spam spam" -> top fraction 39/39 = 1.0
+    assert(out(2L) == ((40, 1.0 - 1.0 / 40, 1.0)))
+    // clean doc: all words distinct -> dup 0; all bigrams distinct ->
+    // top fraction 1/39
+    assert(out(1L) == ((40, 0.0, 1.0 / 39)))
+  }
+
+  test("tx_filter_pipeline: each gate trips on the doc built to trip it") {
+    val out = SparkEntry.queries("tx_filter_pipeline")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4),
+          r.getBoolean(5))).toMap
+    assert(out(1L) == ((true, true, true, true, true)))     // keeps
+    assert(out(2L) == ((true, false, false, false, false))) // repetition + no stopwords
+    assert(out(3L)._1 == false)                             // too short
+    assert(out(3L)._5 == false)
+    assert(out(4L)._4 == true)                              // stop gate skips non-en
+  }
+
+  test("ss_semantic_dedup: transitive near-dups collapse to min-id representative") {
+    val out = SparkEntry.queries("ss_semantic_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == ((1L, true)))   // representative
+    assert(out(2L) == ((1L, false)))  // clustered, dropped
+    assert(out(3L) == ((1L, false)))
+    assert(out(4L)._2 == true)        // isolated vector keeps itself
+  }
+}
