@@ -138,13 +138,26 @@ object Similarity {
     cents
   }
 
+  /** Spread a small-file corpus across the cluster before a CPU-heavy
+    * per-vector projection (assignment cosines, PQ encode): a compact
+    * parquet source (one ~MB file → one input split) would otherwise
+    * run it all on a single core — and the partition count must be
+    * pinned or AQE re-coalesces the KB-sized exchange, blind to the
+    * downstream compute (same pattern as Dedup.spread). At corpus
+    * scale the source's own splits already parallelize. */
+  private def spread(e: DataFrame): DataFrame = {
+    val parts = e.sparkSession.sparkContext.defaultParallelism
+    if (e.rdd.getNumPartitions < parts) e.repartition(parts, col("vec_id"))
+    else e
+  }
+
   /** Exact brute-force top-K pairs for the every-100th query set —
     * shared by the baseline query and the ANN recall contracts. */
   private def bruteTopK(e: DataFrame): DataFrame = {
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
-    e.crossJoin(broadcast(q))
+    spread(e).crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         expr(cosineSql("qe", "embedding", DIM)).as("cosine"))
@@ -187,7 +200,7 @@ object Similarity {
       val n = e.count()
       val nQ = e.filter(col("vec_id") % 100 === 0).count()
       val nP = adaptivePlanes(n)
-      val eb = e.withColumn("bucket", expr(signBucketSql("embedding", DIM, nP)))
+      val eb = spread(e).withColumn("bucket", expr(signBucketSql("embedding", DIM, nP)))
       val q = eb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
         .withColumn("probe", explode(expr(probeArraySql("bucket", nP))))
@@ -238,7 +251,7 @@ object Similarity {
       val cents = e.filter(col("vec_id") % 125 === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
       val wa = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-      val assigned = e.crossJoin(broadcast(cents))
+      val assigned = spread(e).crossJoin(broadcast(cents))
         .select(col("vec_id"), col("embedding"), col("cid"),
           expr(cosineSql("embedding", "ce", DIM)).as("csim"))
         .withColumn("arn", row_number().over(wa)).filter(col("arn") === 1)
@@ -278,7 +291,7 @@ object Similarity {
         km.clusterCenters.toSeq.zipWithIndex.map { case (v, i) => (i, v.toArray) })
         .toDF("cid", "ce")
       val wa = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-      val assigned = e.crossJoin(broadcast(cents))
+      val assigned = spread(e).crossJoin(broadcast(cents))
         .select(col("vec_id"), col("embedding"), col("cid"),
           expr(cosineSql("embedding", "ce", DIM)).as("csim"))
         .withColumn("arn", row_number().over(wa)).filter(col("arn") === 1)
@@ -323,7 +336,7 @@ object Similarity {
       // persisted: the quantized relation feeds both sides of the
       // query×corpus scoring join — without it the quantization
       // lineage runs twice.
-      val eq = e.crossJoin(broadcast(stats))
+      val eq = spread(e).crossJoin(broadcast(stats))
         .select(col("vec_id"), expr(quant).as("qv"))
         .persist()
       val q = eq.filter(col("vec_id") % 100 === 0)
@@ -360,7 +373,7 @@ object Similarity {
       val cbLit = typedLit(pqCodebook(e, n))
       // encode: per subspace, distances to all 16 centroids, then the
       // argmin index — two array expressions, fully codegen'd
-      val enc = e.withColumn("cb", cbLit)
+      val enc = spread(e).withColumn("cb", cbLit)
         .withColumn("dists", expr(PqDistsSql))
         .withColumn("codes", expr(PqCodesSql))
         .select(col("vec_id"), col("codes"))
@@ -426,7 +439,7 @@ object Similarity {
       // index pass: nearest cell (argmax cosine over broadcast
       // centroids) + PQ codes, one corpus scan, all codegen'd
       val wa = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-      val assigned = e.crossJoin(broadcast(cents))
+      val assigned = spread(e).crossJoin(broadcast(cents))
         .select(col("vec_id"), col("embedding"), col("cid"),
           expr(cosineSql("embedding", "ce", DIM)).as("csim"))
         .withColumn("arn", row_number().over(wa)).filter(col("arn") === 1)

@@ -83,7 +83,17 @@ object Text {
       // per-group selection. The profile table that a real n-gram
       // language-ID model trains from.
       import org.apache.spark.sql.expressions.Window
+      // the corpus ships as one row-group here, so without this
+      // spread the whole normalize+explode chain runs on ONE task —
+      // and the partition count must be PINNED, because AQE sizes
+      // coalescing by the exchange's bytes (a few hundred KB of text)
+      // and would merge it straight back to one partition, blind to
+      // the 300× row explosion downstream (measured: 2.3 s coalesced
+      // → 0.7 s pinned at sf0.1). At corpus scale the scan
+      // parallelizes across row groups by itself; the exchange ships
+      // only text, never the exploded rows.
       val tri = Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .withColumn("t", normText(col("text")))
         .select(col("lang"), explode(expr(
           "transform(sequence(1, greatest(length(t) - 2, 1)), i -> substr(t, i, 3))")).as("tri"))
