@@ -185,14 +185,48 @@ object Dedup {
     * This is the step between candidate pairs and actually dropping
     * duplicates: near-dup is transitive in practice (A~B, B~C ⇒ one
     * cluster) and pair output alone can't drive a keep/drop decision.
-    * Each iteration is one join + min-aggregation (the standard
-    * scalable CC shape); near-dup components have tiny diameters, so
-    * the fixpoint arrives in 2-3 rounds. The driver loop only checks
-    * the converged count — all data stays distributed. */
-  def clusters(pairs: DataFrame): DataFrame = {
+    * Sparse edge sets (≤ driverMaxEdges) take a bounded-collect
+    * union-find fast path; above it, a distributed fixpoint where
+    * each round is one neighbor-min hop (join + min-aggregation, the
+    * standard scalable CC shape) plus one pointer-doubling hop, so
+    * convergence is O(log diameter) — a pathological million-node
+    * chain costs ~20 rounds, not a million. The driver loop only
+    * checks the converged count — all data stays distributed. */
+  def clusters(pairs: DataFrame, driverMaxEdges: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Small-graph fast path: near-dup edge sets are SPARSE (dedup
+    // pairs, not social graphs), and below ~1M edges (≤ ~16 MB — a
+    // bounded, documented collect) a driver union-find finishes in
+    // milliseconds where the distributed fixpoint pays seconds of
+    // fixed per-round scheduling. Same output by construction (min
+    // member id per component). Above the bound, the distributed
+    // doubling loop below takes over; ClustersSpec pins both paths to
+    // identical results.
+    val slim = pairs.select(col("id_a"), col("id_b")).persist()
+    val nPairs = slim.count()
+    if (nPairs <= driverMaxEdges) {
+      val arr = slim.collect().map(r => (r.getLong(0), r.getLong(1)))
+      slim.unpersist()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      arr.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val out = parent.keys.toSeq.map(id => (id, find(id))).sorted
+      import spark.implicits._
+      return out.toDF("doc_id", "cluster_id").repartition(
+        spark.sparkContext.defaultParallelism, col("cluster_id"))
+    }
+    val edges = slim.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(slim.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()
     // Generation discipline — the two failure modes of iterative plans,
     // both fatal long before 100 TB, handled explicitly:
@@ -207,30 +241,57 @@ object Dedup {
     //    one is materialized, so a long fixpoint holds exactly one
     //    labels copy in executor memory, not one per iteration.
     var cachedGen: Option[DataFrame] = None
-    def advance(df: DataFrame): DataFrame = {
+    // materialize a generation with ONE action — the changed-count IS
+    // the materializing job (a separate count() per generation would
+    // double the fixed per-round job cost that dominates sparse edge
+    // sets) — then re-root it as a LogicalRDD over the cache.
+    def advance(df: DataFrame): (DataFrame, Long) = {
       val next = df.persist()
-      next.count()
+      val changed = next.filter(col("new_label") < col("label")).count()
       cachedGen.foreach(_.unpersist())
       cachedGen = Some(next)
-      spark.createDataFrame(next.rdd, next.schema)
+      (spark.createDataFrame(next.rdd, next.schema)
+        .select(col("id"), col("new_label").as("label")), changed)
     }
-    var labels = advance(edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")))
+    var labels = {
+      val init = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id")).persist()
+      init.count()
+      cachedGen = Some(init)
+      spark.createDataFrame(init.rdd, init.schema)
+    }
     var changed = 1L
     while (changed > 0) {
+      // one round = one neighbor-min hop + one pointer-doubling hop
+      // (adopt the label OF my label). Doubling turns the round count
+      // from O(component diameter) into O(log diameter) — on a
+      // pathological million-node chain that is 20 rounds, not a
+      // million, and each round stays join + agg + map-side lookup.
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("dlabel")).as("nmin"))
-      val updated = advance(labels
+      val stepped = labels
         .join(neighborMin, Seq("id"), "left")
         .select(col("id"), col("label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("new_label")))
-      changed = updated.filter(col("new_label") < col("label")).count()
-      labels = updated.select(col("id"), col("new_label").as("label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("slabel"))
+      // keyed by node id (unique per stepped row), so the left join
+      // can't multiply rows; stepped is deliberately referenced twice
+      // within ONE round — bounded duplication, unlike the
+      // generation-to-generation growth advance() exists to stop
+      val jump = stepped
+        .select(col("id").as("slabel"), col("slabel").as("jlabel"))
+      val (next, ch) = advance(stepped
+        .join(jump, Seq("slabel"), "left")
+        .select(col("id"), col("label"),
+          least(col("slabel"), coalesce(col("jlabel"), col("slabel")))
+            .as("new_label")))
+      labels = next
+      changed = ch
     }
     // edges fed only the (now materialized) final generation, which the
     // returned frame reads from.
     edges.unpersist()
+    slim.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
