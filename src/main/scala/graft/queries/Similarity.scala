@@ -1,10 +1,12 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.core.Tables
 import graft.functions.VectorFunctions._
+import graft.functions.{PqAdc, PqEncode, PqExpressions}
+import org.apache.spark.sql.graftbridge.ColumnBridge
 
 /** Similarity search over the `embeddings` table (64-dim float
   * vectors): brute-force cosine top-k as the exactness baseline,
@@ -62,27 +64,17 @@ object Similarity {
   private val NEARDUP_BANDS = 8
   private val NEARDUP_TAU = 0.3
 
-  /** PQ encode/search expression fragments, shared by ss_knn_pq and
-    * ss_knn_ivfpq. All expect the codebook bound as column `cb`
-    * (array[8][16][8] of float); encode additionally expects
-    * `embedding`, ADC expects `qe` + `codes`. Fully codegen'd —
-    * nothing here leaves whole-stage codegen. */
-  private val PqDistsSql =
-    """transform(sequence(0, 7), m ->
-      |  transform(sequence(0, 15), c ->
-      |    aggregate(sequence(0, 7), cast(0 as double), (s, d) ->
-      |      s + pow(cast(element_at(embedding, m*8+d+1) as double) -
-      |              cast(element_at(element_at(element_at(cb, m+1), c+1), d+1)
-      |                   as double), 2))))""".stripMargin
-  private val PqCodesSql =
-    "transform(dists, dm -> cast(array_position(dm, array_min(dm)) as int) - 1)"
-  private val PqAdcSql =
-    """aggregate(sequence(0, 7), cast(0 as double), (s, m) ->
-      |  s + aggregate(sequence(0, 7), cast(0 as double), (s2, d) ->
-      |    s2 + pow(cast(element_at(qe, m*8+d+1) as double) -
-      |             cast(element_at(element_at(element_at(cb, m+1),
-      |                    element_at(codes, m+1) + 1), d+1) as double), 2)))"""
-      .stripMargin
+  /** PQ encode / ADC columns, shared by ss_knn_pq and ss_knn_ivfpq:
+    * native codegen'd Catalyst expressions (PqExpressions — the HOF
+    * formulation is CodegenFallback, i.e. an interpreted lambda per
+    * multiply-add, on exactly the stage that touches every corpus
+    * vector). The flat codebook ships once per task inside the
+    * serialized expression. */
+  private def pqEncodeCol(embedding: Column, cbFlat: Array[Float]): Column =
+    ColumnBridge.column(PqEncode(ColumnBridge.expression(embedding), cbFlat))
+  private def pqAdcCol(qe: Column, codes: Column, cbFlat: Array[Float]): Column =
+    ColumnBridge.column(PqAdc(
+      ColumnBridge.expression(qe), ColumnBridge.expression(codes), cbFlat))
 
   /** Deterministic bounded corpus sample (≤2048 vectors ≈ 0.5 MB) and
     * per-subspace Lloyd fit — the PQ codebook. The only collect in the
@@ -370,23 +362,21 @@ object Similarity {
       val e = Tables(s, dir).embeddings
       val n = e.count()
       val nQ = e.filter(col("vec_id") % 100 === 0).count()
-      val cbLit = typedLit(pqCodebook(e, n))
+      val cbFlat = PqExpressions.flatten(pqCodebook(e, n))
       // encode: per subspace, distances to all 16 centroids, then the
-      // argmin index — two array expressions, fully codegen'd
-      val enc = spread(e).withColumn("cb", cbLit)
-        .withColumn("dists", expr(PqDistsSql))
-        .withColumn("codes", expr(PqCodesSql))
-        .select(col("vec_id"), col("codes"))
+      // argmin index — one native codegen'd expression
+      val enc = spread(e)
+        .select(col("vec_id"), pqEncodeCol(col("embedding"), cbFlat).as("codes"))
       val q = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       // stage 1 — ADC shortlist: rank by asymmetric distance on the
       // compressed codes only, keep top RERANK candidates per query
       val rerankR = 10 * K
       val wAdc = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("vec_id"))
-      val shortlist = enc.withColumn("cb", cbLit).crossJoin(broadcast(q))
+      val shortlist = enc.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("qe"), col("vec_id"),
-          expr(PqAdcSql).as("adist"))
+          pqAdcCol(col("qe"), col("codes"), cbFlat).as("adist"))
         .withColumn("arank", row_number().over(wAdc))
         .filter(col("arank") <= rerankR)
       // stage 2 — exact rerank (the FAISS refine step): fetch the FULL
@@ -429,7 +419,7 @@ object Similarity {
       val e = Tables(s, dir).embeddings
       val n = e.count()
       val nQ = e.filter(col("vec_id") % 100 === 0).count()
-      val cbLit = typedLit(pqCodebook(e, n))
+      val cbFlat = PqExpressions.flatten(pqCodebook(e, n))
       // √n cells (standard IVF sizing — probed fraction shrinks as
       // nprobe/√n), centroids a deterministic stride through the
       // corpus so the index needs no training pass beyond the codebook
@@ -443,9 +433,7 @@ object Similarity {
         .select(col("vec_id"), col("embedding"), col("cid"),
           expr(cosineSql("embedding", "ce", DIM)).as("csim"))
         .withColumn("arn", row_number().over(wa)).filter(col("arn") === 1)
-        .withColumn("cb", cbLit)
-        .withColumn("dists", expr(PqDistsSql))
-        .withColumn("codes", expr(PqCodesSql))
+        .withColumn("codes", pqEncodeCol(col("embedding"), cbFlat))
         .select("vec_id", "cid", "codes")
       val nProbeC = 4
       val wq = Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("cid"))
@@ -465,9 +453,9 @@ object Similarity {
       val rerankR = 10 * K
       val wAdc = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("vec_id"))
       val wX = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
-      val ann = cands.withColumn("cb", cbLit)
+      val ann = cands
         .select(col("qid"), col("qe"), col("vec_id"),
-          expr(PqAdcSql).as("adist"))
+          pqAdcCol(col("qe"), col("codes"), cbFlat).as("adist"))
         .withColumn("arank", row_number().over(wAdc))
         .filter(col("arank") <= rerankR)
         .join(e.select(col("vec_id"), col("embedding")), Seq("vec_id"))
