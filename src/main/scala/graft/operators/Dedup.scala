@@ -12,12 +12,14 @@ import graft.functions.TextFunctions.normText
   *    generates candidate pairs through an equi-join on a blocking key
   *    (LSH band hash / sign bucket / 1-perm min-hash), i.e. one shuffle
   *    on the key, then verifies only the candidates;
-  *  - hashing is md5-based (built-in, codegen'd, and available in
-  *    DuckDB so every operator is oracle-verifiable bit-for-bit);
+  *  - hashing is md5-based (built-in, and available in DuckDB so
+  *    every operator is oracle-verifiable bit-for-bit);
   *  - signatures are computed in a single projection pass with
-  *    higher-order array functions (transform/aggregate) — no explode
-  *    of the shingle set into a row-multiplied intermediate for the
-  *    signature path.
+  *    higher-order array functions (transform/aggregate — interpreted,
+  *    not codegen'd: the price of exact DuckDB-replayable md5 shapes,
+  *    paid once per corpus and bounded by the digest count) — no
+  *    explode of the shingle set into a row-multiplied intermediate
+  *    for the signature path.
   */
 object Dedup {
 

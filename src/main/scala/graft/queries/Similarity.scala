@@ -351,8 +351,8 @@ object Similarity {
     // codebook is TRAINED: deterministic driver-local Lloyd k-means
     // (kmeansLocal, k=16) per subspace on a
     // deterministic bounded corpus sample (≤2048 vectors — the
-    // scale-safe fit size), then broadcast as one literal, exactly the
-    // ss_knn_ivf_kmeans plumbing — encode and search stay pure
+    // scale-safe fit size), shipped inside the native PqEncode/PqAdc
+    // expressions (PqExpressions) — encode and search stay pure
     // codegen'd expression pipelines, no shuffle of the embedding
     // column at all. Codes are argmin output (solver-style), so
     // verification is the recall contract vs in-query brute force;
