@@ -184,6 +184,44 @@ object Text {
       gated.withColumn("keep",
         col("len_ok") && col("rep_ok") && col("bigram_ok") && col("stop_ok"))
     }),
+    "tx_pack" -> ((s, dir) => {
+      // sequence packing — the concat-then-split step that turns a
+      // cleaned corpus into fixed-length training windows: lay docs
+      // end to end in doc_id order and record where each one lands
+      // (bin = context window of PackTokens tokens, offset within
+      // it). The global running total is a DISTRIBUTED two-pass
+      // prefix sum — range-partition by doc_id, per-partition sums
+      // to the driver (bounded: one long per partition), then a
+      // per-partition running pass with the broadcast offsets — the
+      // same shape as surrogateKeyScale, never a single-partition
+      // global window. Exact integer arithmetic; the oracle replays
+      // it as a window cumsum.
+      val docs = Tables(s, dir).documents
+        .select(col("doc_id"), wsTokenCount(col("text")).cast("long").as("n_tokens"))
+      val parts = s.sparkContext.defaultParallelism
+      val ordered = docs.repartitionByRange(parts, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+      val rdd = ordered.rdd
+      val partSums = rdd.mapPartitionsWithIndex { case (i, it) =>
+        Iterator.single(i -> it.map(_.getLong(1)).sum)
+      }.collect().toMap
+      val nParts = rdd.getNumPartitions
+      val offsets = (0 until nParts).scanLeft(0L)((acc, i) =>
+        acc + partSums.getOrElse(i, 0L))
+      val out = rdd.mapPartitionsWithIndex { case (i, it) =>
+        var cum = offsets(i)
+        it.map { r =>
+          val start = cum
+          cum += r.getLong(1)
+          org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), start,
+            start / PackTokens, start % PackTokens)
+        }
+      }
+      s.createDataFrame(out, org.apache.spark.sql.types.StructType(
+        Seq("doc_id", "n_tokens", "cum_start", "bin_id", "bin_offset").map(
+          org.apache.spark.sql.types.StructField(_,
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }),
     "tx_corpus_mix" -> ((s, dir) => {
       // deterministic domain mixing — the "data mix" step of a
       // pretraining pipeline: cap every (lang, source) cell at
@@ -242,6 +280,7 @@ object Text {
       .groupBy("doc_id").agg(max(col("c")).as("top2"))
 
   private val MixCap = 50
+  private val PackTokens = 512L
 
   private val HashDims = 64
   private val ChunkWords = 50
@@ -397,6 +436,18 @@ object Text {
          |        AND coalesce(CAST(top2 AS DOUBLE) / (n_words - 1), 0.0) <= 0.08
          |        AND (lang <> 'en' OR stop_hits >= 1)) AS keep
          |FROM b LEFT JOIN t USING (doc_id)""".stripMargin,
+    "tx_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |             coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_start
+         |      FROM t)
+         |SELECT doc_id, n_tokens, cum_start,
+         |       cum_start // $PackTokens AS bin_id,
+         |       cum_start % $PackTokens AS bin_offset
+         |FROM c""".stripMargin,
     "tx_repetition" ->
       s"""WITH w AS (SELECT doc_id, string_split($normDuck, ' ') AS ws FROM documents),
          |b AS (SELECT doc_id, len(ws) AS n_words,
