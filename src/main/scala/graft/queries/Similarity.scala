@@ -563,6 +563,31 @@ object Similarity {
         .select(col("vec_id"),
           coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
         .withColumn("keep", col("cluster_id") === col("vec_id"))
+    }),
+    // EMBEDDING-SPACE decontamination — the semantic sibling of
+    // dd_decontaminate: an eval vector is contaminated when any train
+    // vector sits within cos ≥ 0.3 of it (the split is vec_id parity,
+    // standing in for two real corpora). Candidates come from the
+    // oracle-exact fixed bucketing — one slim equi-join on the bucket
+    // key, never eval × train — and every eval vector is emitted with
+    // its exact same-bucket hit count, so misses (the bucketing's
+    // false negatives) are part of the DECLARED semantics and DuckDB
+    // replays the whole thing bit-for-bit.
+    "ss_decontaminate" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+        .withColumn("bucket", expr(signBucketSql("embedding", DIM, PLANES)))
+      val train = e.filter(col("vec_id") % 2 === 0)
+        .select(col("vec_id").as("tid"), col("embedding").as("te"), col("bucket"))
+      val eval = e.filter(col("vec_id") % 2 === 1)
+        .select(col("vec_id"), col("embedding"), col("bucket"))
+      val hits = eval.join(train, Seq("bucket"))
+        .filter(expr(cosineSql("embedding", "te", DIM)) >= NEARDUP_TAU)
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("n_train_hits"))
+      eval.select(col("vec_id"))
+        .join(hits, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("n_train_hits"), lit(0L)).as("n_train_hits"),
+          (coalesce(col("n_train_hits"), lit(0L)) > 0).as("contaminated"))
     }))
 
   private def contractOracle(extra: String): String =
@@ -663,6 +688,20 @@ object Similarity {
          |       ${cosineDuck("a.embedding", "b.embedding", DIM)} AS cosine
          |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${cosineDuck("a.embedding", "b.embedding", DIM)} >= 0.3""".stripMargin,
+    "ss_decontaminate" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |                  ${signBucketDuck("embedding", DIM, PLANES)} AS bucket
+         |           FROM embeddings),
+         |hits AS (
+         |  SELECT ev.vec_id, COUNT(*) AS n_train_hits
+         |  FROM e ev JOIN e tr USING (bucket)
+         |  WHERE ev.vec_id % 2 = 1 AND tr.vec_id % 2 = 0
+         |    AND ${cosineDuck("ev.embedding", "tr.embedding", DIM)} >= $NEARDUP_TAU
+         |  GROUP BY 1)
+         |SELECT v.vec_id, coalesce(h.n_train_hits, 0) AS n_train_hits,
+         |       coalesce(h.n_train_hits, 0) > 0 AS contaminated
+         |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 2 = 1) v
+         |LEFT JOIN hits h USING (vec_id)""".stripMargin,
     // min-label connected components over the fixed-form pair list as
     // a recursive transitive closure (the dd_clusters oracle shape),
     // then keep = is-own-cluster-representative.
