@@ -18,6 +18,7 @@ object Streaming {
     "st_sessionize" -> ((s, dir) => EventStream.sessionize(s, dir)),
     "st_user_journey" -> ((s, dir) => EventStream.userJourney(s, dir)),
     "st_dedup_ingest" -> ((s, dir) => EventStream.dedupedIngest(s, dir)),
+    "st_late_data" -> ((s, dir) => EventStream.lateData(s, dir)),
     "st_upsert_sink" -> ((s, dir) => EventStream.upsertSink(s, dir)))
 
   val oracles: Map[String, String] = Map(
@@ -96,6 +97,35 @@ object Streaming {
     "st_dedup_ingest" ->
       """SELECT DISTINCT event_id, user_id, event_type, value
         |FROM events""".stripMargin,
+    // append-mode watermark semantics, re-derived in SQL. The replay is
+    // three ordered batches (see EventStream.lateData): batch 0 = rows
+    // older than maxTs-12h minus the 5% straggler stratum; batch 2
+    // carries the stragglers. Spark's late filter for batch N uses the
+    // watermark as of batch N-1's start, so the stragglers are gated
+    // by batch 0's watermark (ms-floored max event time - 1h; window
+    // END above it ⇒ kept). The final watermark gates which windows
+    // are emitted at all (window end ≤ watermark ⇒ closed and
+    // flushed).
+    "st_late_data" ->
+      """WITH cut AS (SELECT MAX(ts) - INTERVAL 12 HOUR AS c FROM events),
+        |b0 AS (SELECT * FROM events
+        |       WHERE ts <= (SELECT c FROM cut) AND event_id % 20 <> 0),
+        |wm1 AS (SELECT date_trunc('millisecond', MAX(ts)) - INTERVAL 1 HOUR AS w
+        |        FROM b0),
+        |wmf AS (SELECT date_trunc('millisecond', MAX(ts)) - INTERVAL 1 HOUR AS w
+        |        FROM events),
+        |kept AS (
+        |  SELECT * FROM events
+        |  WHERE event_id % 20 <> 0
+        |     OR time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR
+        |          > (SELECT w FROM wm1))
+        |SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+        |       event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM kept
+        |WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR
+        |        <= (SELECT w FROM wmf)
+        |GROUP BY 1, 2""".stripMargin,
     // the upsert target's final state = last event (by ts, event_id)
     // plus total count per user, independent of batch boundaries.
     "st_upsert_sink" ->

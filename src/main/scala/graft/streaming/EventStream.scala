@@ -410,6 +410,81 @@ object EventStream {
     if (deltas.isEmpty) scan else mergePerKey(scan)
   }
 
+  /** Late-data discipline: what a watermark actually DOES. Every other
+    * aggregation here runs complete-mode (late rows can't occur in a
+    * one-shot replay), so this query manufactures genuine lateness: the
+    * source is split into two on-time chunks (rows older than
+    * `maxTs - 12h`, then rows up to `maxTs - 6h`, both minus a 5%
+    * "straggler" stratum `event_id % 20 = 0`) and a third chunk
+    * carrying the newest rows PLUS the stragglers.
+    * `maxFilesPerTrigger=1` + pinned file mod-times replay them as
+    * three ordered micro-batches — the same shape as a partitioned log
+    * where one producer lags.
+    *
+    * THREE batches because Spark's late-record filter for batch N uses
+    * the watermark as of batch N-1's START (one batch behind the
+    * eviction watermark — pinned empirically by LateDataSpec): a
+    * straggler is dropped only when its window closed at least two
+    * batches before it arrives. The 1-hour-window/1-hour-watermark
+    * aggregation then exercises all three append-mode behaviors, each
+    * reproduced exactly by the DuckDB oracle:
+    *  - stragglers whose window ended before batch 1's watermark
+    *    (`floor_ms(maxTs(chunk1)) - 1h` — Spark truncates event-time
+    *    stats to milliseconds) are DROPPED;
+    *  - stragglers inside the allowance are aggregated late (KEPT,
+    *    merged with their window's on-time rows);
+    *  - windows ending after the final watermark are WITHHELD (their
+    *    state is live, awaiting data that a bounded replay never
+    *    sends).
+    *
+    * Scale shape: state is bounded by (windows in the allowance ×
+    * event types) regardless of input volume — the entire point of
+    * the watermark; an unwatermarked stream would accrete state
+    * forever. The one driver-side `collect` is the 1-row max-ts for
+    * the split cuts (harness replay machinery, not the operator). */
+  def lateData(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, s"st_late_${dir.hashCode.abs}", mode = "append") { ss =>
+      val srcDir = s"${graft.core.GraftSession.scratchDir(ss, "late", dir)}/src"
+      val fs = new Path(srcDir).getFileSystem(ss.sparkContext.hadoopConfiguration)
+      val chunkFiles = (0 to 2).map(i => new Path(srcDir, s"b$i.parquet"))
+      if (!chunkFiles.forall(fs.exists)) {
+        val ev = graft.core.Tables(ss, dir).events
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("value"), col("ts"))
+        val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0).getTime
+        val cut1 = new java.sql.Timestamp(maxTs - 12L * 3600 * 1000)
+        val cut2 = new java.sql.Timestamp(maxTs - 6L * 3600 * 1000)
+        val straggler = pmod(col("event_id"), lit(20)) === 0
+        def writeChunk(df: DataFrame, target: Path, mtime: Long): Unit = {
+          val tmp = new Path(srcDir, s"_tmp_${target.getName}")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = fs.listStatus(tmp).map(_.getPath)
+            .filter(_.getName.startsWith("part-")).head
+          fs.delete(target, false) // rename won't clobber a half-built run
+          fs.rename(part, target)
+          fs.delete(tmp, true)
+          fs.setTimes(target, mtime, -1)
+        }
+        val now = System.currentTimeMillis()
+        writeChunk(ev.filter(col("ts") <= cut1 && !straggler),
+          chunkFiles(0), now - 180000)
+        writeChunk(ev.filter(col("ts") > cut1 && col("ts") <= cut2 && !straggler),
+          chunkFiles(1), now - 120000)
+        writeChunk(ev.filter(col("ts") > cut2 || straggler),
+          chunkFiles(2), now - 60000)
+      }
+      val static = ss.read.parquet(srcDir)
+      ss.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+    }
+
   /** Native session windows: 30-minute inactivity gap per user. */
   def sessionize(spark: SparkSession, dir: String): DataFrame =
     runToTable(spark, s"st_sessions_${dir.hashCode.abs}") { ss =>
