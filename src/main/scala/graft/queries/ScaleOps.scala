@@ -130,6 +130,69 @@ object ScaleOps {
           "valid_from", "valid_to", "is_current")
     }),
 
+    // ---- SCD Type-2: incremental delta MERGE -----------------------------
+    "etl_scd2_merge" -> ((s, dir) => {
+      // etl_scd2 rebuilds the full history every run — O(all orders)
+      // forever. This is the nightly-load shape: history through a
+      // cutoff is the STORED dimension; only the post-cutoff delta is
+      // new. The merge (a) change-detects WITHIN the delta, (b) seams
+      // the delta's first row per key against the key's stored current
+      // priority (equal ⇒ not a change — the collapse rule must hold
+      // across the boundary), (c) closes out superseded current rows,
+      // (d) version-numbers continuing from the stored max. Cost is
+      // O(delta + touched keys): the windows shuffle ONLY the delta,
+      // and the seam join touches base rows by key — at 100 TB the
+      // unchanged history is never rewritten (here it is re-emitted
+      // only so the result is comparable to the full rebuild, which is
+      // exactly what the oracle asserts: merge ≡ rebuild).
+      val ord = Tables(s, dir).orders
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("valid_from"),
+          col("o_orderkey"), col("o_orderpriority"))
+      // cutoff = max order date - 180 days (1-row bounded collect —
+      // stand-in for the load watermark a production run would carry)
+      val cutoff = ord.agg(max(col("valid_from"))).head.getDate(0)
+        .toLocalDate.minusDays(180)
+      val cutLit = lit(java.sql.Date.valueOf(cutoff))
+      val byKey = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("valid_from"), col("o_orderkey"))
+      // stored dimension: the same build etl_scd2 runs, frozen at the
+      // cutoff (in production this is a table scan, not a recompute)
+      val baseHist = ord.filter(col("valid_from") <= cutLit)
+        .withColumn("_prev", lag(col("o_orderpriority"), 1).over(byKey))
+        .filter(col("_prev").isNull || col("_prev") =!= col("o_orderpriority"))
+        .withColumn("version", row_number().over(byKey))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(byKey))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select("o_custkey", "version", "o_orderpriority",
+          "valid_from", "valid_to", "is_current")
+      val current = baseHist.filter(col("is_current"))
+        .select(col("o_custkey"), col("o_orderpriority").as("_cur_prio"),
+          col("version").as("_cur_version"))
+      // delta change rows: lag within the delta, seamed against the
+      // stored current priority for each key's first delta row
+      val changes = ord.filter(col("valid_from") > cutLit)
+        .withColumn("_prev", lag(col("o_orderpriority"), 1).over(byKey))
+        .join(current, Seq("o_custkey"), "left")
+        .filter(col("o_orderpriority") =!=
+          coalesce(col("_prev"), col("_cur_prio"), lit(" ")))
+        .withColumn("_idx", row_number().over(byKey))
+        .withColumn("version", coalesce(col("_cur_version"), lit(0)) + col("_idx"))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(byKey))
+        .withColumn("is_current", col("valid_to").isNull)
+      // close out superseded current rows at the first new version's date
+      val closeAt = changes.filter(col("_idx") === 1)
+        .select(col("o_custkey"), col("valid_from").as("_close_at"))
+      baseHist.join(closeAt, Seq("o_custkey"), "left")
+        .withColumn("valid_to",
+          when(col("is_current") && col("_close_at").isNotNull, col("_close_at"))
+            .otherwise(col("valid_to")))
+        .withColumn("is_current", col("is_current") && col("_close_at").isNull)
+        .select("o_custkey", "version", "o_orderpriority",
+          "valid_from", "valid_to", "is_current")
+        .unionByName(changes.select("o_custkey", "version", "o_orderpriority",
+          "valid_from", "valid_to", "is_current"))
+    }),
+
     // ---- storage layout: partition pruning -------------------------------
     "s10_partition_prune" -> ((s, dir) => {
       // write the fact partitioned by its hottest filter column, then
@@ -445,6 +508,27 @@ object ScaleOps {
   private def dsumDec(c: org.apache.spark.sql.Column) =
     sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 4)))
 
+  /** Full SCD2 history rebuild in ANSI SQL — the oracle for BOTH
+    * etl_scd2 (which computes exactly this) and etl_scd2_merge (whose
+    * correctness claim is that the incremental merge reproduces it). */
+  private val Scd2RebuildSql: String =
+    """WITH ord AS (
+      |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS valid_from,
+      |         o_orderkey, o_orderpriority,
+      |         LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+      |           ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_prio
+      |  FROM orders),
+      |chg AS (
+      |  SELECT o_custkey, valid_from, o_orderkey, o_orderpriority
+      |  FROM ord WHERE prev_prio IS NULL OR prev_prio <> o_orderpriority)
+      |SELECT o_custkey,
+      |       ROW_NUMBER() OVER w AS version,
+      |       o_orderpriority, valid_from,
+      |       LEAD(valid_from) OVER w AS valid_to,
+      |       LEAD(valid_from) OVER w IS NULL AS is_current
+      |FROM chg
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "a13_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
@@ -477,23 +561,10 @@ object ScaleOps {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
-    "etl_scd2" ->
-      """WITH ord AS (
-        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS valid_from,
-        |         o_orderkey, o_orderpriority,
-        |         LAG(o_orderpriority) OVER (PARTITION BY o_custkey
-        |           ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_prio
-        |  FROM orders),
-        |chg AS (
-        |  SELECT o_custkey, valid_from, o_orderkey, o_orderpriority
-        |  FROM ord WHERE prev_prio IS NULL OR prev_prio <> o_orderpriority)
-        |SELECT o_custkey,
-        |       ROW_NUMBER() OVER w AS version,
-        |       o_orderpriority, valid_from,
-        |       LEAD(valid_from) OVER w AS valid_to,
-        |       LEAD(valid_from) OVER w IS NULL AS is_current
-        |FROM chg
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey)""".stripMargin,
+    // same oracle for the rebuild and the incremental merge: the merge
+    // is CORRECT precisely when it reproduces the full-history rebuild
+    "etl_scd2_merge" -> Scd2RebuildSql,
+    "etl_scd2" -> Scd2RebuildSql,
     "s10_partition_prune" ->
       """SELECT COUNT(*) AS n_rows,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
