@@ -98,6 +98,26 @@ object VectorFunctions {
     s"array(${probes.mkString(", ")})"
   }
 
+  /** DuckDB: the same Hamming≤2 probe set as [[probeArraySql]], so an
+    * oracle can rebuild a multi-probe index bit-for-bit. */
+  def probeArrayDuck(bucketCol: String, nPlanes: Int): String = {
+    val flipSets: Seq[Seq[Int]] =
+      Seq(Seq.empty[Int]) ++
+        (1 to nPlanes).map(Seq(_)) ++
+        (for { i <- 1 to nPlanes; j <- i + 1 to nPlanes } yield Seq(i, j))
+    val probes = flipSets.map {
+      case Seq() => bucketCol
+      case fs =>
+        val chars = (1 to nPlanes).map { pos =>
+          if (fs.contains(pos))
+            s"(CASE WHEN substr($bucketCol, $pos, 1) = '1' THEN '0' ELSE '1' END)"
+          else s"substr($bucketCol, $pos, 1)"
+        }
+        s"concat(${chars.mkString(", ")})"
+    }
+    s"[${probes.mkString(", ")}]"
+  }
+
   /** Probed fraction of the bucket space under Hamming≤2 multi-probe. */
   def probeFraction(nPlanes: Int): Double =
     (1.0 + nPlanes + nPlanes * (nPlanes - 1) / 2.0) / math.pow(2.0, nPlanes)
