@@ -28,7 +28,8 @@ object SparkEntry {
     graft.queries.Reco.queries ++
     graft.queries.Streaming.queries ++
     graft.queries.MultimodalQueries.queries ++
-    graft.queries.AnalyticsQueries.queries
+    graft.queries.AnalyticsQueries.queries ++
+    graft.queries.Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +43,6 @@ object SparkEntry {
     graft.queries.Reco.oracles ++
     graft.queries.Streaming.oracles ++
     graft.queries.MultimodalQueries.oracles ++
-    graft.queries.AnalyticsQueries.oracles
+    graft.queries.AnalyticsQueries.oracles ++
+    graft.queries.Graph.oracles
 }

@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Graph signals over the order interaction graph — the warehouse
+  * analog of the link-analysis quality scores (PageRank-family) that
+  * large-scale web-corpus pipelines attach to documents before
+  * filtering/mixing.
+  *
+  * The graph is bipartite: customer ↔ supplier, one undirected edge
+  * per distinct (o_custkey, l_suppkey) trading relationship from
+  * orders ⋈ lineitem (both directions materialized, so every node has
+  * out-degree ≥ 1 and the dangling-mass correction vanishes).
+  *
+  * Determinism across engines: floating-point PageRank sums drift
+  * under reordering, so DuckDB could never hash-match a Spark run.
+  * Ranks are therefore FIXED-POINT: BIGINT scaled by 10^12, all
+  * division integer (floor — both engines truncate positive
+  * integers), damping 0.85 applied as (85 · x) div 100. Every
+  * iteration is then bit-identical in any engine and any execution
+  * order — the same trick the decimal-exact streaming sums play.
+  *
+  * Scale shape: the classic Pregel/GraphX iteration expressed as
+  * joins — per iteration, one shuffle join (edges ⋈ ranks on src) and
+  * one keyed aggregation (contributions by dst). Edges and the node
+  * table are persisted once and reused across all iterations, so each
+  * iteration touches O(E) rows; the rank frame is O(N). On a cluster,
+  * pre-partitioning edges and ranks by the node key makes every
+  * iteration's join co-located — the exact layout GraphX's
+  * EdgePartition2D maintains. Iteration count is fixed (5): bounded
+  * depth keeps the lineage and the oracle (one CTE per iteration)
+  * finite; production runs to a convergence threshold with
+  * checkpointing every ~10 rounds.
+  */
+object Graph {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val Scale = 1000000000000L // 10^12 fixed-point
+  private[graft] val Iters = 5
+
+  val queries: Map[String, Q] = Map(
+    "g_pagerank" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      val pairs = t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = pairs.select(lit("c").as("src_t"), col("ck").as("src"),
+          lit("s").as("dst_t"), col("sk").as("dst"))
+        .unionByName(pairs.select(lit("s").as("src_t"), col("sk").as("src"),
+          lit("c").as("dst_t"), col("ck").as("dst")))
+        .persist()
+      val nodes = edges.groupBy(col("src_t").as("node_type"), col("src").as("node_id"))
+        .agg(count(lit(1)).as("outdeg"))
+        .persist()
+      val n = nodes.count() // bounded: one row per distinct node key
+      val base = Scale / n
+      val teleport = (15L * base) / 100L
+      var ranks = nodes.select(col("node_type"), col("node_id"), col("outdeg"),
+        lit(base).as("rank"))
+      for (_ <- 1 to Iters) {
+        val contribs = edges
+          .join(ranks, col("src_t") === col("node_type") &&
+            col("src") === col("node_id"))
+          .select(col("dst_t"), col("dst"),
+            expr("rank div outdeg").as("c"))
+          .groupBy(col("dst_t"), col("dst"))
+          .agg(sum(col("c")).as("csum"))
+        ranks = nodes
+          .join(contribs, col("node_type") === col("dst_t") &&
+            col("node_id") === col("dst"))
+          .select(col("node_type"), col("node_id"), col("outdeg"),
+            (lit(teleport) + expr("(85 * csum) div 100")).as("rank"))
+      }
+      ranks.select(col("node_type"), col("node_id"),
+        col("rank").as("rank_scaled"))
+    }))
+
+  /** One PageRank iteration as a DuckDB CTE: `cur` from `prev`. */
+  private def iterCte(prev: String, cur: String): String =
+    s"""$cur AS (
+       |  SELECT n.node_type, n.node_id, n.outdeg,
+       |         CAST((SELECT tele FROM params)
+       |              + (85 * SUM(r.rank // r.outdeg)) // 100 AS BIGINT) AS rank
+       |  FROM edges e
+       |  JOIN $prev r ON e.src_t = r.node_type AND e.src = r.node_id
+       |  JOIN nodes n ON e.dst_t = n.node_type AND e.dst = n.node_id
+       |  GROUP BY 1, 2, 3)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "g_pagerank" -> {
+      val iters = (1 to Iters)
+        .map(i => iterCte(s"r${i - 1}", s"r$i")).mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT 'c' AS src_t, ck AS src, 's' AS dst_t, sk AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT 's', sk, 'c', ck FROM pairs),
+         |nodes AS (
+         |  SELECT src_t AS node_type, src AS node_id, COUNT(*) AS outdeg
+         |  FROM edges GROUP BY 1, 2),
+         |params AS (
+         |  SELECT CAST($Scale // COUNT(*) AS BIGINT) AS base,
+         |         CAST((15 * ($Scale // COUNT(*))) // 100 AS BIGINT) AS tele
+         |  FROM nodes),
+         |r0 AS (
+         |  SELECT node_type, node_id, outdeg,
+         |         (SELECT base FROM params) AS rank
+         |  FROM nodes),
+         |$iters
+         |SELECT node_type, node_id, CAST(rank AS BIGINT) AS rank_scaled
+         |FROM r$Iters""".stripMargin
+    })
+}
