@@ -222,6 +222,57 @@ object Text {
           org.apache.spark.sql.types.StructField(_,
             org.apache.spark.sql.types.LongType, nullable = false))))
     }),
+    "tx_dedup_spans" -> ((s, dir) => {
+      // span-level exact dedup across the corpus — the RefinedWeb /
+      // CCNet line-dedup shape (remove boilerplate lines everywhere
+      // but their first occurrence), with synthetic span boundaries
+      // (consecutive SpanWords-word segments) because this corpus has
+      // no newlines. A span duplicated ANYWHERE keeps only its
+      // occurrence with the smallest (doc_id, span_idx); every doc is
+      // re-emitted with its surviving text and an audit count.
+      // Scale shape: explode to one row per span, ONE keyed shuffle on
+      // the span string for the first-occurrence window (identical to
+      // exact dedup's groupBy-on-content-hash — at 100 TB hash the
+      // span to a 128-bit key so the shuffle ships fingerprints, not
+      // text), then one groupBy back to docs. Reassembly is
+      // order-exact via array_sort over (span_idx, span) structs.
+      val segExpr = s"""transform(
+        |  sequence(0, CAST(ceil(size(ws) / $SpanWords.0) AS INT) - 1),
+        |  k -> concat_ws(' ', slice(ws, k * $SpanWords + 1, $SpanWords)))""".stripMargin
+      val segs = Tables(s, dir).documents
+        .withColumn("ws", split(normText(col("text")), " "))
+        .select(col("doc_id"), posexplode(expr(segExpr)))
+        .select(col("doc_id"), col("pos").as("span_idx"), col("col").as("span"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("span")).orderBy(col("doc_id"), col("span_idx"))
+      segs.withColumn("rk", row_number().over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("rk") > 1, 1L).otherwise(0L)).as("n_dropped"),
+          concat_ws(" ", expr(
+            "transform(array_sort(collect_list(CASE WHEN rk = 1 THEN struct(span_idx, span) END)), x -> x.span)"))
+            .as("clean_text"))
+    }),
+    "tx_split" -> ((s, dir) => {
+      // deterministic train/val/test assignment — the split step every
+      // training corpus needs: bucket = first two md5 hex digits of
+      // the doc id (0..255), train < 205, val < 230, test above
+      // (≈80/10/10). Pure codegen'd projection — no shuffle, no rand():
+      // the assignment is a pure function of the id, so it is
+      // reproducible on any engine, cluster size, or row order, and
+      // STABLE under corpus growth (adding docs never reassigns
+      // existing ones — the property rand()-based splits lose).
+      val m = md5(col("doc_id").cast("string"))
+      Tables(s, dir).documents
+        .withColumn("m", m)
+        .withColumn("bucket",
+          expr("instr('0123456789abcdef', substr(m, 1, 1)) - 1") * 16 +
+          expr("instr('0123456789abcdef', substr(m, 2, 1)) - 1"))
+        .select(col("doc_id"), col("bucket"),
+          when(col("bucket") < 205, "train")
+            .when(col("bucket") < 230, "val")
+            .otherwise("test").as("split"))
+    }),
     "tx_corpus_mix" -> ((s, dir) => {
       // deterministic domain mixing — the "data mix" step of a
       // pretraining pipeline: cap every (lang, source) cell at
@@ -281,6 +332,7 @@ object Text {
 
   private val MixCap = 50
   private val PackTokens = 512L
+  private val SpanWords = 4
 
   private val HashDims = 64
   private val ChunkWords = 50
@@ -407,6 +459,38 @@ object Text {
          |SELECT f.doc_id, CAST(f.b AS INT) AS dim,
          |       CASE WHEN n > 0 THEN f.v / n ELSE f.v END AS value
          |FROM filled f JOIN norms USING (doc_id)""".stripMargin,
+    "tx_dedup_spans" ->
+      s"""WITH w AS (SELECT doc_id, string_split($normDuck, ' ') AS ws FROM documents),
+         |segs0 AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(
+         |           range(0, CAST(ceil(len(ws) / $SpanWords.0) AS INT)),
+         |           k -> struct_pack(span_idx := k,
+         |                  span := array_to_string(
+         |                    ws[k * $SpanWords + 1 : k * $SpanWords + $SpanWords], ' ')))) AS sp
+         |  FROM w),
+         |marked AS (
+         |  SELECT doc_id, CAST(sp.span_idx AS INT) AS span_idx, sp.span AS span,
+         |         ROW_NUMBER() OVER (PARTITION BY sp.span
+         |           ORDER BY doc_id, sp.span_idx) AS rk
+         |  FROM segs0)
+         |SELECT doc_id, COUNT(*) AS n_spans,
+         |       CAST(SUM(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |       coalesce(string_agg(CASE WHEN rk = 1 THEN span END, ' '
+         |                           ORDER BY span_idx), '') AS clean_text
+         |FROM marked GROUP BY doc_id""".stripMargin,
+    "tx_split" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |         + (instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+        |           AS bucket
+        |  FROM documents)
+        |SELECT doc_id, CAST(bucket AS INT) AS bucket,
+        |       CASE WHEN bucket < 205 THEN 'train'
+        |            WHEN bucket < 230 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM h""".stripMargin,
     "tx_corpus_mix" ->
       s"""SELECT doc_id, lang, source, pick_rank FROM (
          |  SELECT doc_id, lang, source,

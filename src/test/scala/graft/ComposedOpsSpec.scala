@@ -72,4 +72,44 @@ class ComposedOpsSpec extends SparkSpec {
     assert(out(3L) == ((1L, false)))
     assert(out(4L)._2 == true)        // isolated vector keeps itself
   }
+
+  /** Fixture for span dedup: shared, partial-tail, and in-doc-repeat
+    * spans (SpanWords = 4). */
+  private lazy val spanDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_span_fix").toString
+    Seq(
+      (1L, "a b c d e f g h", "en", "web", 15L),
+      (2L, "a b c d x y z w", "en", "web", 15L), // first span dup of doc 1
+      (3L, "p q r s t", "en", "web", 9L),        // partial tail span "t"
+      (4L, "a b c d a b c d", "en", "web", 15L)) // both spans dup of doc 1
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("tx_dedup_spans: first occurrence wins, docs reassemble in order") {
+    val out = SparkEntry.queries("tx_dedup_spans")(spark, spanDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == ((2L, 0L, "a b c d e f g h")))
+    assert(out(2L) == ((2L, 1L, "x y z w")))
+    assert(out(3L) == ((2L, 0L, "p q r s t")))
+    assert(out(4L) == ((2L, 2L, ""))) // fully boilerplate
+  }
+
+  test("tx_split: assignment is the md5-bucket pure function of doc_id") {
+    def bucket(id: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      Integer.parseInt(hex.take(2), 16)
+    }
+    val out = SparkEntry.queries("tx_split")(spark, spanDir)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      val b = bucket(id)
+      val split = if (b < 205) "train" else if (b < 230) "val" else "test"
+      assert(out(id) == ((b, split)), s"doc $id")
+    }
+  }
 }
