@@ -23,6 +23,36 @@ object DedupQueries {
       Dedup.charGramPairs(Tables(s, dir).documents)),
     "dd_clusters" -> ((s, dir) =>
       Dedup.clusters(Dedup.minhashLshPairs(Tables(s, dir).documents))),
+    // cross-snapshot incremental dedup — the production shape for a
+    // continuously-crawled corpus: the NEW batch (doc_id % 5 == 4, a
+    // deterministic stand-in for the latest crawl) dedups against the
+    // EXISTING corpus and against its own earlier rows, never
+    // re-deduping the existing corpus against itself. dup_of points at
+    // the canonical copy: the existing corpus's min doc_id for that
+    // content hash if any, else the smallest earlier in-batch doc_id.
+    // Scale shape: the existing side reduces to one (hash, min_id) row
+    // per distinct content before the join — at 100 TB that index is
+    // the thing you keep warm between crawls; per-crawl cost is
+    // O(batch + matched hashes), not O(corpus).
+    "dd_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hashed = Tables(s, dir).documents
+        .select(col("doc_id"),
+          md5(graft.functions.TextFunctions.normText(col("text"))).as("h"),
+          (col("doc_id") % 5 === 4).as("is_new"))
+      val existing = hashed.filter(!col("is_new"))
+        .groupBy(col("h")).agg(min(col("doc_id")).as("ex_min"))
+      val wb = Window.partitionBy(col("h")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      hashed.filter(col("is_new"))
+        .withColumn("batch_min", min(col("doc_id")).over(wb))
+        .join(existing, Seq("h"), "left")
+        .select(col("doc_id"),
+          when(col("ex_min").isNotNull &&
+              (col("batch_min").isNull || col("ex_min") < col("batch_min")),
+            col("ex_min")).otherwise(col("batch_min")).as("dup_of"))
+        .withColumn("is_novel", col("dup_of").isNull)
+    }),
     // the end-to-end payoff: the corpus that survives dedup. Keep the
     // min-id representative of each exact-content group, then drop
     // near-dup cluster members that aren't their cluster's
@@ -196,6 +226,22 @@ object DedupQueries {
       s"""SELECT md5($norm) AS content_hash,
          |       MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
          |FROM documents GROUP BY 1""".stripMargin,
+    "dd_incremental" ->
+      s"""WITH hs AS (SELECT doc_id, md5($norm) AS h, doc_id % 5 = 4 AS is_new
+         |            FROM documents),
+         |ex AS (SELECT h, MIN(doc_id) AS ex_min FROM hs WHERE NOT is_new GROUP BY 1),
+         |nb AS (SELECT doc_id, h,
+         |              MIN(doc_id) OVER (PARTITION BY h ORDER BY doc_id
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS batch_min
+         |       FROM hs WHERE is_new)
+         |SELECT doc_id,
+         |       CASE WHEN ex_min IS NOT NULL
+         |                 AND (batch_min IS NULL OR ex_min < batch_min)
+         |            THEN ex_min ELSE batch_min END AS dup_of,
+         |       (CASE WHEN ex_min IS NOT NULL
+         |                  AND (batch_min IS NULL OR ex_min < batch_min)
+         |             THEN ex_min ELSE batch_min END) IS NULL AS is_novel
+         |FROM nb LEFT JOIN ex USING (h)""".stripMargin,
     "dd_decontaminate" ->
       s"""WITH sh AS (
          |  SELECT doc_id, unnest(list_distinct(list_transform(

@@ -222,6 +222,32 @@ object Text {
           org.apache.spark.sql.types.StructField(_,
             org.apache.spark.sql.types.LongType, nullable = false))))
     }),
+    "tx_vocab" -> ((s, dir) => {
+      // frequency-ranked vocabulary induction — choosing a token vocab
+      // for a corpus: the top VocabSize words by count, each with its
+      // cumulative coverage of the corpus (what fraction of all token
+      // occurrences the vocab up to this rank explains — the curve
+      // that decides vocab size). Scale shape: one partial-agg groupBy
+      // on the word, a distributed TakeOrdered for the top-V cut, and
+      // only THEN a single-partition window — over the V-row vocab,
+      // never the corpus. Counts are exact integers; coverage is one
+      // IEEE division at the end, so the oracle matches bit-for-bit.
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables(s, dir).documents
+        .select(explode(split(normText(col("text")), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n_occurrences"))
+      val total = counts.agg(sum(col("n_occurrences")).as("_t"))
+      val top = counts.orderBy(col("n_occurrences").desc, col("word"))
+        .limit(VocabSize)
+      val w = Window.orderBy(col("n_occurrences").desc, col("word"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      top.crossJoin(broadcast(total))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n_occurrences").desc, col("word"))))
+        .withColumn("coverage",
+          sum(col("n_occurrences")).over(w).cast("double") / col("_t").cast("double"))
+        .select("rank", "word", "n_occurrences", "coverage")
+    }),
     "tx_dedup_spans" -> ((s, dir) => {
       // span-level exact dedup across the corpus — the RefinedWeb /
       // CCNet line-dedup shape (remove boilerplate lines everywhere
@@ -333,6 +359,7 @@ object Text {
   private val MixCap = 50
   private val PackTokens = 512L
   private val SpanWords = 4
+  private val VocabSize = 500
 
   private val HashDims = 64
   private val ChunkWords = 50
@@ -459,6 +486,19 @@ object Text {
          |SELECT f.doc_id, CAST(f.b AS INT) AS dim,
          |       CASE WHEN n > 0 THEN f.v / n ELSE f.v END AS value
          |FROM filled f JOIN norms USING (doc_id)""".stripMargin,
+    "tx_vocab" ->
+      s"""WITH words AS (
+         |  SELECT unnest(string_split($normDuck, ' ')) AS word FROM documents),
+         |counts AS (SELECT word, COUNT(*) AS n_occurrences FROM words GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(n_occurrences) AS BIGINT) AS t FROM counts),
+         |top AS (SELECT word, n_occurrences FROM counts
+         |        ORDER BY n_occurrences DESC, word LIMIT $VocabSize)
+         |SELECT CAST(ROW_NUMBER() OVER w AS INT) AS rank, word, n_occurrences,
+         |       CAST(SUM(n_occurrences) OVER (ORDER BY n_occurrences DESC, word
+         |              ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+         |         / (SELECT t FROM tot) AS coverage
+         |FROM top
+         |WINDOW w AS (ORDER BY n_occurrences DESC, word)""".stripMargin,
     "tx_dedup_spans" ->
       s"""WITH w AS (SELECT doc_id, string_split($normDuck, ' ') AS ws FROM documents),
          |segs0 AS (

@@ -97,6 +97,36 @@ class ComposedOpsSpec extends SparkSpec {
     assert(out(4L) == ((2L, 2L, ""))) // fully boilerplate
   }
 
+  /** Fixture for incremental dedup: batch = doc_id % 5 == 4. Exercises
+    * the cross-corpus branch, the in-batch branch (absent from the
+    * harness corpus), the smallest-known-id tiebreak, and novelty. */
+  private lazy val incrDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_incr_fix").toString
+    Seq(
+      (3L, "alpha alpha alpha", "en", "web", 17L),  // existing
+      (13L, "beta beta beta", "en", "web", 14L),    // existing
+      (4L, "alpha alpha alpha", "en", "web", 17L),  // dup of existing 3
+      (9L, "beta beta beta", "en", "web", 14L),     // dup of existing 13
+      (14L, "beta beta beta", "en", "web", 14L),    // in-batch 9 < existing 13
+      (19L, "gamma gamma gamma", "en", "web", 17L)) // novel
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("dd_incremental: batch dedups against corpus and its own earlier rows") {
+    val out = SparkEntry.queries("dd_incremental")(spark, incrDir)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(2)))
+      .toMap
+    assert(out == Map(
+      4L -> ((Some(3L), false)),   // existing corpus wins
+      9L -> ((Some(13L), false)),  // existing corpus only
+      14L -> ((Some(9L), false)),  // earlier in-batch id is smallest known
+      19L -> ((None, true))))      // genuinely new content
+  }
+
   test("tx_split: assignment is the md5-bucket pure function of doc_id") {
     def bucket(id: Long): Int = {
       val hex = java.security.MessageDigest.getInstance("MD5")
