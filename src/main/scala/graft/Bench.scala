@@ -27,11 +27,11 @@ object Bench {
     "j2_fact_join_chain", "j6_asof_join", "j7_band_join",
     "j9_salted_skew_join",
     "w4_analytics", "t4_topk_per_group", "u2_intersect",
-    "p13_json_extract", "etl_pipeline", "etl_scd2",
+    "p13_json_extract", "etl_pipeline", "etl_scd2", "etl_scd2_merge",
     "s11_bucketed_join", "s14_zorder_layout", "s15_manifest_prune",
     "dd_exact", "dd_minhash_pairs", "dd_simhash",
     "ss_knn_brute", "ss_knn_ivf", "ss_knn_ivfpq",
-    "tx_langid", "tx_ngram_profile",
+    "tx_langid", "tx_ngram_profile", "tx_dedup_spans", "g_pagerank",
     "st_hourly_agg", "st_user_journey", "st_upsert_sink",
     "reco_topk_cosine", "mm_features")
 

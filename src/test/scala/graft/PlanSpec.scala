@@ -191,6 +191,31 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("tx_split: the assignment is a pure projection — zero exchanges") {
+    val plan = executedPlan("tx_split").split("== Initial Plan ==").head
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("tx_dedup_spans: scan prunes to (doc_id, text) before the explode") {
+    val plan = executedPlan("tx_dedup_spans")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
+
+  test("g_pagerank: every iteration reuses the persisted edge relation") {
+    // 5 iterations but ONE edges/nodes computation: every iteration's
+    // join reads the cached relations (InMemoryTableScan / AQE
+    // TableCacheQueryStage; the cache print embeds its build lineage,
+    // so the orders scan TEXT still appears — what matters is that the
+    // joins consume the cache, not a re-derived edge build)
+    val plan = executedPlan("g_pagerank")
+    assert(plan.contains("InMemoryTableScan"), plan)
+    assert(plan.contains("TableCacheQueryStage"), plan)
+    // iterations are shuffle-free: rank/node frames broadcast, so no
+    // shuffle-family join anywhere in the iteration chain
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("s14: box predicate is pushed to the z-ordered parquet scan") {
     // the rendered PushedFilters list truncates ("LessThanOrEqual(l_sup…")
     // so assert the first pushed filter there and the second via the
