@@ -23,6 +23,35 @@ object DedupQueries {
       Dedup.charGramPairs(Tables(s, dir).documents)),
     "dd_clusters" -> ((s, dir) =>
       Dedup.clusters(Dedup.minhashLshPairs(Tables(s, dir).documents))),
+    // record linkage / entity-level fuzzy matching: every pair of
+    // customer names at edit distance exactly 1, found by SymSpell
+    // deletion blocking — each name keys on itself plus its
+    // one-char-deleted variants, pairs meet in an equi-join on the
+    // key. The blocking is LOSSLESS for distance 1 (substitution ⇒
+    // shared deletion at that position; insert/delete ⇒ one side's
+    // identity equals the other's deletion), so the oracle derives
+    // the answer INDEPENDENTLY from the O(N²) definition and the
+    // equi-join must reproduce it exactly. Scale shape: the deletion
+    // index is O(N · name_len) slim rows; candidates meet in one
+    // equi-join — never name × name (the oracle's cross join is the
+    // shape this operator exists to avoid).
+    "dd_fuzzy_pairs" -> ((s, dir) => {
+      val names = Tables(s, dir).customer
+        .select(col("c_custkey"), col("c_name"))
+      val dels = names.select(col("c_custkey"), col("c_name"), explode(expr(
+        """array_union(array(c_name), transform(sequence(1, length(c_name)),
+          |  k -> concat(substr(c_name, 1, k - 1),
+          |              substr(c_name, k + 1, length(c_name)))))"""
+          .stripMargin)).as("key"))
+      val a = dels.select(col("c_custkey").as("key_a"),
+        col("c_name").as("name_a"), col("key"))
+      val b = dels.select(col("c_custkey").as("key_b"),
+        col("c_name").as("name_b"), col("key"))
+      a.join(b, Seq("key"))
+        .filter(col("name_a") < col("name_b"))
+        .select("key_a", "key_b", "name_a", "name_b").distinct()
+        .filter(levenshtein(col("name_a"), col("name_b")) === 1)
+    }),
     // cross-snapshot incremental dedup — the production shape for a
     // continuously-crawled corpus: the NEW batch (doc_id % 5 == 4, a
     // deterministic stand-in for the latest crawl) dedups against the
@@ -226,6 +255,14 @@ object DedupQueries {
       s"""SELECT md5($norm) AS content_hash,
          |       MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
          |FROM documents GROUP BY 1""".stripMargin,
+    // the oracle is the DEFINITION, not the blocking: all pairs at
+    // levenshtein distance exactly 1 from the O(N²) cross join —
+    // hash-equality proves the deletion blocking loses nothing
+    "dd_fuzzy_pairs" ->
+      """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+        |       a.c_name AS name_a, b.c_name AS name_b
+        |FROM customer a JOIN customer b ON a.c_name < b.c_name
+        |WHERE levenshtein(a.c_name, b.c_name) = 1""".stripMargin,
     "dd_incremental" ->
       s"""WITH hs AS (SELECT doc_id, md5($norm) AS h, doc_id % 5 = 4 AS is_new
          |            FROM documents),

@@ -222,6 +222,33 @@ object Text {
           org.apache.spark.sql.types.StructField(_,
             org.apache.spark.sql.types.LongType, nullable = false))))
     }),
+    "tx_rarity" -> ((s, dir) => {
+      // token-rarity quality signals — the frequency-based sibling of
+      // a perplexity filter (no log, so both engines agree bit-for-
+      // bit): per doc, the mean corpus frequency of its tokens (low ⇒
+      // rare/noisy vocabulary) and the fraction covered by the
+      // top-VocabSize vocab (low ⇒ heavy OOV). All-integer sums with
+      // ONE division each at the end. Scale shape: global counts are
+      // one groupBy; scoring joins the exploded corpus against the
+      // count table on the word — broadcastable until the vocab
+      // outgrows executors, then a plain shuffle join; the top-V cut
+      // is a distributed TakeOrdered.
+      val words = Tables(s, dir).documents
+        .select(col("doc_id"),
+          explode(split(normText(col("text")), " ")).as("word"))
+      val counts = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+      val top = counts.orderBy(col("n").desc, col("word")).limit(VocabSize)
+        .select(col("word"), lit(1).as("in_vocab"))
+      words.join(broadcast(counts), Seq("word"))
+        .join(broadcast(top), Seq("word"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("n")).as("_sum_n"),
+          sum(coalesce(col("in_vocab"), lit(0))).as("_in_v"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("_sum_n").cast("double") / col("n_tokens")).as("mean_token_freq"),
+          (col("_in_v").cast("double") / col("n_tokens")).as("in_vocab_frac"))
+    }),
     "tx_vocab" -> ((s, dir) => {
       // frequency-ranked vocabulary induction — choosing a token vocab
       // for a corpus: the top VocabSize words by count, each with its
@@ -486,6 +513,20 @@ object Text {
          |SELECT f.doc_id, CAST(f.b AS INT) AS dim,
          |       CASE WHEN n > 0 THEN f.v / n ELSE f.v END AS value
          |FROM filled f JOIN norms USING (doc_id)""".stripMargin,
+    "tx_rarity" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(string_split($normDuck, ' ')) AS word
+         |  FROM documents),
+         |counts AS (SELECT word, COUNT(*) AS n FROM words GROUP BY 1),
+         |top AS (SELECT word, 1 AS in_vocab FROM counts
+         |        ORDER BY n DESC, word LIMIT $VocabSize)
+         |SELECT w.doc_id, COUNT(*) AS n_tokens,
+         |       CAST(SUM(c.n) AS DOUBLE) / COUNT(*) AS mean_token_freq,
+         |       CAST(SUM(coalesce(t.in_vocab, 0)) AS DOUBLE) / COUNT(*)
+         |         AS in_vocab_frac
+         |FROM words w JOIN counts c USING (word)
+         |LEFT JOIN top t USING (word)
+         |GROUP BY 1""".stripMargin,
     "tx_vocab" ->
       s"""WITH words AS (
          |  SELECT unnest(string_split($normDuck, ' ')) AS word FROM documents),
