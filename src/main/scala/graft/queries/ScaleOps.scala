@@ -430,6 +430,75 @@ object ScaleOps {
         .withColumn("manifest_pruned", lit(prunedSomething))
     }),
 
+    // ---- snapshot isolation / time travel --------------------------------
+    "s17_time_travel" -> ((s, dir) => {
+      // the Iceberg/Delta snapshot model on plain parquet: a table
+      // VERSION is a manifest (list of data files), an UPDATE is
+      // copy-on-write (rewrite ONLY the files holding touched rows;
+      // v1's manifest shares every untouched file with v0), and time
+      // travel is just "scan the files the old manifest lists" — the
+      // old version stays readable forever at zero storage cost
+      // beyond the rewritten files. Here: a 10-bucket customer
+      // layout, an update to bucket 0 (+100 to every key ≡ 0 mod 10),
+      // and both versions read back THROUGH their manifests. The
+      // emitted n_shared_with_v0 = 9 is the copy-on-write proof; all
+      // manifest work is O(files) driver-side metadata, exactly like
+      // a table format's scan planner. Balances are DECIMAL end to
+      // end so both engines sum exactly.
+      val root = graft.core.GraftSession.scratchDir(s, "ttr", dir)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def manifestPath(v: Int) = new org.apache.hadoop.fs.Path(root, s"m$v.txt")
+      def listDataFiles(p: String): Seq[String] = {
+        val base = new org.apache.hadoop.fs.Path(p)
+        fs.listStatus(base).toSeq.filter(_.isDirectory).flatMap(d =>
+          fs.listStatus(d.getPath).toSeq.map(_.getPath)
+            .filter(_.getName.startsWith("part-")).map(_.toString))
+      }
+      def writeManifest(v: Int, files: Seq[String]): Unit = {
+        val out = fs.create(manifestPath(v), true)
+        out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
+        out.close()
+      }
+      def readManifest(v: Int): Seq[String] = {
+        val in = fs.open(manifestPath(v))
+        val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        in.close()
+        txt.split("\n").toSeq.filter(_.nonEmpty)
+      }
+      if (!fs.exists(manifestPath(1))) {
+        val cust = Tables(s, dir).customer.select(col("c_custkey"),
+          col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4))
+            .as("bal"))
+          .withColumn("bk", pmod(col("c_custkey"), lit(10)))
+        cust.repartition(10, col("bk"))
+          .write.partitionBy("bk").mode("overwrite").parquet(s"$root/v0")
+        val v0Files = listDataFiles(s"$root/v0")
+        writeManifest(0, v0Files)
+        // copy-on-write update: only bucket 0's file is rewritten
+        // cast back: decimal + literal widens to (19,4), which parquet
+        // stores as FIXED_LEN_BYTE_ARRAY vs (18,4)'s INT64 — the mixed
+        // layout would break the manifest scan
+        cust.filter(col("bk") === 0)
+          .withColumn("bal", (col("bal") + lit(100))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+          .repartition(1)
+          .write.partitionBy("bk").mode("overwrite").parquet(s"$root/v1")
+        val untouched = v0Files.filterNot(_.contains("bk=0"))
+        writeManifest(1, untouched ++ listDataFiles(s"$root/v1"))
+      }
+      val m0 = readManifest(0)
+      val m1 = readManifest(1)
+      def snapshot(v: Int, m: Seq[String], shared: Int): DataFrame =
+        s.read.parquet(m: _*)
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("bal")).cast("double").as("sum_bal"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_bal"),
+            lit(m.size).as("n_files"), lit(shared).as("n_shared_with_v0"))
+      snapshot(0, m0, m0.size)
+        .unionByName(snapshot(1, m1, m1.count(m0.contains)))
+    }),
+
     // ---- sketch heavy hitters ----------------------------------------------
     "a18_heavy_hitters" -> ((s, dir) => {
       // DataSketches frequent-items (approx_top_k): bounded-memory
@@ -565,6 +634,20 @@ object ScaleOps {
     // is CORRECT precisely when it reproduces the full-history rebuild
     "etl_scd2_merge" -> Scd2RebuildSql,
     "etl_scd2" -> Scd2RebuildSql,
+    "s17_time_travel" ->
+      """WITH c AS (SELECT c_custkey,
+        |                  CAST(c_acctbal AS DECIMAL(18,4)) AS bal
+        |           FROM customer)
+        |SELECT 0 AS version, COUNT(*) AS n_rows,
+        |       CAST(SUM(bal) AS DOUBLE) AS sum_bal,
+        |       10 AS n_files, 10 AS n_shared_with_v0
+        |FROM c
+        |UNION ALL
+        |SELECT 1, COUNT(*),
+        |       CAST(SUM(CASE WHEN c_custkey % 10 = 0
+        |                     THEN bal + 100 ELSE bal END) AS DOUBLE),
+        |       10, 9
+        |FROM c""".stripMargin,
     "s10_partition_prune" ->
       """SELECT COUNT(*) AS n_rows,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
