@@ -134,4 +134,22 @@ class ScaleOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
     assert(got == want)
   }
+
+  test("s17_time_travel: a lost v1 manifest rebuilds; snapshots stay stable") {
+    def run() = SparkEntry.queries("s17_time_travel")(spark, dir)
+      .collect().map(r => (r.getInt(0),
+        (r.getLong(1), r.getDouble(2), r.getInt(3), r.getInt(4)))).toMap
+    val first = run()
+    assert(first(0)._3 == 10 && first(0)._4 == 10)
+    assert(first(1)._3 == 10 && first(1)._4 == 9) // copy-on-write proof
+    assert(first(1)._2 > first(0)._2)             // the update landed
+    // crash between v1 data write and manifest commit: the manifest IS
+    // the commit marker, so deleting it must roll the table back to a
+    // state where v0 still reads clean and the build is re-runnable
+    val root = graft.core.GraftSession.scratchDir(spark, "ttr", dir)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "m1.txt"), false)
+    assert(run() == first)
+  }
 }
