@@ -34,6 +34,37 @@ object AnalyticsQueries {
           dense_rank().over(Window.orderBy(col("n").desc, col("c_mktsegment"))) - 1)
         .select("c_mktsegment", "n", "label_idx")
     }),
+    // data-quality constraint suite (the dbt-test / Great-Expectations
+    // capability a warehouse load gates on): each constraint is one
+    // aggregate over the table it audits — uniqueness of the order
+    // key, referential integrity orders→customer (an anti-join
+    // count), a domain-range check, and not-null checks — emitted as
+    // (constraint, n_violations, passed) so the load can fail fast
+    // AND report what broke. Every check is a partial-agg scan or one
+    // slim anti-join; nothing materializes violating ROWS unless a
+    // human asks (the counts are the gate).
+    "an_dq_checks" -> ((s, dir) => {
+      val t = Tables(s, dir)
+      def row(name: String, violations: DataFrame): DataFrame =
+        violations.select(lit(name).as("constraint_name"),
+          col("n").cast("long").as("n_violations"),
+          (col("n") === 0).as("passed"))
+      val dupKeys = t.orders.groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+        .agg(count(lit(1)).as("n"))
+      val orphans = t.orders.join(t.customer,
+          col("o_custkey") === col("c_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+      val qtyRange = t.lineitem
+        .filter(col("l_quantity") < 1 || col("l_quantity") > 50)
+        .agg(count(lit(1)).as("n"))
+      val nullBal = t.customer.filter(col("c_acctbal").isNull)
+        .agg(count(lit(1)).as("n"))
+      row("orders_pk_unique", dupKeys)
+        .unionByName(row("orders_custkey_fk", orphans))
+        .unionByName(row("lineitem_qty_range", qtyRange))
+        .unionByName(row("customer_acctbal_not_null", nullBal))
+    }),
     // T2: LIMIT/OFFSET pagination (page 3 of 100, stable order).
     "t2_pagination" -> ((s, dir) =>
       Tables(s, dir).orders
@@ -155,6 +186,33 @@ object AnalyticsQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "an_dq_checks" ->
+      """SELECT 'orders_pk_unique' AS constraint_name,
+        |       CAST((SELECT COUNT(*) FROM (
+        |          SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1))
+        |         AS BIGINT) AS n_violations,
+        |       (SELECT COUNT(*) FROM (
+        |          SELECT o_orderkey FROM orders GROUP BY 1 HAVING COUNT(*) > 1)) = 0
+        |         AS passed
+        |UNION ALL
+        |SELECT 'orders_custkey_fk',
+        |       CAST((SELECT COUNT(*) FROM orders o
+        |             WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+        |       (SELECT COUNT(*) FROM orders o
+        |        WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |                          WHERE c.c_custkey = o.o_custkey)) = 0
+        |UNION ALL
+        |SELECT 'lineitem_qty_range',
+        |       CAST((SELECT COUNT(*) FROM lineitem
+        |             WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT),
+        |       (SELECT COUNT(*) FROM lineitem
+        |        WHERE l_quantity < 1 OR l_quantity > 50) = 0
+        |UNION ALL
+        |SELECT 'customer_acctbal_not_null',
+        |       CAST((SELECT COUNT(*) FROM customer
+        |             WHERE c_acctbal IS NULL) AS BIGINT),
+        |       (SELECT COUNT(*) FROM customer WHERE c_acctbal IS NULL) = 0""".stripMargin,
     "an_adhoc_sql" ->
       """SELECT o_orderstatus,
         |       COUNT(*) AS total_orders,

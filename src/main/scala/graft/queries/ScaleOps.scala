@@ -499,6 +499,46 @@ object ScaleOps {
         .unionByName(snapshot(1, m1, m1.count(m0.contains)))
     }),
 
+    // ---- change data feed between snapshots ------------------------------
+    "s18_change_feed" -> ((s, dir) => {
+      // CDC read over the time-travel table: the row-level diff
+      // between two committed snapshots (Delta's table_changes /
+      // Iceberg's incremental read). Because v1 was copy-on-write,
+      // the diff only has to scan files PRESENT IN EXACTLY ONE
+      // manifest — 2 of 11 here, not the table — then a keyed
+      // full-outer join of just those rows classifies
+      // insert/delete/update_pre+post. Emitted: one row per changed
+      // key with old and new balance. At 100 TB the unchanged 90% of
+      // the table never leaves disk.
+      graft.queries.ScaleOps.queries("s17_time_travel")(s, dir).count() // ensure both snapshots committed
+      val root = graft.core.GraftSession.scratchDir(s, "ttr", dir)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      def readManifest(v: Int): Seq[String] = {
+        val in = fs.open(new org.apache.hadoop.fs.Path(root, s"m$v.txt"))
+        val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        in.close()
+        txt.split("\n").toSeq.filter(_.nonEmpty)
+      }
+      val m0 = readManifest(0)
+      val m1 = readManifest(1)
+      val only0 = m0.filterNot(m1.contains)
+      val only1 = m1.filterNot(m0.contains)
+      val before = s.read.parquet(only0: _*)
+        .select(col("c_custkey"), col("bal").as("old_bal"))
+      val after = s.read.parquet(only1: _*)
+        .select(col("c_custkey"), col("bal").as("new_bal"))
+      before.join(after, Seq("c_custkey"), "full_outer")
+        .select(col("c_custkey"),
+          when(col("old_bal").isNull, "insert")
+            .when(col("new_bal").isNull, "delete")
+            .otherwise("update").as("change_type"),
+          col("old_bal").cast("double").as("old_bal"),
+          col("new_bal").cast("double").as("new_bal"))
+        .filter(col("change_type") =!= "update" ||
+          col("old_bal") =!= col("new_bal"))
+    }),
+
     // ---- sketch heavy hitters ----------------------------------------------
     "a18_heavy_hitters" -> ((s, dir) => {
       // DataSketches frequent-items (approx_top_k): bounded-memory
@@ -634,6 +674,11 @@ object ScaleOps {
     // is CORRECT precisely when it reproduces the full-history rebuild
     "etl_scd2_merge" -> Scd2RebuildSql,
     "etl_scd2" -> Scd2RebuildSql,
+    "s18_change_feed" ->
+      """SELECT c_custkey, 'update' AS change_type,
+        |       CAST(CAST(c_acctbal AS DECIMAL(18,4)) AS DOUBLE) AS old_bal,
+        |       CAST(CAST(c_acctbal AS DECIMAL(18,4)) + 100 AS DOUBLE) AS new_bal
+        |FROM customer WHERE c_custkey % 10 = 0""".stripMargin,
     "s17_time_travel" ->
       """WITH c AS (SELECT c_custkey,
         |                  CAST(c_acctbal AS DECIMAL(18,4)) AS bal

@@ -127,6 +127,31 @@ class ComposedOpsSpec extends SparkSpec {
       19L -> ((None, true))))      // genuinely new content
   }
 
+  /** Fixture with one violation of each DQ constraint. */
+  private lazy val dqDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_dq_fix").toString
+    Seq((1L, 1L), (1L, 1L), (2L, 99L)) // dup pk; custkey 99 orphaned
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq((1L, Some(5.0)), (2L, None)) // one null balance
+      .toDF("c_custkey", "c_acctbal")
+      .write.mode("overwrite").parquet(s"$d/customer.parquet")
+    Seq((1L, 10.0), (2L, 99.0)) // one out-of-range quantity
+      .toDF("l_orderkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    d
+  }
+
+  test("an_dq_checks: every constraint detects its planted violation") {
+    val out = SparkEntry.queries("an_dq_checks")(spark, dqDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out == Map(
+      "orders_pk_unique" -> ((1L, false)),
+      "orders_custkey_fk" -> ((1L, false)),
+      "lineitem_qty_range" -> ((1L, false)),
+      "customer_acctbal_not_null" -> ((1L, false))))
+  }
+
   test("tx_split: assignment is the md5-bucket pure function of doc_id") {
     def bucket(id: Long): Int = {
       val hex = java.security.MessageDigest.getInstance("MD5")
