@@ -15,6 +15,7 @@ object Streaming {
     "st_sliding_agg" -> ((s, dir) => EventStream.slidingAgg(s, dir)),
     "st_enrich" -> ((s, dir) => EventStream.enrich(s, dir)),
     "st_stream_join" -> ((s, dir) => EventStream.streamJoin(s, dir)),
+    "st_stream_join_outer" -> ((s, dir) => EventStream.streamJoinOuter(s, dir)),
     "st_sessionize" -> ((s, dir) => EventStream.sessionize(s, dir)),
     "st_user_journey" -> ((s, dir) => EventStream.userJourney(s, dir)),
     "st_dedup_ingest" -> ((s, dir) => EventStream.dedupedIngest(s, dir)),
@@ -36,6 +37,30 @@ object Streaming {
         |  ON v.user_id = p.user_id
         | AND v.event_type = 'view' AND p.event_type = 'purchase'
         | AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 30 MINUTE""".stripMargin,
+    // matches emit as in the inner join; a NULL row appears only for
+    // views whose 30-minute window closed under the final watermark
+    // (state eviction proves no future purchase can match) — newer
+    // unmatched views are withheld from a bounded replay. With TWO
+    // watermarked columns the global watermark is the MIN of the
+    // per-column watermarks (each ms-floored max - delay), NOT the
+    // global event-time max — pinned empirically: one unmatched view
+    // between the two candidate watermarks distinguishes the rules.
+    "st_stream_join_outer" ->
+      """WITH wmf AS (SELECT least(
+        |               (SELECT date_trunc('millisecond', MAX(ts)) FROM events
+        |                WHERE event_type = 'view'),
+        |               (SELECT date_trunc('millisecond', MAX(ts)) FROM events
+        |                WHERE event_type = 'purchase')) - INTERVAL 1 HOUR AS w),
+        |v AS (SELECT user_id, event_id AS view_id, ts AS v_ts
+        |      FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id, v.view_id, p.purchase_id, v.v_ts, p.p_ts
+        |FROM v LEFT JOIN p
+        |  ON v.user_id = p.user_id
+        | AND p.p_ts >= v.v_ts AND p.p_ts < v.v_ts + INTERVAL 30 MINUTE
+        |WHERE p.purchase_id IS NOT NULL
+        |   OR v.v_ts + INTERVAL 30 MINUTE < (SELECT w FROM wmf)""".stripMargin,
     "st_enrich" ->
       """SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
         |       COUNT(*) AS n_events,

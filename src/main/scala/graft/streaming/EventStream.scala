@@ -115,6 +115,37 @@ object EventStream {
           col("v_ts"), col("p_ts"))
     }
 
+  /** LEFT OUTER stream-stream join — the semantics the inner form
+    * can't show: a view with no purchase inside its 30-minute window
+    * emits WITH NULLS, but only once the watermark proves no future
+    * purchase can match (state eviction at v_ts + 30min < watermark);
+    * newer unmatched views stay in state and are withheld from a
+    * bounded replay. Matches emit on arrival exactly as the inner
+    * join. The DuckDB oracle reproduces the rule: null rows appear
+    * iff the view's window closed under the final watermark — which,
+    * with two watermarked inputs, is the MIN of the per-column
+    * watermarks (each ms-floored max - delay), Spark's default
+    * multiple-watermark policy. */
+  def streamJoinOuter(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, s"st_join_outer_${dir.hashCode.abs}", mode = "append") { ss =>
+      val ev = readEvents(ss, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+          col("ts").as("v_ts"))
+        .withWatermark("v_ts", "1 hour")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      views.join(purchases,
+        col("v_user") === col("p_user") &&
+          col("p_ts") >= col("v_ts") &&
+          col("p_ts") < col("v_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+        .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+          col("v_ts"), col("p_ts"))
+    }
+
   /** Stream-static enrichment: the event stream left-joins the (small,
     * broadcast) customer dimension — the canonical streaming-ingest
     * lookup shape; the static side is re-planned per micro-batch, so
