@@ -18,10 +18,10 @@ import org.apache.spark.sql.SparkSession
   * regression. */
 object Bench {
   /** One per family: scan/agg/join/window/topk/set/etl/dedup/ann/
-    * text/stream/reco/multimodal + the storage-layout ops. 29 entries
-    * × (min + 3 per-run times) ≈ 1.7 KB of JSON — measured well inside
-    * the driver's output-tail capture (the round-1 overflow was the
-    * full 100+-query map). */
+    * text/stream/reco/graph/multimodal + the storage-layout ops.
+    * ~37 entries × (min + 3 per-run times) ≈ 2 KB of JSON — measured
+    * well inside the driver's output-tail capture (the round-1
+    * overflow was the full 100+-query map). */
   val headline: Seq[String] = Seq(
     "q1_agg", "a10_salted_agg", "a6_distinct_count", "a13_cube",
     "j2_fact_join_chain", "j6_asof_join", "j7_band_join",
@@ -29,11 +29,13 @@ object Bench {
     "w4_analytics", "t4_topk_per_group", "u2_intersect",
     "p13_json_extract", "etl_pipeline", "etl_scd2", "etl_scd2_merge",
     "s11_bucketed_join", "s14_zorder_layout", "s15_manifest_prune",
-    "dd_exact", "dd_minhash_pairs", "dd_simhash",
+    "a20_sliding_distinct",
+    "dd_exact", "dd_minhash_pairs", "dd_simhash", "dd_lsh_incremental",
     "ss_knn_brute", "ss_knn_ivf", "ss_knn_ivfpq",
     "tx_langid", "tx_ngram_profile", "tx_dedup_spans", "g_pagerank",
+    "g_triangle_count",
     "st_hourly_agg", "st_user_journey", "st_upsert_sink",
-    "reco_topk_cosine", "mm_features")
+    "reco_topk_cosine", "reco_item_item", "mm_features")
 
   private def loadavg(): Double =
     scala.util.Try(

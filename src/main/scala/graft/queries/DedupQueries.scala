@@ -82,6 +82,47 @@ object DedupQueries {
             col("ex_min")).otherwise(col("batch_min")).as("dup_of"))
         .withColumn("is_novel", col("dup_of").isNull)
     }),
+    // incremental NEAR-dup — dd_incremental one level up: the new
+    // crawl batch (doc_id % 5 == 4, same deterministic stand-in)
+    // probes the LSH band index of the existing corpus plus its own
+    // earlier rows, and never re-pairs the existing corpus against
+    // itself. Emits every verified (new doc, matched doc) pair at
+    // Jaccard >= 0.5. Scale shape: the (band, hash, id) index is the
+    // artifact you keep warm between crawls — built once, appended
+    // per batch; per-crawl cost is ONE equi-join of the batch's bands
+    // against the index plus a Jaccard verify of the O(candidates)
+    // survivors — never O(corpus²) and never O(batch × corpus). The
+    // oracle recomputes the pairs from the full-corpus definition
+    // under the same blocking — hash-equality proves probe-side
+    // incrementality loses nothing.
+    "dd_lsh_incremental" -> ((s, dir) => {
+      val sigs = Dedup.minhashSignatures(
+          Dedup.withShingles(Tables(s, dir).documents))
+        .select(col("doc_id"), col("shingles"), col("sig"),
+          (col("doc_id") % 5 === 4).as("is_new"))
+        .persist()
+      val banded = sigs.select(col("doc_id"), col("is_new"),
+        posexplode(transform(sequence(lit(0), lit(3)),
+          b => md5(concat_ws("|", slice(col("sig"), b * 4 + 1, lit(4)))))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bh")
+      val probe = banded.filter(col("is_new"))
+        .select(col("doc_id").as("new_id"), col("band"), col("bh"))
+      val index = banded.select(col("doc_id").as("match_id"),
+        col("is_new").as("m_new"), col("band"), col("bh"))
+      val cands = probe.join(index, Seq("band", "bh"))
+        .filter(col("match_id") =!= col("new_id") &&
+          (!col("m_new") || col("match_id") < col("new_id")))
+        .select("new_id", "match_id").distinct()
+      val sa = sigs.select(col("doc_id").as("new_id"), col("shingles").as("sh_a"))
+      val sb = sigs.select(col("doc_id").as("match_id"), col("shingles").as("sh_b"))
+      // hash-hinted: never sort-merge the wide shingle arrays
+      cands.join(sa.hint("shuffle_hash"), "new_id")
+        .join(sb.hint("shuffle_hash"), "match_id")
+        .select(col("new_id"), col("match_id"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+    }),
     // the end-to-end payoff: the corpus that survives dedup. Keep the
     // min-id representative of each exact-content group, then drop
     // near-dup cluster members that aren't their cluster's
@@ -317,6 +358,33 @@ object DedupQueries {
          |       CAST(coalesce(n_shared, 0) AS DOUBLE) / n_shingles >= 0.1 AS contaminated
          |FROM evd LEFT JOIN sc USING (doc_id)""".stripMargin,
     "dd_minhash_pairs" -> minhashPairsSql,
+    "dd_lsh_incremental" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(
+         |           range(1, greatest(len(string_split($norm, ' ')) - 2, 1) + 1),
+         |           i -> array_to_string((string_split($norm, ' '))[i:i+2], ' '))) AS shingles
+         |  FROM documents),
+         |sig AS (
+         |  SELECT doc_id, shingles,
+         |         ${sigDuck("shingles", 16)} AS sig
+         |  FROM sh),
+         |bands AS (
+         |  SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bh
+         |  FROM sig, range(0, 4) t(b)),
+         |cands AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS match_id
+         |  FROM bands n JOIN bands o ON n.b = o.b AND n.bh = o.bh
+         |  WHERE n.doc_id % 5 = 4 AND o.doc_id <> n.doc_id
+         |    AND (o.doc_id % 5 <> 4 OR o.doc_id < n.doc_id))
+         |SELECT new_id, match_id,
+         |       CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+         |         / len(list_distinct(list_concat(x.shingles, y.shingles))) AS jaccard
+         |FROM cands
+         |JOIN sh x ON new_id = x.doc_id
+         |JOIN sh y ON match_id = y.doc_id
+         |WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+         |        / len(list_distinct(list_concat(x.shingles, y.shingles))) >= 0.5""".stripMargin,
     // connected components over the minhash pair list as a recursive
     // transitive closure; cluster_id = min reachable doc_id — exactly
     // the min-label fixpoint the Spark operator converges to.

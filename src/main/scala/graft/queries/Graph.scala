@@ -86,6 +86,57 @@ object Graph {
       }
       ranks.select(col("node_type"), col("node_id"),
         col("rank").as("rank_scaled"))
+    }),
+    "g_triangle_count" -> ((s, dir) => {
+      // triangle counting on the part co-order graph (edge = two parts
+      // co-ordered in >= 2 distinct orders — the same support floor as
+      // w11 keeps the projection sparse; a bipartite projection with
+      // no floor densifies quadratically around popular baskets).
+      // Degree-ordered counting (the MapReduce-classic): orient every
+      // edge from its lower-(degree, id) endpoint, enumerate wedges at
+      // the source, close them against the oriented edge list. Each
+      // triangle is counted exactly once at its minimum vertex, and
+      // the wedge fan-out per edge is bounded by the ORIENTED
+      // out-degree ≤ O(√E) — the self-join never sees a high-degree
+      // hub's full neighborhood. Two equi-join shuffles on node keys;
+      // everything else is map-side.
+      val items = Tables(s, dir).lineitem
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = items.select(col("okey"), col("pk").as("u"))
+        .join(items.select(col("okey"), col("pk").as("v")), Seq("okey"))
+        .filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("u"), col("v"))
+        .persist()
+      val deg = edges.select(col("u").as("x"))
+        .unionByName(edges.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("d"))
+      val withDeg = edges
+        .join(deg.select(col("x").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("x").as("v"), col("d").as("dv")), Seq("v"))
+      val oriented = withDeg.select(
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("u"))
+            .otherwise(col("v")).as("src"),
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("v"))
+            .otherwise(col("u")).as("dst"))
+        .persist()
+      val wedges = oriented.select(col("src"), col("dst").as("a"))
+        .join(oriented.select(col("src"), col("dst").as("b")), Seq("src"))
+        .filter(col("a") < col("b"))
+      val closed = wedges.join(
+        oriented.select(
+          least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b")),
+        Seq("a", "b"), "left_semi")
+      val nTri = closed.select(count(lit(1)).as("n_triangles"))
+      val nEdge = oriented.select(count(lit(1)).as("n_edges"))
+      val nNode = deg.select(count(lit(1)).as("n_nodes"))
+      nNode.crossJoin(nEdge).crossJoin(nTri)
     }))
 
   /** One PageRank iteration as a DuckDB CTE: `cur` from `prev`. */
@@ -124,5 +175,34 @@ object Graph {
          |$iters
          |SELECT node_type, node_id, CAST(rank AS BIGINT) AS rank_scaled
          |FROM r$Iters""".stripMargin
-    })
+    },
+    "g_triangle_count" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |e AS (
+        |  SELECT a.pk AS u, b.pk AS v
+        |  FROM items a JOIN items b ON a.okey = b.okey AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |deg AS (
+        |  SELECT x, COUNT(*) AS d
+        |  FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e)
+        |  GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.u < e.v)
+        |              THEN e.u ELSE e.v END AS src,
+        |         CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.u < e.v)
+        |              THEN e.v ELSE e.u END AS dst
+        |  FROM e JOIN deg d1 ON e.u = d1.x JOIN deg d2 ON e.v = d2.x),
+        |w AS (
+        |  SELECT o1.src, o1.dst AS a, o2.dst AS b
+        |  FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst),
+        |t AS (
+        |  SELECT COUNT(*) AS n_triangles FROM w
+        |  WHERE EXISTS (SELECT 1 FROM o
+        |                WHERE least(o.src, o.dst) = w.a
+        |                  AND greatest(o.src, o.dst) = w.b))
+        |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+        |       (SELECT COUNT(*) FROM o) AS n_edges,
+        |       n_triangles
+        |FROM t""".stripMargin)
 }

@@ -138,9 +138,75 @@ object Reco {
         .select(col("item"),
           (col("x").isNotNull && !isnan(col("x")) &&
             col("y").isNotNull && !isnan(col("y"))).as("coords_finite"))),
-    "reco_model_info" -> ((s, dir) => Recommender.modelInfo(s, dir)))
+    "reco_model_info" -> ((s, dir) => Recommender.modelInfo(s, dir)),
+    "reco_item_item" -> ((s, dir) => {
+      // item-item collaborative filtering on binary co-purchase — the
+      // memory-based neighbor model that serves "customers also
+      // bought" without any trained factors. cosine(i,j) =
+      // n_ij / √(n_i·n_j) over distinct (user, item) purchases; top-5
+      // neighbors per item, ties broken by neighbor id. Exact and
+      // bit-deterministic (integer counts, one correctly-rounded sqrt
+      // + division), so unlike the ALS family it hash-matches the
+      // oracle directly. Scale shape: the pair build self-joins on
+      // user, so its cost is Σ_u d(u)² — bounded ONLY if per-user
+      // degree is; the degree cap (≤1000 distinct items, no-op here,
+      // load-bearing on power-law users) is the standard guard that
+      // keeps the quadratic term linear-ish in practice. Pair agg and
+      // top-k window both shuffle on the item key.
+      val t = Tables(s, dir)
+      val ui = t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("user"), col("l_partkey").as("item"))
+        .distinct()
+      val capped = ui.join(
+        ui.groupBy("user").agg(count(lit(1)).as("_d"))
+          .filter(col("_d") <= 1000).select("user"),
+        Seq("user"), "left_semi")
+      val ni = capped.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
+      val withN = capped.join(ni, Seq("item"))
+      val co = withN.select(col("user"), col("item").as("item"), col("n_i").as("n_a"))
+        .join(withN.select(col("user"), col("item").as("neighbor"), col("n_i").as("n_b")),
+          Seq("user"))
+        .filter(col("item") =!= col("neighbor"))
+        .groupBy(col("item"), col("n_a"), col("neighbor"), col("n_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      val scored = co.withColumn("cosine",
+        col("n_ab").cast("double") /
+          sqrt((col("n_a") * col("n_b")).cast("double")))
+      val w = Window.partitionBy(col("item"))
+        .orderBy(col("cosine").desc, col("neighbor"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("item"), col("rank"), col("neighbor"), col("n_ab"), col("cosine"))
+    }))
 
   val oracles: Map[String, String] = Map(
+    "reco_item_item" ->
+      s"""WITH ui AS (
+         |  SELECT DISTINCT o_custkey AS u, l_partkey AS item
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |cap AS (
+         |  SELECT u FROM ui GROUP BY u HAVING COUNT(*) <= 1000),
+         |c AS (SELECT ui.u, ui.item FROM ui JOIN cap USING (u)),
+         |ni AS (SELECT item, COUNT(*) AS n_i FROM c GROUP BY 1),
+         |co AS (
+         |  SELECT a.item AS item, na.n_i AS n_a,
+         |         b.item AS neighbor, nb.n_i AS n_b, COUNT(*) AS n_ab
+         |  FROM c a JOIN c b ON a.u = b.u AND a.item <> b.item
+         |  JOIN ni na ON a.item = na.item
+         |  JOIN ni nb ON b.item = nb.item
+         |  GROUP BY 1, 2, 3, 4),
+         |sc AS (
+         |  SELECT item, neighbor, n_ab,
+         |         CAST(n_ab AS DOUBLE) / sqrt(CAST(n_a * n_b AS DOUBLE)) AS cosine,
+         |         row_number() OVER (PARTITION BY item
+         |                            ORDER BY CAST(n_ab AS DOUBLE)
+         |                              / sqrt(CAST(n_a * n_b AS DOUBLE)) DESC,
+         |                            neighbor) AS "rank"
+         |  FROM co)
+         |SELECT item, "rank", neighbor, n_ab, cosine
+         |FROM sc WHERE "rank" <= $K""".stripMargin,
     // model dimensions are solver-independent: ALS emits one factor row
     // per distinct user/item in the training pairs, and rank is fixed.
     "reco_model_info" ->

@@ -479,6 +479,149 @@ object Relational {
         .agg(count(lit(1)).as("n_events"),
              min(col("tus")).as("start_us"),
              max(col("tus")).as("end_us"))
+    }),
+    "w10_attribution" -> ((s, dir) => {
+      // last-touch attribution — every purchase is credited to the
+      // user's most recent click/view AT OR BEFORE the purchase, but
+      // only within a 7-day lookback (stale touches don't convert).
+      // Expressed as the as-of join (union/carry-forward, one shuffle
+      // on user_id, zero row multiplication — see operators.AsofJoin)
+      // with the lookback applied as a projection on the carried
+      // touch; the naive range-join builds |purchases| × |touches/
+      // user| rows before pruning, which detonates on active users at
+      // warehouse scale. Touches are deduped to one row per (user,
+      // tick) with the max-event_id winner, as as-of semantics
+      // require; microsecond ticks keep both engines on the same
+      // boundary.
+      val ev = Tables(s, dir).events
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("ts"), unix_micros(col("ts")).as("_tus"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("_tus"))
+      val touches = ev.filter(col("event_type").isin("click", "view"))
+        .groupBy(col("user_id"), col("_tus"))
+        .agg(max(col("event_id")).as("t_id"),
+             expr("max_by(event_type, event_id)").as("t_type"))
+        .withColumn("t_tus", col("_tus"))
+      val lookbackUs = 7L * 24 * 3600 * 1000000
+      graft.operators.AsofJoin
+        .asofJoin(purchases, "user_id", "_tus",
+          touches, "user_id", "_tus", Seq("t_id", "t_type", "t_tus"))
+        .withColumn("_fresh",
+          col("t_tus").isNotNull && col("t_tus") >= col("_tus") - lookbackUs)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("_fresh"), col("t_id")).as("touch_event_id"),
+          when(col("_fresh"), col("t_type")).as("touch_type"),
+          col("_fresh").as("attributed"))
+    }),
+    "w11_market_basket" -> ((s, dir) => {
+      // market-basket pair mining — support/lift for parts co-ordered
+      // in the same order, the association-rule core of an e-commerce
+      // "bought together" feature. The scale discipline is apriori
+      // pruning BEFORE pairing: an item in fewer than minsup orders
+      // can't be in a frequent pair, so it never enters the self-join
+      // (on a power-law catalog this drops most of the long tail
+      // before the quadratic step). Pairs per order are bounded by
+      // basket size, so the self-join on okey is linear in baskets ×
+      // basket²; the pair agg is one shuffle on the pair key. Lift is
+      // one IEEE division of exactly-representable integer products
+      // (< 2^53) — bit-identical in any engine.
+      val minSup = 2
+      val items = Tables(s, dir).lineitem
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+        .distinct()
+      val freq = items.groupBy(col("pk"))
+        .agg(count(lit(1)).as("n_item"))
+        .filter(col("n_item") >= minSup)
+      val fi = items.join(freq, Seq("pk")).persist()
+      val nOrders = items.select(countDistinct(col("okey")).as("n_orders"))
+      val pairs = fi.select(col("okey"), col("pk").as("part_a"), col("n_item").as("n_a"))
+        .join(fi.select(col("okey"), col("pk").as("part_b"), col("n_item").as("n_b")),
+          Seq("okey"))
+        .filter(col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("n_a"), col("part_b"), col("n_b"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= minSup)
+      pairs.crossJoin(broadcast(nOrders))
+        .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+          ((col("n_ab") * col("n_orders")).cast(DoubleType) /
+            (col("n_a") * col("n_b")).cast(DoubleType)).as("lift"))
+    }),
+    "w12_peak_backlog" -> ((s, dir) => {
+      // per-supplier peak backlog: the most line items simultaneously
+      // open (ordered but not yet shipped, order date → ship date
+      // inclusive) — interval concurrency WITHOUT the interval
+      // self-join. The sweep-line form: +1 at the order date, -1 the
+      // day after shipment, collapse to one net row per (supplier,
+      // day), then a running sum ordered by day; the peak is the max
+      // prefix. One join + one shuffle on supplier + one sort vs the
+      // naive overlaps-self-join whose output is quadratic in the
+      // per-key interval count (rush-season suppliers detonate it).
+      // Placing the -1 at day+1 makes within-day ordering irrelevant,
+      // so the result is engine-independent with no tie rule at all.
+      val t = Tables(s, dir)
+      val li = t.lineitem
+        .select(col("l_orderkey"), col("l_suppkey").as("s_suppkey"),
+          to_date(col("l_shipdate")).as("d2"))
+        .join(t.orders.select(col("o_orderkey").as("l_orderkey"),
+          to_date(col("o_orderdate")).as("d1")), Seq("l_orderkey"))
+      val deltas = li.select(col("s_suppkey"), col("d1").as("day"), lit(1L).as("delta"))
+        .unionByName(li.select(col("s_suppkey"),
+          date_add(col("d2"), 1).as("day"), lit(-1L).as("delta")))
+        .groupBy(col("s_suppkey"), col("day"))
+        .agg(sum(col("delta")).as("net"))
+      deltas
+        .withColumn("active", sum(col("net"))
+          .over(Window.partitionBy(col("s_suppkey")).orderBy(col("day"))))
+        .groupBy(col("s_suppkey"))
+        .agg(max(col("active")).as("peak_backlog"))
+    }),
+    "w13_rfm" -> ((s, dir) => {
+      // RFM segmentation (recency / frequency / monetary quintiles) —
+      // the classic e-commerce customer scoring. The trap at scale is
+      // the textbook `ntile(5) OVER (ORDER BY metric)`: a global
+      // window with no PARTITION BY collapses every customer into ONE
+      // task. Instead each metric gets a distributed exact rank —
+      // range-partition on (metric, key), local sort, zipWithIndex —
+      // the same machinery as the fact-scale surrogate key (w1b);
+      // quintile = closed-form `(rank-1)*5 div n + 1`, reproduced
+      // verbatim in the oracle from row_number(), so no engine's
+      // ntile tie rules are in play. Monetary sums are decimal-exact
+      // (order-independent), ranks tie-break on the key: fully
+      // deterministic end to end.
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val base = Tables(s, dir).orders
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(max(col("o_orderdate")).as("last_order"),
+             count(lit(1)).as("n_orders"),
+             dsum(col("o_totalprice")).as("monetary"))
+        .persist()
+      def ranked(metric: String, rankName: String): DataFrame = {
+        val ordered = base.select(col("c_custkey"), col(metric))
+          .repartitionByRange(s.sparkContext.defaultParallelism,
+            col(metric), col("c_custkey"))
+          .sortWithinPartitions(metric, "c_custkey")
+        val schema = StructType(Seq(
+          StructField("c_custkey", LongType, nullable = false),
+          StructField(rankName, LongType, nullable = false)))
+        s.createDataFrame(
+          ordered.rdd.zipWithIndex.map { case (row, i) =>
+            Row(row.getLong(0), i + 1)
+          }, schema)
+      }
+      val n = base.select(count(lit(1)).as("n_cust"))
+      base
+        .join(ranked("last_order", "rr"), Seq("c_custkey"))
+        .join(ranked("n_orders", "fr"), Seq("c_custkey"))
+        .join(ranked("monetary", "mr"), Seq("c_custkey"))
+        .crossJoin(broadcast(n))
+        .select(col("c_custkey"), col("last_order"), col("n_orders"), col("monetary"),
+          expr("(rr - 1) * 5 div n_cust + 1").as("r_score"),
+          expr("(fr - 1) * 5 div n_cust + 1").as("f_score"),
+          expr("(mr - 1) * 5 div n_cust + 1").as("m_score"))
+        .withColumn("rfm_code",
+          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
     })
   )
 
@@ -558,6 +701,76 @@ object Relational {
       """SELECT c_custkey, s_suppkey, c_nationkey AS nation, c_acctbal, s_acctbal
         |FROM customer JOIN supplier ON c_nationkey = s_nationkey
         |WHERE abs(c_acctbal - s_acctbal) <= 100.0""".stripMargin,
+    "w10_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, MAX(event_id) AS t_id,
+        |         arg_max(event_type, event_id) AS t_type
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |  GROUP BY user_id, ts),
+        |p AS (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |       CASE WHEN t.ts >= p.ts - INTERVAL 7 DAY THEN t.t_id END
+        |         AS touch_event_id,
+        |       CASE WHEN t.ts >= p.ts - INTERVAL 7 DAY THEN t.t_type END
+        |         AS touch_type,
+        |       coalesce(t.ts >= p.ts - INTERVAL 7 DAY, FALSE) AS attributed
+        |FROM p ASOF LEFT JOIN t
+        |  ON p.user_id = t.user_id AND p.ts >= t.ts""".stripMargin,
+    "w11_market_basket" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |f AS (SELECT pk, COUNT(*) AS n_item FROM items
+        |      GROUP BY pk HAVING COUNT(*) >= 2),
+        |fi AS (SELECT okey, i.pk, n_item FROM items i JOIN f USING (pk)),
+        |n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM items),
+        |p AS (SELECT a.pk AS part_a, a.n_item AS n_a,
+        |             b.pk AS part_b, b.n_item AS n_b, COUNT(*) AS n_ab
+        |      FROM fi a JOIN fi b ON a.okey = b.okey AND a.pk < b.pk
+        |      GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= 2)
+        |SELECT part_a, part_b, n_ab, n_a, n_b,
+        |       CAST(n_ab * n_orders AS DOUBLE) / CAST(n_a * n_b AS DOUBLE) AS lift
+        |FROM p, n""".stripMargin,
+    "w12_peak_backlog" ->
+      """WITH iv AS (
+        |  SELECT l_suppkey AS s_suppkey,
+        |         CAST(o_orderdate AS DATE) AS d1, CAST(l_shipdate AS DATE) AS d2
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (
+        |  SELECT s_suppkey, d1 AS day, 1 AS delta FROM iv
+        |  UNION ALL
+        |  SELECT s_suppkey, d2 + 1, -1 FROM iv),
+        |b AS (SELECT s_suppkey, day, SUM(delta) AS net FROM e GROUP BY 1, 2),
+        |a AS (SELECT s_suppkey,
+        |             SUM(net) OVER (PARTITION BY s_suppkey ORDER BY day) AS active
+        |      FROM b)
+        |SELECT s_suppkey, MAX(active) AS peak_backlog FROM a GROUP BY 1""".stripMargin,
+    "w13_rfm" ->
+      """WITH base AS (
+        |  SELECT o_custkey AS c_custkey, MAX(o_orderdate) AS last_order,
+        |         COUNT(*) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT c_custkey,
+        |             row_number() OVER (ORDER BY last_order, c_custkey) AS rr
+        |      FROM base),
+        |f AS (SELECT c_custkey,
+        |             row_number() OVER (ORDER BY n_orders, c_custkey) AS fr
+        |      FROM base),
+        |m AS (SELECT c_custkey,
+        |             row_number() OVER (ORDER BY monetary, c_custkey) AS mr
+        |      FROM base),
+        |n AS (SELECT COUNT(*) AS n_cust FROM base)
+        |SELECT b.c_custkey, b.last_order, b.n_orders, b.monetary,
+        |       (rr - 1) * 5 // n_cust + 1 AS r_score,
+        |       (fr - 1) * 5 // n_cust + 1 AS f_score,
+        |       (mr - 1) * 5 // n_cust + 1 AS m_score,
+        |       ((rr - 1) * 5 // n_cust + 1) * 100
+        |         + ((fr - 1) * 5 // n_cust + 1) * 10
+        |         + ((mr - 1) * 5 // n_cust + 1) AS rfm_code
+        |FROM base b
+        |JOIN r USING (c_custkey) JOIN f USING (c_custkey)
+        |JOIN m USING (c_custkey), n""".stripMargin,
     "j6_asof_join" ->
       """WITH r AS (
         |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS asof_orderkey

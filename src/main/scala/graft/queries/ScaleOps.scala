@@ -590,6 +590,45 @@ object ScaleOps {
           .as("merged_within_5pct"))
     }),
 
+    // ---- sliding-window distinct via mergeable daily sketches --------------
+    "a20_sliding_distinct" -> ((s, dir) => {
+      // trailing 7-day distinct users per day — the DAU/WAU family.
+      // Exact sliding distinct is a classic scale-killer: COUNT
+      // (DISTINCT) has no algebraic partial, so every anchor day
+      // re-shuffles its whole window of raw keys (7× the corpus
+      // through the exchange). The mergeable form builds ONE compact
+      // HLL per day — the same single raw-data pass whose partials a
+      // real pipeline persists next to a19's monthly sketches — and
+      // fans each daily sketch out to the ≤7 anchor days it serves,
+      // so the merge input is O(days × 7) KB-sized sketches, never
+      // row data. The exact path is emitted for the oracle (its 7×
+      // explode is the cost the sketch path exists to avoid); the
+      // boolean asserts the merged estimate's ~2% (lgConfigK=12)
+      // error contract with margin.
+      val ev = Tables(s, dir).events
+        .select(to_date(col("ts")).as("day"), col("user_id"))
+      val days = ev.select("day").distinct()
+      val exact = ev
+        .select(explode(expr("sequence(day, date_add(day, 6))")).as("day"),
+          col("user_id"))
+        .groupBy("day").agg(countDistinct(col("user_id")).as("n_users"))
+      val approx = ev
+        .groupBy("day").agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+        .select(explode(expr("sequence(day, date_add(day, 6))")).as("day"),
+          col("sk"))
+        .groupBy("day")
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("_est"))
+      // anchors past the last event day carry partial windows no one
+      // asks for — keep only real days (left-semi against the tiny
+      // distinct-day frame)
+      exact.join(approx, Seq("day"))
+        .join(days, Seq("day"), "left_semi")
+        .select(col("day"), col("n_users"),
+          (abs(col("_est") - col("n_users")) <=
+            greatest(lit(2.0), col("n_users") * 0.05))
+            .as("sketch_within_5pct"))
+    }),
+
     // ---- incremental aggregate maintenance ---------------------------------
     "a17_incremental_agg" -> ((s, dir) => {
       // the materialized-view move: at 100 TB you never re-aggregate
@@ -757,5 +796,12 @@ object ScaleOps {
     "a19_sketch_merge" ->
       """SELECT COUNT(DISTINCT o_custkey) AS exact_customers,
         |       TRUE AS merged_within_5pct
-        |FROM orders""".stripMargin)
+        |FROM orders""".stripMargin,
+    "a20_sliding_distinct" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id FROM events),
+        |d AS (SELECT DISTINCT day FROM ev)
+        |SELECT d.day, COUNT(DISTINCT e.user_id) AS n_users,
+        |       TRUE AS sketch_within_5pct
+        |FROM d JOIN ev e ON e.day BETWEEN d.day - 6 AND d.day
+        |GROUP BY d.day""".stripMargin)
 }

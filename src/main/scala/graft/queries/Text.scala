@@ -326,6 +326,41 @@ object Text {
             .when(col("bucket") < 230, "val")
             .otherwise("test").as("split"))
     }),
+    "tx_cdc_chunk" -> ((s, dir) => {
+      // content-defined chunking — the dedup-stable chunker: a cut
+      // falls AFTER position i when the rolling window hash of the
+      // trailing 8 chars (md5, first two hex digits zero → expected
+      // chunk ≈ 256 chars) fires. Unlike tx_chunk's fixed windows,
+      // boundaries depend only on LOCAL content, so inserting one
+      // sentence shifts every fixed-window chunk after it but leaves
+      // all CDC chunks outside the edited region byte-identical — the
+      // property that makes chunk-hash dedup across near-identical
+      // documents (and incremental re-embedding of edited docs) work.
+      // Scale shape: pure projection + explode, no shuffle; the cut
+      // scan is one HOF filter over the char positions. The window
+      // condition requires i >= 8 so the substr window never starts
+      // below position 1 (engines disagree on non-positive substr
+      // starts).
+      Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("t", normText(col("text")))
+        .withColumn("bounds", expr(
+          """concat(array(0),
+            |  filter(sequence(1, greatest(length(t), 1)),
+            |    i -> i >= 8 AND i < length(t)
+            |         AND substr(md5(substr(t, i - 7, 8)), 1, 2) = '00'),
+            |  array(length(t)))""".stripMargin))
+        .select(col("doc_id"), col("t"),
+          posexplode(expr(
+            """transform(sequence(1, size(bounds) - 1),
+              |  j -> named_struct(
+              |    'cs', element_at(bounds, j) + 1,
+              |    'cl', element_at(bounds, j + 1) - element_at(bounds, j)))"""
+              .stripMargin)))
+        .select(col("doc_id"), col("pos").as("chunk_idx"),
+          col("col.cs").as("chunk_start"), col("col.cl").as("chunk_len"),
+          md5(expr("substr(t, col.cs, col.cl)")).as("chunk_hash"))
+    }),
     "tx_corpus_mix" -> ((s, dir) => {
       // deterministic domain mixing — the "data mix" step of a
       // pretraining pipeline: cap every (lang, source) cell at
@@ -493,6 +528,22 @@ object Text {
          |SELECT doc_id, CAST(ch.chunk_idx AS INT) AS chunk_idx,
          |       ch.chunk_text AS chunk_text
          |FROM c""".stripMargin,
+    "tx_cdc_chunk" ->
+      s"""WITH d AS (SELECT doc_id, $normDuck AS t FROM documents),
+         |b AS (
+         |  SELECT doc_id, t,
+         |         list_concat(list_concat([0],
+         |           list_filter(range(1, greatest(length(t), 1) + 1),
+         |             i -> i >= 8 AND i < length(t)
+         |                  AND substr(md5(substr(t, i - 7, 8)), 1, 2) = '00')),
+         |           [length(t)]) AS bounds
+         |  FROM d)
+         |SELECT doc_id, CAST(j - 1 AS INT) AS chunk_idx,
+         |       CAST(bounds[j] + 1 AS INT) AS chunk_start,
+         |       CAST(bounds[j + 1] - bounds[j] AS INT) AS chunk_len,
+         |       md5(substr(t, CAST(bounds[j] + 1 AS INT),
+         |                  CAST(bounds[j + 1] - bounds[j] AS INT))) AS chunk_hash
+         |FROM b, unnest(range(1, len(bounds))) AS u(j)""".stripMargin,
     "tx_hash_embed" ->
       s"""WITH w AS (
          |  SELECT doc_id, md5(unnest(string_split($normDuck, ' '))) AS m

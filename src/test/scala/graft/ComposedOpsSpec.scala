@@ -152,6 +152,163 @@ class ComposedOpsSpec extends SparkSpec {
       "customer_acctbal_not_null" -> ((1L, false))))
   }
 
+  test("tx_cdc_chunk: chunks tile the text; boundaries survive a prefix edit") {
+    val d = java.nio.file.Files.createTempDirectory("graft_cdc_fix").toString
+    val body = (1 to 400).map(i => s"w$i").mkString(" ")
+    val docB = s"inserted preamble $body"
+    Seq((1L, body, "en", "web", body.length.toLong),
+        (2L, docB, "en", "web", docB.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = SparkEntry.queries("tx_cdc_chunk")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    val byDoc = rows.groupBy(_._1).map { case (id, ch) => id -> ch.sortBy(_._2) }
+    // chunks tile the doc exactly: start at 1, contiguous, lengths sum
+    for ((id, ch) <- byDoc) {
+      val text = if (id == 1L) body else docB
+      assert(ch.head._3 == 1)
+      assert(ch.map(_._4).sum == text.length)
+      ch.sliding(2).withFilter(_.length == 2).foreach { w =>
+        assert(w(1)._3 == w(0)._3 + w(0)._4)
+      }
+    }
+    // content-defined payoff: every chunk of the original after its
+    // first cut reappears BIT-IDENTICAL in the prefixed doc — the
+    // window hash depends only on local content, so the edit's blast
+    // radius ends at the first boundary after it (fixed-window
+    // chunking shares zero chunks after an insertion)
+    val hashesA = byDoc(1L).map(_._5)
+    val hashesB = byDoc(2L).map(_._5).toSet
+    assert(hashesA.length >= 2, s"fixture produced no cut: ${hashesA.length} chunk(s)")
+    assert(hashesA.drop(1).forall(hashesB.contains))
+  }
+
+  test("dd_lsh_incremental: exactly the full-LSH pairs that touch the new batch") {
+    val dir = "/root/testdata/sf0.001"
+    val inc = SparkEntry.queries("dd_lsh_incremental")(spark, dir)
+      .select(least(col("new_id"), col("match_id")).as("a"),
+        greatest(col("new_id"), col("match_id")).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probe-side incrementality must lose nothing vs the full self-join
+    // restricted to pairs with a batch member
+    val full = graft.operators.Dedup.minhashLshPairs(
+        graft.core.Tables(spark, dir).documents)
+      .filter(col("id_a") % 5 === 4 || col("id_b") % 5 === 4)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == full)
+  }
+
+  test("a20_sliding_distinct: trailing 7-day windows age users out exactly") {
+    val d = java.nio.file.Files.createTempDirectory("graft_slide_fix").toString
+    import java.sql.Timestamp
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    Seq((ts(1), 1L), (ts(1), 2L), (ts(5), 2L), (ts(5), 3L), (ts(9), 9L))
+      .toDF("ts", "user_id")
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val out = SparkEntry.queries("a20_sliding_distinct")(spark, d)
+      .collect().map(r => r.getDate(0).toString -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out == Map(
+      "2024-01-01" -> ((2L, true)),  // {1,2}
+      "2024-01-05" -> ((3L, true)),  // {1,2,3} — day 1 still in window
+      "2024-01-09" -> ((3L, true)))) // {2,3,9} — day 1 aged out, day 5 kept
+  }
+
+  test("w11_market_basket: pair support counts and lift on crafted baskets") {
+    val d = java.nio.file.Files.createTempDirectory("graft_basket_fix").toString
+    // baskets: parts 1,2 co-occur in orders 10,11; part 3 rides along
+    // once only (pair below minsup); order 13 has a lone item
+    Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (11L, 3L), (12L, 3L), (13L, 4L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val rows = SparkEntry.queries("w11_market_basket")(spark, d)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // 4 orders; only pair (1,2): n_ab=2, n_1=2, n_2=2 → lift 2*4/(2*2)=2.0
+    assert(rows == Map((1L, 2L) -> ((2L, 2L, 2L, 2.0))))
+  }
+
+  test("w12_peak_backlog: inclusive-boundary sweep finds the exact peak") {
+    val d = java.nio.file.Files.createTempDirectory("graft_transit_fix").toString
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    // orders: id → placement day
+    Seq((100L, ts(1)), (101L, ts(5)), (102L, ts(1)), (103L, ts(5)),
+        (104L, ts(1)), (105L, ts(2)), (106L, ts(3)))
+      .toDF("o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq(
+      // supplier 7: second opens the day the first ships → overlap (inclusive)
+      (100L, 7L, ts(5)), (101L, 7L, ts(9)),
+      // supplier 8: gap day between them → never concurrent
+      (102L, 8L, ts(4)), (103L, 8L, ts(9)),
+      // supplier 9: nested triple, all three open on day 3
+      (104L, 9L, ts(10)), (105L, 9L, ts(3)), (106L, 9L, ts(6)))
+      .toDF("l_orderkey", "l_suppkey", "l_shipdate")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val out = SparkEntry.queries("w12_peak_backlog")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(7L -> 2L, 8L -> 1L, 9L -> 3L))
+  }
+
+  test("g_triangle_count: one triangle, counted once, support floor respected") {
+    val d = java.nio.file.Files.createTempDirectory("graft_tri_fix").toString
+    // orders 1,2 each contain parts {1,2,3} → all three edges at
+    // support 2 → one triangle. orders 3,4 share {4,5} → an edge but
+    // no triangle. order 5 adds {1,4} once — below the support floor,
+    // so it must NOT create an edge (else 1-2-4 etc. could close).
+    val li = Seq(1L, 2L).flatMap(o => Seq(1L, 2L, 3L).map(p => (o, p))) ++
+      Seq(3L, 4L).flatMap(o => Seq(4L, 5L).map(p => (o, p))) ++
+      Seq((5L, 1L), (5L, 4L))
+    li.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val r = SparkEntry.queries("g_triangle_count")(spark, d).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((5L, 4L, 1L)))
+  }
+
+  test("reco_item_item: exact cosine neighbors on a hand-computed co-purchase") {
+    val d = java.nio.file.Files.createTempDirectory("graft_ii_fix").toString
+    Seq((10L, 100L), (11L, 200L), (12L, 300L))
+      .toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    // users 100,200 buy {1,2}; user 300 buys {1,3}
+    Seq((10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (12L, 1L), (12L, 3L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val out = SparkEntry.queries("reco_item_item")(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // n_1=3, n_2=2, n_3=1; cos(1,2)=2/sqrt(6), cos(1,3)=1/sqrt(3)
+    assert(out == Map(
+      (1L, 1) -> ((2L, 2L, 2.0 / math.sqrt(6.0))),
+      (1L, 2) -> ((3L, 1L, 1.0 / math.sqrt(3.0))),
+      (2L, 1) -> ((1L, 2L, 2.0 / math.sqrt(6.0))),
+      (3L, 1) -> ((1L, 1L, 1.0 / math.sqrt(3.0)))))
+  }
+
+  test("w13_rfm: quintile formula and distributed ranks on 10 customers") {
+    val d = java.nio.file.Files.createTempDirectory("graft_rfm_fix").toString
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    // customer k (1..10): one order on day k, totalprice 10*k → every
+    // metric ranks customers in id order, so all three scores agree:
+    // quintile(rank r of 10) = (r-1)*5 div 10 + 1 → 1,1,2,2,3,3,4,4,5,5
+    val orders = (1 to 10).map(k => (100L + k, k.toLong, ts(k), 10.0 * k))
+    orders.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val out = SparkEntry.queries("w13_rfm")(spark, d)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    val exp = (1 to 10).map { k =>
+      val q = ((k - 1) * 5) / 10 + 1L
+      k.toLong -> ((q, q, q, q * 111))
+    }.toMap
+    assert(out == exp)
+  }
+
   test("tx_split: assignment is the md5-bucket pure function of doc_id") {
     def bucket(id: Long): Int = {
       val hex = java.security.MessageDigest.getInstance("MD5")
