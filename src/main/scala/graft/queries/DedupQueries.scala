@@ -123,6 +123,40 @@ object DedupQueries {
             size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
     }),
+    // asymmetric containment — doc-IN-doc detection, the case Jaccard
+    // near-dup structurally misses: a short doc fully quoted inside a
+    // long one has |A∩B|/|A∪B| ≈ |A|/|B| (tiny) but |A∩B|/|A| ≈ 1.
+    // Candidates come from an equi-join on RARE shingles only
+    // (document frequency ≤ 50): a high-DF shingle is boilerplate
+    // that would quadratically explode the join while adding no
+    // discriminative power — the standard prefix/DF-filter trade. The
+    // containment score itself is computed over the FULL shingle
+    // sets of each surviving pair, so scores are exact; only pairs
+    // sharing nothing but boilerplate are (deliberately) out of
+    // scope, and the oracle applies the identical candidate rule.
+    "dd_containment" -> ((s, dir) => {
+      val sh = Dedup.withShingles(Tables(s, dir).documents)
+        .select(col("doc_id"), col("shingles")).persist()
+      val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      val rare = ex.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df")).filter(col("df") <= 50)
+        .select("shingle")
+      val rex = ex.join(rare, Seq("shingle"))
+      val cands = rex.select(col("shingle"), col("doc_id").as("id_a"))
+        .join(rex.select(col("shingle"), col("doc_id").as("id_b")), Seq("shingle"))
+        .filter(col("id_a") =!= col("id_b"))
+        .select("id_a", "id_b").distinct()
+      val sa = sh.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+      val sb = sh.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+      // hash-hinted: never sort-merge the wide shingle arrays
+      cands.join(sa.hint("shuffle_hash"), Seq("id_a"))
+        .join(sb.hint("shuffle_hash"), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(col("sh_a")).as("n_a"), size(col("sh_b")).as("n_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(col("sh_a"))).as("containment"))
+        .filter(col("containment") >= 0.8 && col("n_a") <= col("n_b"))
+    }),
     // the end-to-end payoff: the corpus that survives dedup. Keep the
     // min-id representative of each exact-content group, then drop
     // near-dup cluster members that aren't their cluster's
@@ -358,6 +392,31 @@ object DedupQueries {
          |       CAST(coalesce(n_shared, 0) AS DOUBLE) / n_shingles >= 0.1 AS contaminated
          |FROM evd LEFT JOIN sc USING (doc_id)""".stripMargin,
     "dd_minhash_pairs" -> minhashPairsSql,
+    "dd_containment" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(
+         |           range(1, greatest(len(string_split($norm, ' ')) - 2, 1) + 1),
+         |           i -> array_to_string((string_split($norm, ' '))[i:i+2], ' '))) AS shingles
+         |  FROM documents),
+         |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+         |rare AS (SELECT shingle FROM ex GROUP BY 1 HAVING COUNT(*) <= 50),
+         |rex AS (SELECT e.doc_id, e.shingle FROM ex e JOIN rare USING (shingle)),
+         |cands AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM rex a JOIN rex b ON a.shingle = b.shingle
+         |  WHERE a.doc_id <> b.doc_id)
+         |SELECT id_a, id_b,
+         |       CAST(len(x.shingles) AS INTEGER) AS n_a,
+         |       CAST(len(y.shingles) AS INTEGER) AS n_b,
+         |       CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+         |         / len(x.shingles) AS containment
+         |FROM cands
+         |JOIN sh x ON id_a = x.doc_id
+         |JOIN sh y ON id_b = y.doc_id
+         |WHERE CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+         |        / len(x.shingles) >= 0.8
+         |  AND len(x.shingles) <= len(y.shingles)""".stripMargin,
     "dd_lsh_incremental" ->
       s"""WITH sh AS (
          |  SELECT doc_id,

@@ -37,6 +37,33 @@ object MultimodalQueries {
           col("thumb_w").cast("string"), lit("x"),
           col("thumb_h").cast("string"))).as("thumb_md5"))
     }),
+    // shot-boundary detection over the sampled frames: a cut is
+    // declared where consecutive frames' 32-bit perceptual signatures
+    // differ in more than half their bits (Hamming > 16). With the
+    // stub codec the signature is the leading 32 bits of the frame
+    // digest — a real pHash/dHash swaps in with no plan change: the
+    // operator IS the per-video lag window (partitioned by media_id,
+    // tiny ordered partitions, fully parallel across videos) + a
+    // codegen'd xor/bit_count; no shuffle beyond the one window
+    // partitioning, payloads never move.
+    "mm_shot_boundary" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+      val frames = Multimodal.mediaTable(Tables(s, dir).documents)
+        .filter(col("kind") === "video")
+        .withColumn("step", greatest(expr("n_frames div 4"), lit(1)))
+        .select(col("media_id"),
+          explode(expr("sequence(0, n_frames - 1, step)")).as("frame_idx"))
+        .withColumn("fsig",
+          conv(substring(md5(concat(md5(col("media_id").cast("string")),
+            lit(":"), col("frame_idx"))), 1, 8), 16, 10).cast("long"))
+      frames
+        .withColumn("prev_sig", lag(col("fsig"), 1).over(w))
+        .withColumn("hamming",
+          bit_count(expr("fsig ^ prev_sig")).cast("int"))
+        .withColumn("is_cut", coalesce(col("hamming") > 16, lit(false)))
+        .select("media_id", "frame_idx", "hamming", "is_cut")
+    }),
     // deterministic frame sampling: ~4 evenly spaced frames per video.
     "mm_frame_sample" -> ((s, dir) => {
       val m = Multimodal.mediaTable(Tables(s, dir).documents)
@@ -117,6 +144,37 @@ object MultimodalQueries {
         |SELECT media_id, n_frames, unnest(range(0, n_frames, step)) AS frame_idx,
         |       md5(md5(CAST(media_id AS VARCHAR)) || ':' || frame_idx) AS frame_md5
         |FROM m""".stripMargin,
+    // reproduce the frame signature (leading 8 hex nibbles of the
+    // frame digest) in SQL, then the same lag/xor/popcount window.
+    "mm_shot_boundary" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         CAST(8 + doc_id % 120 AS INTEGER) AS n_frames,
+        |         greatest((8 + doc_id % 120) // 4, 1) AS step
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (
+        |  SELECT media_id, unnest(range(0, n_frames, step)) AS frame_idx FROM m),
+        |h AS (
+        |  SELECT media_id, frame_idx,
+        |         md5(md5(CAST(media_id AS VARCHAR)) || ':' || frame_idx) AS fh
+        |  FROM fr),
+        |sig AS (
+        |  SELECT media_id, frame_idx,
+        |         CAST(SUM((strpos('0123456789abcdef',
+        |                          substr(fh, CAST(i AS INTEGER) + 1, 1)) - 1)
+        |             * (CAST(1 AS BIGINT) << CAST(4 * (7 - i) AS INTEGER)))
+        |           AS BIGINT) AS fsig
+        |  FROM h, range(0, 8) t(i)
+        |  GROUP BY media_id, frame_idx),
+        |lg AS (
+        |  SELECT media_id, frame_idx, fsig,
+        |         lag(fsig) OVER (PARTITION BY media_id ORDER BY frame_idx)
+        |           AS prev_sig
+        |  FROM sig)
+        |SELECT media_id, frame_idx,
+        |       CAST(bit_count(xor(fsig, prev_sig)) AS INTEGER) AS hamming,
+        |       coalesce(bit_count(xor(fsig, prev_sig)) > 16, FALSE) AS is_cut
+        |FROM lg""".stripMargin,
     // the stub features are md5-digest u16 folds; re-derive them in SQL
     // by parsing each 4-hex-char chunk of md5(text).
     "mm_features" ->

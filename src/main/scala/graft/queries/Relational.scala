@@ -565,9 +565,13 @@ object Relational {
           to_date(col("l_shipdate")).as("d2"))
         .join(t.orders.select(col("o_orderkey").as("l_orderkey"),
           to_date(col("o_orderdate")).as("d1")), Seq("l_orderkey"))
-      val deltas = li.select(col("s_suppkey"), col("d1").as("day"), lit(1L).as("delta"))
-        .unionByName(li.select(col("s_suppkey"),
-          date_add(col("d2"), 1).as("day"), lit(-1L).as("delta")))
+      // explode both endpoints from ONE pass over the join output — a
+      // union of two selects over `li` would re-run the join per branch
+      val deltas = li
+        .select(col("s_suppkey"), explode(array(
+          struct(col("d1").as("day"), lit(1L).as("delta")),
+          struct(date_add(col("d2"), 1).as("day"), lit(-1L).as("delta")))).as("e"))
+        .select(col("s_suppkey"), col("e.day").as("day"), col("e.delta").as("delta"))
         .groupBy(col("s_suppkey"), col("day"))
         .agg(sum(col("delta")).as("net"))
       deltas

@@ -28,6 +28,59 @@ import graft.queries.Relational.dsum
 object ScaleOps {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Builds (idempotently, per scratch root) the two copy-on-write
+    * snapshots the table-format queries (s17 time travel, s18 change
+    * feed, s19 vacuum) operate on: v0 = customer in a 10-bucket
+    * layout, v1 = bucket 0 rewritten with +100 on every balance, each
+    * version a manifest (sorted data-file list) under `root`. Returns
+    * (m0, m1) file lists. All manifest work is O(files) driver-side
+    * metadata — the scan-planner shape of a real table format. */
+  private def buildCowSnapshots(s: SparkSession, dir: String,
+                                root: String): (Seq[String], Seq[String]) = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def manifestPath(v: Int) = new org.apache.hadoop.fs.Path(root, s"m$v.txt")
+    def listDataFiles(p: String): Seq[String] = {
+      val base = new org.apache.hadoop.fs.Path(p)
+      fs.listStatus(base).toSeq.filter(_.isDirectory).flatMap(d =>
+        fs.listStatus(d.getPath).toSeq.map(_.getPath)
+          .filter(_.getName.startsWith("part-")).map(_.toString))
+    }
+    def writeManifest(v: Int, files: Seq[String]): Unit = {
+      val out = fs.create(manifestPath(v), true)
+      out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
+      out.close()
+    }
+    def readManifest(v: Int): Seq[String] = {
+      val in = fs.open(manifestPath(v))
+      val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      in.close()
+      txt.split("\n").toSeq.filter(_.nonEmpty)
+    }
+    if (!fs.exists(manifestPath(1))) {
+      val cust = Tables(s, dir).customer.select(col("c_custkey"),
+        col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4))
+          .as("bal"))
+        .withColumn("bk", pmod(col("c_custkey"), lit(10)))
+      cust.repartition(10, col("bk"))
+        .write.partitionBy("bk").mode("overwrite").parquet(s"$root/v0")
+      val v0Files = listDataFiles(s"$root/v0")
+      writeManifest(0, v0Files)
+      // copy-on-write update: only bucket 0's file is rewritten
+      // cast back: decimal + literal widens to (19,4), which parquet
+      // stores as FIXED_LEN_BYTE_ARRAY vs (18,4)'s INT64 — the mixed
+      // layout would break the manifest scan
+      cust.filter(col("bk") === 0)
+        .withColumn("bal", (col("bal") + lit(100))
+          .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+        .repartition(1)
+        .write.partitionBy("bk").mode("overwrite").parquet(s"$root/v1")
+      val untouched = v0Files.filterNot(_.contains("bk=0"))
+      writeManifest(1, untouched ++ listDataFiles(s"$root/v1"))
+    }
+    (readManifest(0), readManifest(1))
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- one-pass multi-level aggregation --------------------------------
     "a13_cube" -> ((s, dir) =>
@@ -446,49 +499,7 @@ object ScaleOps {
       // a table format's scan planner. Balances are DECIMAL end to
       // end so both engines sum exactly.
       val root = graft.core.GraftSession.scratchDir(s, "ttr", dir)
-      val fs = new org.apache.hadoop.fs.Path(root)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      def manifestPath(v: Int) = new org.apache.hadoop.fs.Path(root, s"m$v.txt")
-      def listDataFiles(p: String): Seq[String] = {
-        val base = new org.apache.hadoop.fs.Path(p)
-        fs.listStatus(base).toSeq.filter(_.isDirectory).flatMap(d =>
-          fs.listStatus(d.getPath).toSeq.map(_.getPath)
-            .filter(_.getName.startsWith("part-")).map(_.toString))
-      }
-      def writeManifest(v: Int, files: Seq[String]): Unit = {
-        val out = fs.create(manifestPath(v), true)
-        out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
-        out.close()
-      }
-      def readManifest(v: Int): Seq[String] = {
-        val in = fs.open(manifestPath(v))
-        val txt = scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        in.close()
-        txt.split("\n").toSeq.filter(_.nonEmpty)
-      }
-      if (!fs.exists(manifestPath(1))) {
-        val cust = Tables(s, dir).customer.select(col("c_custkey"),
-          col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4))
-            .as("bal"))
-          .withColumn("bk", pmod(col("c_custkey"), lit(10)))
-        cust.repartition(10, col("bk"))
-          .write.partitionBy("bk").mode("overwrite").parquet(s"$root/v0")
-        val v0Files = listDataFiles(s"$root/v0")
-        writeManifest(0, v0Files)
-        // copy-on-write update: only bucket 0's file is rewritten
-        // cast back: decimal + literal widens to (19,4), which parquet
-        // stores as FIXED_LEN_BYTE_ARRAY vs (18,4)'s INT64 — the mixed
-        // layout would break the manifest scan
-        cust.filter(col("bk") === 0)
-          .withColumn("bal", (col("bal") + lit(100))
-            .cast(org.apache.spark.sql.types.DecimalType(18, 4)))
-          .repartition(1)
-          .write.partitionBy("bk").mode("overwrite").parquet(s"$root/v1")
-        val untouched = v0Files.filterNot(_.contains("bk=0"))
-        writeManifest(1, untouched ++ listDataFiles(s"$root/v1"))
-      }
-      val m0 = readManifest(0)
-      val m1 = readManifest(1)
+      val (m0, m1) = buildCowSnapshots(s, dir, root)
       def snapshot(v: Int, m: Seq[String], shared: Int): DataFrame =
         s.read.parquet(m: _*)
           .agg(count(lit(1)).as("n_rows"),
@@ -537,6 +548,40 @@ object ScaleOps {
           col("new_bal").cast("double").as("new_bal"))
         .filter(col("change_type") =!= "update" ||
           col("old_bal") =!= col("new_bal"))
+    }),
+
+    // ---- snapshot expiry / vacuum ------------------------------------------
+    "s19_vacuum" -> ((s, dir) => {
+      // retention cleanup on the copy-on-write table (Delta VACUUM /
+      // Iceberg expire_snapshots): expire v0, physically delete every
+      // file referenced ONLY by the expired manifest, and prove the
+      // live version still reads intact afterwards. The delete set is
+      // a manifest set-difference — O(files) driver-side metadata,
+      // never a data scan — which is why vacuum stays cheap at 100 TB:
+      // it reclaims the rewritten files' storage without touching the
+      // 90% of the table v1 still shares with v0. Runs on its own
+      // scratch root so the time-travel/change-feed snapshots remain
+      // readable whatever order the queries run in.
+      val root = graft.core.GraftSession.scratchDir(s, "vac", dir)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // vacuum consumes its snapshots (m0 is gone afterwards), so a
+      // repeat invocation must rebuild from scratch, not reuse state
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val (m0, m1) = buildCowSnapshots(s, dir, root)
+      val expired = m0.filterNot(m1.contains)
+      val deleted = expired.count(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(f), false))
+      fs.delete(new org.apache.hadoop.fs.Path(root, "m0.txt"), false)
+      val gone = expired.count(f => !fs.exists(new org.apache.hadoop.fs.Path(f)))
+      s.read.parquet(m1: _*)
+        .agg(count(lit(1)).as("v1_rows"),
+          sum(col("bal")).cast("double").as("v1_sum_bal"))
+        .select(
+          lit(m0.size).as("n_v0_files"), lit(m1.size).as("n_v1_files"),
+          lit(expired.size).as("n_expired"), lit(deleted).as("n_deleted"),
+          lit(gone == expired.size).as("expired_files_gone"),
+          col("v1_rows"), col("v1_sum_bal"))
     }),
 
     // ---- sketch heavy hitters ----------------------------------------------
@@ -803,5 +848,16 @@ object ScaleOps {
         |SELECT d.day, COUNT(DISTINCT e.user_id) AS n_users,
         |       TRUE AS sketch_within_5pct
         |FROM d JOIN ev e ON e.day BETWEEN d.day - 6 AND d.day
-        |GROUP BY d.day""".stripMargin)
+        |GROUP BY d.day""".stripMargin,
+    "s19_vacuum" ->
+      """SELECT CAST(10 AS INTEGER) AS n_v0_files,
+        |       CAST(10 AS INTEGER) AS n_v1_files,
+        |       CAST(1 AS INTEGER) AS n_expired,
+        |       CAST(1 AS INTEGER) AS n_deleted,
+        |       TRUE AS expired_files_gone,
+        |       COUNT(*) AS v1_rows,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4)))
+        |            + 100 * COUNT(*) FILTER (WHERE c_custkey % 10 = 0)
+        |         AS DOUBLE) AS v1_sum_bal
+        |FROM customer""".stripMargin)
 }

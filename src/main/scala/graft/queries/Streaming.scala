@@ -20,6 +20,7 @@ object Streaming {
     "st_user_journey" -> ((s, dir) => EventStream.userJourney(s, dir)),
     "st_dedup_ingest" -> ((s, dir) => EventStream.dedupedIngest(s, dir)),
     "st_late_data" -> ((s, dir) => EventStream.lateData(s, dir)),
+    "st_anomaly" -> ((s, dir) => EventStream.anomaly(s, dir)),
     "st_upsert_sink" -> ((s, dir) => EventStream.upsertSink(s, dir)))
 
   val oracles: Map[String, String] = Map(
@@ -122,6 +123,27 @@ object Streaming {
     "st_dedup_ingest" ->
       """SELECT DISTINCT event_id, user_id, event_type, value
         |FROM events""".stripMargin,
+    // the same cross-multiplied integer inequality over prior-row
+    // running moments, expressed as a 1-PRECEDING window. x uses the
+    // proven DECIMAL(18,4) tick conversion (matches BigDecimal
+    // setScale(4, HALF_UP) on the Spark side).
+    "st_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |         CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS x
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, ts, CAST(x AS HUGEINT) AS x,
+        |         COUNT(*) OVER win AS n,
+        |         SUM(CAST(x AS HUGEINT)) OVER win AS s,
+        |         SUM(CAST(x AS HUGEINT) * x) OVER win AS q
+        |  FROM e
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, ts,
+        |       coalesce(n >= 5 AND (x*n - s)*(x*n - s) > 4*(n*q - s*s), FALSE)
+        |         AS is_anomaly
+        |FROM w""".stripMargin,
     // append-mode watermark semantics, re-derived in SQL. The replay is
     // three ordered batches (see EventStream.lateData): batch 0 = rows
     // older than maxTs-12h minus the 5% straggler stratum; batch 2

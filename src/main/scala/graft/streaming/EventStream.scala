@@ -31,6 +31,13 @@ import org.apache.hadoop.fs.Path
 final case class JourneyState(lastTsMicros: Long, seq: Long, sessionIdx: Long,
                               cum: java.math.BigDecimal)
 
+/** Per-user running moments for streaming anomaly detection: event
+  * count plus exact integer sums of x and x² (x = value scaled to
+  * 10^-4 ticks). BigInt-backed (DecimalType(38,0) in the state store)
+  * so the z-score test is exact integer arithmetic — no float drift
+  * across replays or parallelism changes, ever. */
+final case class AnomalyState(n: Long, sumX: BigInt, sumXX: BigInt)
+
 object EventStream {
 
   /** Streaming read of `<dir>/events.parquet` (schema from a static
@@ -224,6 +231,45 @@ object EventStream {
             rows.iterator
         }
         .toDF("user_id", "event_id", "ts", "event_seq", "session_idx", "cum_value")
+    }
+
+  /** Streaming anomaly flags: an event is anomalous when its value
+    * sits more than 2σ from the user's own PRIOR mean (Welford-style
+    * running moments, warm-up n ≥ 5). The two-sided z-test
+    * |x−μ| > 2σ is evaluated as the cross-multiplied integer
+    * inequality (n·x − Σx)² > 4·(n·Σx² − (Σx)²) over 10^-4-tick
+    * values, so there is no division and no float anywhere — the
+    * flags are bit-reproducible and oracle-checkable exactly, which
+    * no floating-point streaming detector can promise. State per user
+    * is three numbers; one keyed shuffle; O(1) per event. */
+  def anomaly(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, s"st_anom_${dir.hashCode.abs}", mode = "append") { ss =>
+      import ss.implicits._
+      import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      val ev = readEvents(ss, dir)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          unix_micros(col("ts")).as("tus"), col("value"))
+        .as[(Long, Long, java.sql.Timestamp, Long, Double)]
+      ev.groupByKey(_._1)
+        .flatMapGroupsWithState[AnomalyState, (Long, Long, java.sql.Timestamp, Boolean)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          case (uid, it, state: GroupState[AnomalyState]) =>
+            var st = state.getOption.getOrElse(AnomalyState(0L, BigInt(0), BigInt(0)))
+            val rows = it.toSeq.sortBy { case (_, eid, _, tus, _) => (tus, eid) }.map {
+              case (_, eid, ts, _, v) =>
+                val x = BigInt(new java.math.BigDecimal(v)
+                  .setScale(4, java.math.RoundingMode.HALF_UP).unscaledValue)
+                val n = BigInt(st.n)
+                val lhs = (x * n - st.sumX).pow(2)
+                val rhs = 4 * (n * st.sumXX - st.sumX.pow(2))
+                val flag = st.n >= 5 && lhs > rhs
+                st = AnomalyState(st.n + 1, st.sumX + x, st.sumXX + x * x)
+                (uid, eid, ts, flag)
+            }
+            state.update(st)
+            rows.iterator
+        }
+        .toDF("user_id", "event_id", "ts", "is_anomaly")
     }
 
   /** Streaming ingest dedup: exactly-once event delivery over an

@@ -309,6 +309,94 @@ class ComposedOpsSpec extends SparkSpec {
     assert(out == exp)
   }
 
+  test("st_anomaly: 2-sigma integer z-test flags exactly the planted outlier") {
+    val d = java.nio.file.Files.createTempDirectory("graft_anom_fix").toString
+    def ts(sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:00:$sec%02d")
+    // user 1: warm-up 1..5 (flags false, n<5), then 3.5 (|x-3| = 0.5
+    // < 2sigma = 2.83 -> false), then 30 (far out -> true)
+    // user 2: constant value -> sigma = 0 and x = mu -> never flagged
+    val ev = Seq(
+      (101L, 1L, ts(1), 1.0), (102L, 1L, ts(2), 2.0), (103L, 1L, ts(3), 3.0),
+      (104L, 1L, ts(4), 4.0), (105L, 1L, ts(5), 5.0), (106L, 1L, ts(6), 3.5),
+      (107L, 1L, ts(7), 30.0)) ++
+      (1 to 7).map(i => (200L + i, 2L, ts(i), 10.0))
+    // readEvents glob-filters on the single-FILE layout the harness
+    // uses — write to a staging dir and move the part file into place
+    ev.toDF("event_id", "user_id", "ts", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/events_out")
+    val p = java.nio.file.Paths.get(d)
+    val part = java.nio.file.Files.list(p.resolve("events_out"))
+      .filter(f => f.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    java.nio.file.Files.move(part, p.resolve("events.parquet"))
+    val out = SparkEntry.queries("st_anomaly")(spark, d)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(3)).toMap
+    val exp = ((101L to 106L).map(_ -> false) :+ (107L -> true)) ++
+      (1 to 7).map(i => (200L + i) -> false)
+    assert(out == exp.toMap)
+  }
+
+  test("s19_vacuum: expired files gone, live snapshot intact") {
+    val dir = "/root/testdata/sf0.001"
+    val r = SparkEntry.queries("s19_vacuum")(spark, dir).collect().head
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val expRows = cust.count()
+    val expSum = cust.select(
+      (sum(col("c_acctbal").cast("decimal(18,4)")) +
+        lit(100) * sum(when(pmod(col("c_custkey"), lit(10)) === 0, 1L).otherwise(0L)))
+        .cast("double")).head().getDouble(0)
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getBoolean(4)) ==
+      ((10, 10, 1, 1, true)))
+    assert(r.getLong(5) == expRows)
+    assert(r.getDouble(6) == expSum)
+  }
+
+  test("mm_shot_boundary: hamming matches an independent digest computation") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("mm_shot_boundary")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1).toInt) ->
+        ((if (r.isNullAt(2)) -1 else r.getInt(2)), r.getBoolean(3)))
+      .toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def fsig(mediaId: Long, frameIdx: Int): Long =
+      java.lang.Long.parseLong(md5hex(s"${md5hex(mediaId.toString)}:$frameIdx").take(8), 16)
+    assert(out.nonEmpty)
+    var cuts = 0
+    for (((id, fi), (ham, cut)) <- out) {
+      val nFrames = (8 + id % 120).toInt
+      val step = math.max(nFrames / 4, 1)
+      if (fi == 0) assert(ham == -1 && !cut)
+      else {
+        val expHam = java.lang.Long.bitCount(fsig(id, fi) ^ fsig(id, fi - step))
+        assert(ham == expHam, s"media $id frame $fi")
+        assert(cut == (expHam > 16))
+        if (cut) cuts += 1
+      }
+    }
+    assert(cuts > 0) // random 32-bit sigs: about half the transitions cut
+  }
+
+  test("dd_containment: excerpt-in-document found at 1.0, asymmetric direction filtered") {
+    val d = java.nio.file.Files.createTempDirectory("graft_contain_fix").toString
+    val words = (1 to 100).map(i => s"w$i")
+    val long = words.mkString(" ")
+    val excerpt = words.slice(20, 50).mkString(" ") // 30-word contiguous quote
+    val other = (1 to 60).map(i => s"z$i").mkString(" ")
+    Seq((1L, excerpt, "en", "web", excerpt.length.toLong),
+        (2L, long, "en", "web", long.length.toLong),
+        (3L, other, "en", "web", other.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("dd_containment")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(4)).toMap
+    // every shingle of the excerpt appears in the long doc -> 1.0;
+    // the reverse direction (98 shingles, 28 shared) is far below 0.8
+    assert(out == Map((1L, 2L) -> 1.0))
+  }
+
   test("tx_split: assignment is the md5-bucket pure function of doc_id") {
     def bucket(id: Long): Int = {
       val hex = java.security.MessageDigest.getInstance("MD5")

@@ -15,6 +15,12 @@ class PlanSpec extends SparkSpec {
     q.queryExecution.executedPlan.toString
   }
 
+  /** Only the final AQE plan — the adaptive toString repeats the whole
+    * tree under "== Initial Plan ==", which double-counts operators
+    * when a pin asserts on occurrence counts. */
+  private def finalPlan(name: String): String =
+    executedPlan(name).split("== Initial Plan ==").head
+
   test("p1: projection prunes the parquet scan to the selected columns") {
     val plan = executedPlan("p1_projection")
     assert(plan.contains("ReadSchema: struct<c_custkey:bigint,c_mktsegment:string>"), plan)
@@ -66,6 +72,43 @@ class PlanSpec extends SparkSpec {
   test("dd_decontaminate_bloom: eval side probes a runtime bloom before its shuffle") {
     val plan = executedPlan("dd_decontaminate_bloom")
     assert(plan.contains("might_contain"), plan)
+  }
+
+  test("new join-family ops: candidate joins are equi, nested loops only for 1-row scalars") {
+    for (name <- Seq("g_triangle_count", "reco_item_item", "dd_containment")) {
+      val plan = finalPlan(name)
+      assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
+      // a BroadcastNestedLoopJoin is tolerable ONLY as the explicit
+      // Cross attach of a 1-row aggregate (crossJoin(broadcast(_))) —
+      // if the optimizer ever falls back to a nested-loop INNER/OUTER
+      // join the candidate generation went non-equi and is quadratic
+      val badBnlj = "BroadcastNestedLoopJoin[^,\n]*, (?!Cross)".r
+      assert(badBnlj.findFirstIn(plan).isEmpty, s"$name:\n$plan")
+      assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+        s"$name:\n$plan")
+    }
+  }
+
+  test("w11: pair self-join is hash-based; only the 1-row total attaches by broadcast") {
+    val plan = finalPlan("w11_market_basket")
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the quadratic-risk step (basket self-join on okey) must be an
+    // equi-join; the single tolerated nested loop is the broadcast of
+    // the one-row n_orders aggregate onto the pair relation
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(plan).size >= 2, plan)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1, plan)
+  }
+
+  test("w12: sweep-line plan has no self-join — one join feeds the window") {
+    val plan = finalPlan("w12_peak_backlog")
+    // the naive interval-overlap form would show a range self-join;
+    // the sweep form has exactly the lineitem-orders equi-join, one
+    // agg exchange, and a single Window over the supplier partitioning
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Window"), plan)
+    assert("SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(plan).size <= 1, plan)
   }
 
   test("t4: top-k filter becomes a map-side partial WindowGroupLimit") {
