@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{TopKScores, VecCosine, VecDot}
+import graft.functions.{TopKScores, TopKTagged, VecCosine, VecDot}
 
 /** Engine extension point, wired via `spark.sql.extensions`
   * (GraftSession sets it). Registers the native vector expressions so
@@ -28,5 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("topk_scores",
         "topk_scores(item, score, k) - per-group top-k as a partial aggregate (bounded heaps, no window sort)"),
       (args: Seq[Expression]) => TopKScores(args(0), args(1), args(2))))
+    ext.injectFunction((
+      FunctionIdentifier("topk_tagged"),
+      info("topk_tagged",
+        "topk_tagged(item, score, payload, k) - topk_scores with an opaque bigint payload per entry"),
+      (args: Seq[Expression]) => TopKTagged(args(0), args(1), args(2), args(3))))
   }
 }

@@ -165,20 +165,32 @@ object Reco {
         Seq("user"), "left_semi")
       val ni = capped.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
       val withN = capped.join(ni, Seq("item"))
-      val co = withN.select(col("user"), col("item").as("item"), col("n_i").as("n_a"))
+      // aggregate CANONICAL pairs only (a<b) — cosine is symmetric, so
+      // mirroring the aggregated relation afterwards costs O(distinct
+      // pairs) while halving the Σ d(u)² rows in the dominant shuffle
+      val half = withN.select(col("user"), col("item").as("item"), col("n_i").as("n_a"))
         .join(withN.select(col("user"), col("item").as("neighbor"), col("n_i").as("n_b")),
           Seq("user"))
-        .filter(col("item") =!= col("neighbor"))
+        .filter(col("item") < col("neighbor"))
         .groupBy(col("item"), col("n_a"), col("neighbor"), col("n_b"))
         .agg(count(lit(1)).as("n_ab"))
+      val co = half.unionByName(half.select(
+        col("neighbor").as("item"), col("n_b").as("n_a"),
+        col("item").as("neighbor"), col("n_a").as("n_b"), col("n_ab")))
       val scored = co.withColumn("cosine",
         col("n_ab").cast("double") /
           sqrt((col("n_a") * col("n_b")).cast("double")))
-      val w = Window.partitionBy(col("item"))
-        .orderBy(col("cosine").desc, col("neighbor"))
-      scored.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .select(col("item"), col("rank"), col("neighbor"), col("n_ab"), col("cosine"))
+      // top-5 via the bounded-heap aggregate (topk_tagged carries n_ab
+      // as payload): only k rows per item per partition reach the
+      // exchange, vs a window sort over every scored pair — at catalog
+      // scale that sort IS the query's cost. Ordering (cosine desc,
+      // neighbor asc) matches the heap's total order exactly.
+      scored.groupBy(col("item"))
+        .agg(expr(s"topk_tagged(neighbor, cosine, n_ab, $K)").as("topk"))
+        .select(col("item"), posexplode(col("topk")))
+        .select(col("item"), (col("pos") + 1).as("rank"),
+          col("col.item").as("neighbor"), col("col.payload").as("n_ab"),
+          col("col.score").as("cosine"))
     }))
 
   val oracles: Map[String, String] = Map(

@@ -397,6 +397,31 @@ class ComposedOpsSpec extends SparkSpec {
     assert(out == Map((1L, 2L) -> 1.0))
   }
 
+  test("topk_tagged: equals the window formulation, payload rides intact") {
+    // randomized: 5k rows, 40 groups, scores with deliberate ties —
+    // the heap's (score desc, item asc) order must reproduce
+    // row_number() exactly, with each row's payload untouched
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 5000).map { i =>
+      (rnd.nextInt(40).toLong, i.toLong, rnd.nextInt(50).toDouble, rnd.nextLong())
+    }
+    val df = rows.toDF("g", "item", "score", "payload")
+    val agg = df.groupBy(col("g"))
+      .agg(expr("topk_tagged(item, score, payload, 7)").as("tk"))
+      .select(col("g"), posexplode(col("tk")))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> {
+        val s = r.getStruct(2); (s.getLong(0), s.getDouble(1), s.getLong(2))
+      }).toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("score").desc, col("item"))
+    val win = df.withColumn("rk", row_number().over(w) - 1).filter(col("rk") < 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(4)) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(agg == win)
+  }
+
   test("tx_split: assignment is the md5-bucket pure function of doc_id") {
     def bucket(id: Long): Int = {
       val hex = java.security.MessageDigest.getInstance("MD5")

@@ -166,6 +166,12 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("reco_item_item: neighbor top-k is the bounded heap agg, not a pair sort") {
+    val plan = finalPlan("reco_item_item")
+    assert(plan.contains("partial_topk_tagged"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("s10: partitioned layout prunes to one partition directory") {
     val plan = executedPlan("s10_partition_prune")
     assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"), plan)
