@@ -82,6 +82,65 @@ object ScaleOps {
   }
 
   val queries: Map[String, Q] = Map(
+    // ---- exact order statistics without a global sort --------------------
+    "t9_exact_median" -> ((s, dir) => {
+      // exact median by iterative histogram narrowing — the classic
+      // distributed selection algorithm. Each level scans with a range
+      // filter and builds a B-bucket count histogram (one shuffle of B
+      // rows, B-row driver collect — bounded), narrowing the value
+      // range holding the target rank; the final selection sorts only
+      // the surviving sliver. O(log_B) scans total vs the naive
+      // `orderBy.limit(n/2)` whose single-task sort is unrunnable at
+      // 100 TB. Both middle ranks are selected so even counts average
+      // exactly like the oracle (same two order statistics, same one
+      // IEEE add + halve).
+      val v = Tables(s, dir).lineitem
+        .select(col("l_extendedprice").cast("double").as("x"))
+      val h0 = v.agg(count(lit(1)).as("n"), min(col("x")), max(col("x"))).head()
+      val n = h0.getLong(0)
+      val (gLo, gHi) = (h0.getDouble(1), h0.getDouble(2))
+      val B = 4096
+      def orderStat(k: Long): Double = {
+        var (l, h, kk) = (gLo, gHi, k)
+        var rows = n
+        var level = 0
+        while (rows > 100000 && l < h && level < 8) {
+          val width = (h - l) / B
+          if (width <= 0 || !java.lang.Double.isFinite(width)) {
+            // range narrower than double resolution — final selection
+            level = 8
+          } else {
+          val hist = v.filter(col("x") >= l && col("x") <= h)
+            .select(least(floor((col("x") - lit(l)) / lit(width)), lit(B - 1))
+              .cast("int").as("b"))
+            .groupBy(col("b")).agg(count(lit(1)).as("c"))
+            .collect() // ≤ B rows — bounded by construction
+          val counts = Array.fill(B)(0L)
+          hist.foreach(r => counts(r.getInt(0)) = r.getLong(1))
+          var acc = 0L
+          var bi = 0
+          while (acc + counts(bi) < kk) { acc += counts(bi); bi += 1 }
+          kk -= acc
+          rows = counts(bi)
+          val nl = l + bi * width
+          val nh = if (bi == B - 1) h else l + (bi + 1) * width
+          // duplicates piled on a boundary can stall the narrowing —
+          // bail to the final selection rather than loop forever
+          if (nl == l && nh == h) level = 8
+          else { l = math.max(nl, l); h = math.min(nh, h); level += 1 }
+          }
+        }
+        if (l == h) l
+        else v.filter(col("x") >= l && col("x") <= h).orderBy(col("x"))
+          .limit(kk.toInt).agg(max(col("x"))).head().getDouble(0)
+      }
+      val medLo = orderStat((n + 1) / 2)
+      val medHi = if (n % 2 == 0) orderStat(n / 2 + 1) else medLo
+      s.range(1).select(lit(n).as("n"),
+        lit(medLo).as("med_lo"), lit(medHi).as("med_hi"),
+        lit((medLo + medHi) / 2).as("median"))
+    }),
+
     // ---- one-pass multi-level aggregation --------------------------------
     "a13_cube" -> ((s, dir) =>
       // CUBE = all 2^n grouping combinations in ONE shuffle (partial
@@ -723,6 +782,19 @@ object ScaleOps {
       |WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // exact rank selection re-derived by full sort (fine at oracle
+    // scale); median = one IEEE add + halve of the same two order
+    // statistics the histogram narrowing selects.
+    "t9_exact_median" ->
+      """WITH s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM s),
+        |c AS (SELECT COUNT(*) AS n FROM s)
+        |SELECT n,
+        |       (SELECT x FROM r, c WHERE rn = (n+1)//2) AS med_lo,
+        |       (SELECT x FROM r, c WHERE rn = (n+2)//2) AS med_hi,
+        |       ((SELECT x FROM r, c WHERE rn = (n+1)//2)
+        |        + (SELECT x FROM r, c WHERE rn = (n+2)//2)) / 2 AS median
+        |FROM c""".stripMargin,
     "a13_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price

@@ -397,6 +397,26 @@ class ComposedOpsSpec extends SparkSpec {
     assert(out == Map((1L, 2L) -> 1.0))
   }
 
+  test("t9_exact_median: histogram narrowing survives duplicate pile-ups at the median") {
+    // 150k rows (forces the narrowing loop), even count, and 50k
+    // duplicates of one value straddling the middle ranks — the
+    // boundary-stall guard's worst case. Exact answer: both middle
+    // ranks (75000, 75001) fall inside the duplicate run of 500.0.
+    val d = java.nio.file.Files.createTempDirectory("graft_med_fix").toString
+    // sorted ranks: 1..60000 low, 60001..110000 all 70000.0 (the
+    // middle ranks 75000/75001 land inside the run), then 40k high
+    val vals = ((1 to 60000).map(_.toDouble) ++
+      Seq.fill(50000)(70000.0) ++ (1 to 40000).map(i => (100000 + i).toDouble))
+    vals.toDF("l_extendedprice")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    val r = SparkEntry.queries("t9_exact_median")(spark, d).collect().head
+    val sorted = vals.sorted
+    val (lo, hi) = (sorted(74999), sorted(75000))
+    assert(r.getLong(0) == 150000L)
+    assert(r.getDouble(1) == lo && r.getDouble(2) == hi)
+    assert(r.getDouble(3) == (lo + hi) / 2)
+  }
+
   test("topk_tagged: equals the window formulation, payload rides intact") {
     // randomized: 5k rows, 40 groups, scores with deliberate ties —
     // the heap's (score desc, item asc) order must reproduce
