@@ -157,6 +157,21 @@ object Similarity {
       .filter(col("rank") <= K)
   }
 
+  /** Exact brute-force top-K by INNER PRODUCT (MIPS) for the same
+    * every-100th query set — truth for ss_knn_mips and the contract
+    * baseline for the norm-augmented LSH reduction. */
+  private def bruteMipsTopK(e: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("vec_id"))
+    spread(e).crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        expr(dotSql("qe", "embedding", DIM)).as("dot"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+  }
+
   /** One-row recall contract: |ann ∩ brute| / (K·nq) ≥ minRecall, and
     * the candidate volume stayed under maxScanFrac of a full scan. */
   private def recallContract(ann: DataFrame, brute0: DataFrame, nQueries: Long,
@@ -187,6 +202,52 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     // exact cosine top-k: query set = every 100th vector.
     "ss_knn_brute" -> ((s, dir) => bruteTopK(Tables(s, dir).embeddings)),
+    // exact maximum-inner-product top-k — the retrieval objective of
+    // factorization recommenders (score = u·v, NOT cosine: a vector's
+    // own norm matters). Same broadcast-scan shape as ss_knn_brute.
+    "ss_knn_mips" -> ((s, dir) => bruteMipsTopK(Tables(s, dir).embeddings)),
+    // the scale path for MIPS: inner product is not a metric (no
+    // triangle inequality), so bucketing can't index it directly —
+    // reduce to ANGULAR search first (Bachrach et al. 2014): append
+    // sqrt(M² − ‖x‖²) to every corpus vector (M = max corpus norm)
+    // and 0 to every query; then q'·x' = q·x while every corpus
+    // vector has norm M, so sign-LSH bucket collisions in the
+    // augmented space order by inner product. One agg for M², the
+    // same adaptive-plane multi-probe machinery as ss_knn_lsh in
+    // dim+1, exact-dot rerank of candidates, recall contract vs the
+    // in-query brute MIPS truth.
+    "ss_knn_mips_lsh" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val n = e.count()
+      val nQ = e.filter(col("vec_id") % 100 === 0).count()
+      val m2 = spread(e)
+        .agg(max(expr(dotSql("embedding", "embedding", DIM)))).head().getDouble(0)
+      val nP = adaptivePlanes(n)
+      // greatest(…, 0): the max-norm vector itself can go ε-negative
+      // under float re-association; its augmented coordinate is 0
+      val aug = spread(e).withColumn("aemb",
+        expr(s"array_append(CAST(embedding AS ARRAY<DOUBLE>), " +
+          s"sqrt(greatest($m2 - vec_dot(embedding, embedding), 0.0D)))"))
+        .withColumn("bucket", expr(signBucketSql("aemb", DIM + 1, nP)))
+      val q = aug.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+          expr(s"array_append(CAST(embedding AS ARRAY<DOUBLE>), 0.0D)").as("aqe"))
+        .withColumn("qbucket", expr(signBucketSql("aqe", DIM + 1, nP)))
+        .withColumn("probe", explode(expr(probeArraySql("qbucket", nP))))
+        .select("qid", "qe", "probe")
+      val cands = aug.join(broadcast(q), col("bucket") === col("probe"))
+        .filter(col("vec_id") =!= col("qid"))
+        .persist()
+      val candRows = cands.count()
+      val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("vec_id"))
+      val ann = cands
+        .select(col("qid"), col("vec_id"),
+          expr(dotSql("qe", "embedding", DIM)).as("dot"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+      recallContract(ann, bruteMipsTopK(e), nQ, n, candRows,
+        minRecall = 0.3, maxScanFrac = 0.5)
+    }),
     // Scale-path ANN: plane count adapts to corpus size (buckets ∝ n)
     // and queries probe every bucket within Hamming distance 2 of
     // their own — the probed fraction of the index SHRINKS as n grows
@@ -635,6 +696,19 @@ object Similarity {
        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ss_knn_mips" ->
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
+         |           FROM embeddings WHERE vec_id % 100 = 0),
+         |scored AS (
+         |  SELECT q.qid, e.vec_id,
+         |         ${dotDuck("qe", "embedding", DIM)} AS dot
+         |  FROM embeddings e CROSS JOIN q
+         |  WHERE e.vec_id <> q.qid)
+         |SELECT qid, vec_id, dot, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dot DESC, vec_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= $K""".stripMargin,
+    "ss_knn_mips_lsh" -> contractOracle(""),
     "ss_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
          |           FROM embeddings WHERE vec_id % 100 = 0),
