@@ -21,6 +21,7 @@ object Streaming {
     "st_dedup_ingest" -> ((s, dir) => EventStream.dedupedIngest(s, dir)),
     "st_late_data" -> ((s, dir) => EventStream.lateData(s, dir)),
     "st_anomaly" -> ((s, dir) => EventStream.anomaly(s, dir)),
+    "st_temporal_enrich" -> ((s, dir) => EventStream.temporalEnrich(s, dir)),
     "st_upsert_sink" -> ((s, dir) => EventStream.upsertSink(s, dir)))
 
   val oracles: Map[String, String] = Map(
@@ -123,6 +124,35 @@ object Streaming {
     "st_dedup_ingest" ->
       """SELECT DISTINCT event_id, user_id, event_type, value
         |FROM events""".stripMargin,
+    // the SCD2 rebuild (same CTE as etl_scd2's oracle) + the affine
+    // event-day replay mapping, then the identical as-of interval join.
+    "st_temporal_enrich" ->
+      """WITH ord AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS valid_from,
+        |         o_orderkey, o_orderpriority,
+        |         LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+        |           ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_prio
+        |  FROM orders),
+        |chg AS (
+        |  SELECT o_custkey, valid_from, o_orderkey, o_orderpriority
+        |  FROM ord WHERE prev_prio IS NULL OR prev_prio <> o_orderpriority),
+        |hist AS (
+        |  SELECT o_custkey, ROW_NUMBER() OVER w AS version,
+        |         o_orderpriority AS priority, valid_from,
+        |         LEAD(valid_from) OVER w AS valid_to
+        |  FROM chg
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from, o_orderkey)),
+        |ev AS (
+        |  SELECT event_id, user_id,
+        |         CAST('1995-01-01' AS DATE)
+        |           + CAST((day(ts) - 1) * 80 AS INTEGER) AS lookup_date
+        |  FROM events)
+        |SELECT e.event_id, e.user_id, e.lookup_date,
+        |       coalesce(h.priority, 'NONE') AS priority,
+        |       CAST(coalesce(h.version, 0) AS INTEGER) AS version
+        |FROM ev e LEFT JOIN hist h ON e.user_id = h.o_custkey
+        |  AND e.lookup_date >= h.valid_from
+        |  AND (h.valid_to IS NULL OR e.lookup_date < h.valid_to)""".stripMargin,
     // the same cross-multiplied integer inequality over prior-row
     // running moments, expressed as a 1-PRECEDING window. x uses the
     // proven DECIMAL(18,4) tick conversion (matches BigDecimal

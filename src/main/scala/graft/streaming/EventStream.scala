@@ -272,6 +272,48 @@ object EventStream {
         .toDF("user_id", "event_id", "ts", "is_anomaly")
     }
 
+  /** Temporal (as-of) dimension enrichment: each event is joined to
+    * the SCD2 dimension VERSION that was valid at its event time —
+    * the lookup a warehouse needs when facts must reflect the state
+    * of the world as of the transaction, not as of the load. The
+    * dimension (customer priority history, the etl_scd2 build) is a
+    * static broadcast side, so the stream never shuffles and there is
+    * no state store: interval selection is an equi-join on the key
+    * with the [valid_from, valid_to) range as join filter. The
+    * harness's event clock (2024-01) and order clock (1995-2001) are
+    * disjoint, so the query replays events onto the dimension's era
+    * by a fixed affine day mapping (day-of-month d → 1995-01-01 +
+    * 80·(d−1) days) — in production the two clocks coincide and the
+    * mapping is identity. */
+  def temporalEnrich(spark: SparkSession, dir: String): DataFrame =
+    runToTable(spark, s"st_tenrich_${dir.hashCode.abs}", mode = "append") { ss =>
+      import org.apache.spark.sql.expressions.Window
+      val byKey = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("valid_from"), col("o_orderkey"))
+      val hist = graft.core.Tables(ss, dir).orders
+        .select(col("o_custkey"), to_date(col("o_orderdate")).as("valid_from"),
+          col("o_orderkey"), col("o_orderpriority"))
+        .withColumn("_prev", lag(col("o_orderpriority"), 1).over(byKey))
+        .filter(col("_prev").isNull || col("_prev") =!= col("o_orderpriority"))
+        .withColumn("version", row_number().over(byKey))
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(byKey))
+        .select(col("o_custkey"), col("version"),
+          col("o_orderpriority").as("priority"),
+          col("valid_from"), col("valid_to"))
+      readEvents(ss, dir)
+        .withColumn("lookup_date",
+          date_add(lit(java.sql.Date.valueOf("1995-01-01")),
+            (dayofmonth(col("ts")) - 1) * 80))
+        .join(broadcast(hist),
+          col("user_id") === col("o_custkey") &&
+            col("lookup_date") >= col("valid_from") &&
+            (col("valid_to").isNull || col("lookup_date") < col("valid_to")),
+          "left")
+        .select(col("event_id"), col("user_id"), col("lookup_date"),
+          coalesce(col("priority"), lit("NONE")).as("priority"),
+          coalesce(col("version"), lit(0)).as("version"))
+    }
+
   /** Streaming ingest dedup: exactly-once event delivery over an
     * at-least-once transport. dropDuplicatesWithinWatermark keys the
     * state store on event_id and evicts entries once the watermark
