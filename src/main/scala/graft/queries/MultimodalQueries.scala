@@ -37,6 +37,46 @@ object MultimodalQueries {
           col("thumb_w").cast("string"), lit("x"),
           col("thumb_h").cast("string"))).as("thumb_md5"))
     }),
+    // perceptual-hash near-duplicate detection over the image catalog —
+    // the re-encode/resize dedup pass an image training corpus needs
+    // (byte-exact mm_dedup can't see a JPEG quality change). The
+    // 60-bit pHash here is the stub codec's: base bits from the md5 of
+    // a planted source-group key, with per-image single-bit "artifact"
+    // flips — a real DCT pHash swaps in with no plan change, because
+    // the OPERATOR is the banded blocking: 4 bands × 15 bits as the
+    // candidate equi-join key. Any pair within Hamming ≤ 2 shares ≥ 2
+    // intact bands (2 flipped bits can spoil at most 2 of 4 — the
+    // pigeonhole guarantee), so banding finds EVERY such pair and the
+    // exact bit_count verify discards band-collision noise: the banded
+    // plan is provably ≡ the all-pairs scan the oracle runs, at
+    // equi-join cost. No payload ever shuffles — signatures only.
+    "mm_phash_neardup" -> ((s, dir) => {
+      val sig = Multimodal.mediaTable(Tables(s, dir).documents)
+        .filter(col("kind") === "image")
+        .withColumn("base",
+          conv(substring(md5((col("media_id") % 97).cast("string")), 1, 15), 16, 10)
+            .cast("long"))
+        .withColumn("phash",
+          when(col("media_id") % 2 === 0,
+            expr("base ^ shiftleft(1L, cast(media_id % 60 as int))"))
+            .otherwise(col("base")))
+        .select(col("media_id"), col("phash"))
+      val banded = sig.select(col("media_id"), col("phash"),
+          explode(expr(
+            "array(0, 1, 2, 3)")).as("band_idx"))
+        .withColumn("band_val",
+          expr("shiftrightunsigned(phash, 15 * band_idx) & 32767"))
+      banded.select(col("band_idx"), col("band_val"),
+          col("media_id").as("id_a"), col("phash").as("ph_a"))
+        .join(banded.select(col("band_idx"), col("band_val"),
+          col("media_id").as("id_b"), col("phash").as("ph_b")),
+          Seq("band_idx", "band_val"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          expr("cast(bit_count(ph_a ^ ph_b) as int)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 2)
+    }),
     // shot-boundary detection over the sampled frames: a cut is
     // declared where consecutive frames' 32-bit perceptual signatures
     // differ in more than half their bits (Hamming > 16). With the
@@ -101,6 +141,30 @@ object MultimodalQueries {
              count(lit(1)).as("n_copies"))))
 
   val oracles: Map[String, String] = Map(
+    // the oracle runs the ALL-PAIRS Hamming scan the banded plan is
+    // provably equivalent to — a stronger check than mirroring the
+    // banding (a banding bug that loses pairs cannot also hide here).
+    "mm_phash_neardup" ->
+      """WITH img AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 0),
+        |hx AS (SELECT media_id, md5(CAST(media_id % 97 AS VARCHAR)) AS fh FROM img),
+        |b AS (
+        |  SELECT media_id,
+        |         CAST(SUM((strpos('0123456789abcdef',
+        |                          substr(fh, CAST(i AS INTEGER) + 1, 1)) - 1)
+        |             * (CAST(1 AS BIGINT) << CAST(4 * (14 - i) AS INTEGER)))
+        |           AS BIGINT) AS base
+        |  FROM hx, range(0, 15) t(i)
+        |  GROUP BY media_id),
+        |h AS (
+        |  SELECT media_id,
+        |         CASE WHEN media_id % 2 = 0
+        |              THEN xor(base, CAST(1 AS BIGINT) << CAST(media_id % 60 AS INTEGER))
+        |              ELSE base END AS phash
+        |  FROM b)
+        |SELECT a.media_id AS id_a, b2.media_id AS id_b,
+        |       CAST(bit_count(xor(a.phash, b2.phash)) AS INTEGER) AS hamming
+        |FROM h a JOIN h b2 ON a.media_id < b2.media_id
+        |WHERE bit_count(xor(a.phash, b2.phash)) <= 2""".stripMargin,
     "mm_dedup" ->
       """SELECT md5(text) AS content_digest,
         |       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
