@@ -35,7 +35,8 @@ object Bench {
     "tx_langid", "tx_ngram_profile", "tx_dedup_spans", "g_pagerank",
     "g_triangle_count",
     "st_hourly_agg", "st_user_journey", "st_upsert_sink",
-    "reco_topk_cosine", "reco_item_item", "mm_features")
+    "reco_topk_cosine", "reco_item_item", "mm_features",
+    "t9_exact_median", "mm_phash_neardup", "etl_backfill")
 
   private def loadavg(): Double =
     scala.util.Try(
