@@ -222,6 +222,40 @@ object Text {
           org.apache.spark.sql.types.StructField(_,
             org.apache.spark.sql.types.LongType, nullable = false))))
     }),
+    "tx_lm_score" -> ((s, dir) => {
+      // char-trigram LM surprisal — the distributable core of a
+      // perplexity quality filter: per doc, the mean surprisal of its
+      // character trigrams under the conditional model
+      // p(c|ab) = n3(abc) / n2(ab) trained on the corpus itself
+      // (n2 is the context count, i.e. Σ_c n3(abc), so probabilities
+      // sum to 1 per context). Real logs drift across engines, so
+      // surprisal is QUANTIZED to whole bits: floor(log2 n) =
+      // length(bin(n)) - 1, hence bits = len(bin(n2)) - len(bin(n3))
+      // ≥ 0 — pure integer arithmetic, bit-identical in any engine
+      // and any execution order. Scale shape: the model tables are
+      // bounded by charset³ no matter the corpus size, so both sit
+      // broadcast; scoring is explode → two broadcast joins → one
+      // partial-agg per-doc groupBy. The explode runs twice (train +
+      // score) — recomputing a projection beats caching an exploded
+      // copy of a 100 TB corpus. The repartition spreads the
+      // single-row-group local file (see tx_ngram_profile).
+      val spread = Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+        .withColumn("t", normText(col("text")))
+      val tris = spread.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, greatest(length(t) - 2, 1)), i -> substr(t, i, 3))")).as("tri"))
+        .withColumn("big", substring(col("tri"), 1, 2))
+      val n3 = tris.groupBy(col("tri")).agg(count(lit(1)).as("n3"))
+      val n2 = n3.groupBy(substring(col("tri"), 1, 2).as("big"))
+        .agg(sum(col("n3")).as("n2"))
+      tris.join(broadcast(n3), Seq("tri"))
+        .join(broadcast(n2), Seq("big"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tris"),
+          sum(length(bin(col("n2"))) - length(bin(col("n3")))).as("bits_q"))
+        .select(col("doc_id"), col("n_tris"), col("bits_q"),
+          expr("(100 * bits_q) div n_tris").as("avg_bits_x100"))
+    }),
     "tx_rarity" -> ((s, dir) => {
       // token-rarity quality signals — the frequency-based sibling of
       // a perplexity filter (no log, so both engines agree bit-for-
@@ -564,6 +598,25 @@ object Text {
          |SELECT f.doc_id, CAST(f.b AS INT) AS dim,
          |       CASE WHEN n > 0 THEN f.v / n ELSE f.v END AS value
          |FROM filled f JOIN norms USING (doc_id)""".stripMargin,
+    "tx_lm_score" ->
+      s"""WITH d AS (SELECT doc_id, $normDuck AS t FROM documents),
+         |tr AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(
+         |           range(1, greatest(length(t) - 2, 1) + 1),
+         |           i -> substr(t, i, 3))) AS tri
+         |  FROM d),
+         |tb AS (SELECT doc_id, tri, substr(tri, 1, 2) AS big FROM tr),
+         |n3 AS (SELECT tri, COUNT(*) AS n3 FROM tb GROUP BY 1),
+         |n2 AS (SELECT substr(tri, 1, 2) AS big,
+         |              CAST(SUM(n3) AS BIGINT) AS n2 FROM n3 GROUP BY 1)
+         |SELECT tb.doc_id, COUNT(*) AS n_tris,
+         |       CAST(SUM(length(bin(n2.n2)) - length(bin(n3.n3)))
+         |            AS BIGINT) AS bits_q,
+         |       (100 * CAST(SUM(length(bin(n2.n2)) - length(bin(n3.n3)))
+         |                   AS BIGINT)) // COUNT(*) AS avg_bits_x100
+         |FROM tb JOIN n3 USING (tri) JOIN n2 USING (big)
+         |GROUP BY 1""".stripMargin,
     "tx_rarity" ->
       s"""WITH words AS (
          |  SELECT doc_id, unnest(string_split($normDuck, ' ')) AS word

@@ -64,6 +64,22 @@ class ComposedOpsSpec extends SparkSpec {
     assert(out(4L)._4 == true)                              // stop gate skips non-en
   }
 
+  test("tx_lm_score: repetitive text scores near-zero surprisal, novel text above it") {
+    val out = SparkEntry.queries("tx_lm_score")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // every doc appears, trigram count = normalized length - 2
+    for ((id, (n, bits, avg)) <- out) {
+      assert(bits >= 0L && avg >= 0L, s"doc $id negative surprisal")
+      assert(n >= 1L, s"doc $id empty")
+    }
+    // spam doc cycles 5 distinct trigrams ~40x each: its contexts are
+    // dominated by itself, so quantized surprisal ~0 bits; the clean
+    // doc's trigrams are mostly corpus-unique (n3 = 1) under shared
+    // contexts -> strictly higher mean surprisal
+    assert(out(2L)._3 < out(1L)._3,
+      s"repetitive ${out(2L)} should score below novel ${out(1L)}")
+  }
+
   test("ss_semantic_dedup: transitive near-dups collapse to min-id representative") {
     val out = SparkEntry.queries("ss_semantic_dedup")(spark, dir)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap

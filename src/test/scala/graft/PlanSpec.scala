@@ -124,6 +124,12 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin [cid"), plan)
   }
 
+  test("tx_lm_score: both model joins broadcast (trigram tables are charset-bounded)") {
+    val plan = executedPlan("tx_lm_score")
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 2, plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("tx_repetition: scan prunes to (doc_id, text)") {
     val plan = executedPlan("tx_repetition")
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
