@@ -626,6 +626,46 @@ object Relational {
           expr("(mr - 1) * 5 div n_cust + 1").as("m_score"))
         .withColumn("rfm_code",
           col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+    }),
+    "w14_trend" -> ((s, dir) => {
+      // per-nation revenue trend: EXACT least-squares slope over
+      // monthly revenue, as a rational. Floating-point regression
+      // (regr_slope) is order-dependent and drifts across engines, so
+      // the slope ships as integer numerator/denominator from the
+      // closed form n·Σxy − Σx·Σy over n·Σx² − (Σx)²: x = months
+      // since 1992-01 (bounded by the calendar), y = monthly revenue
+      // in exact 1e-4 currency units (decimal-summed, then an
+      // integer-valued cast). The scaled quotient applies the sign
+      // OUTSIDE the division — Spark `div` truncates toward zero,
+      // DuckDB `//` floors, and they only agree on non-negatives.
+      // Scale shape: one fact join (co-partitionable on custkey), a
+      // two-level partial agg (month grain then nation grain — the
+      // regression state per group is 5 numbers, a classic mergeable
+      // aggregate), nation dim broadcast. Magnitudes fit BIGINT up to
+      // ~1000× this data; past that the sums swap to DECIMAL(38,0).
+      val t = Tables(s, dir)
+      val monthly = t.orders
+        .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"),
+          ((year(col("o_orderdate")) - 1992) * 12
+            + month(col("o_orderdate")) - 1).cast("long").as("x"))
+        .agg(sum(col("o_totalprice").cast(DecimalType(18, 4))).as("rev"))
+        .select(col("n_name"), col("x"),
+          (col("rev") * 10000).cast("long").as("y"))
+      monthly.groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_months"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("n_name"), col("n_months"),
+          (col("n_months") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+          (col("n_months") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+        .withColumn("slope_x100",
+          expr("CASE WHEN slope_num < 0 THEN -1L ELSE 1L END" +
+            " * ((100 * abs(slope_num)) div slope_den)"))
     })
   )
 
@@ -775,6 +815,30 @@ object Relational {
         |FROM base b
         |JOIN r USING (c_custkey) JOIN f USING (c_custkey)
         |JOIN m USING (c_custkey), n""".stripMargin,
+    "w14_trend" ->
+      """WITH monthly AS (
+        |  SELECT n_name,
+        |         CAST((year(o_orderdate) - 1992) * 12
+        |              + month(o_orderdate) - 1 AS BIGINT) AS x,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 10000
+        |              AS BIGINT) AS y
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |s AS (
+        |  SELECT n_name, COUNT(*) AS n_months,
+        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |         CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |         CAST(SUM(x * x) AS BIGINT) AS sxx
+        |  FROM monthly GROUP BY 1)
+        |SELECT n_name, n_months,
+        |       n_months * sxy - sx * sy AS slope_num,
+        |       n_months * sxx - sx * sx AS slope_den,
+        |       (CASE WHEN n_months * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
+        |         * ((100 * abs(n_months * sxy - sx * sy))
+        |            // (n_months * sxx - sx * sx)) AS slope_x100
+        |FROM s""".stripMargin,
     "j6_asof_join" ->
       """WITH r AS (
         |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS asof_orderkey
