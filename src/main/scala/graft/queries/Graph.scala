@@ -39,6 +39,8 @@ object Graph {
 
   private val Scale = 1000000000000L // 10^12 fixed-point
   private[graft] val Iters = 5
+  private val MaxNbrs = 64   // hub cap for neighborhood joins
+  private val TopPairs = 100 // link-prediction candidates served
 
   val queries: Map[String, Q] = Map(
     "g_pagerank" -> ((s, dir) => {
@@ -86,6 +88,55 @@ object Graph {
       }
       ranks.select(col("node_type"), col("node_id"),
         col("rank").as("rank_scaled"))
+    }),
+    "g_common_neighbors" -> ((s, dir) => {
+      // link prediction on the part co-order graph: for non-adjacent
+      // pairs, common-neighbor count + Jaccard — the classic
+      // friend-of-friend candidate generator. Wedge fan-out at a hub
+      // is O(d²), so the adjacency is HUB-CAPPED first: each node
+      // keeps its MaxNbrs lowest-id neighbors (deterministic, and
+      // Catalyst rewrites the row_number filter to a map-side
+      // WindowGroupLimit) — the standard damping that makes
+      // neighborhood-join methods feasible at web scale, applied
+      // identically in the oracle so results stay bit-exact.
+      // After the cap: one self-join on the center node, one count
+      // agg, an anti join against existing edges, two degree joins.
+      // Jaccard ships ×1e6 via integer div (non-negative, so
+      // truncation == floor). Top-100 by (common desc, u, v) is a
+      // deterministic TakeOrdered, never a global sort.
+      import org.apache.spark.sql.expressions.Window
+      val items = Tables(s, dir).lineitem
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = items.select(col("okey"), col("pk").as("u"))
+        .join(items.select(col("okey"), col("pk").as("v")), Seq("okey"))
+        .filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select(col("u"), col("v"))
+        .persist()
+      val adjAll = edges.select(col("u").as("node"), col("v").as("nbr"))
+        .unionByName(edges.select(col("v").as("node"), col("u").as("nbr")))
+      val adj = adjAll
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("node")).orderBy(col("nbr"))))
+        .filter(col("rk") <= MaxNbrs).drop("rk")
+        .persist()
+      val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val cands = adj.select(col("node"), col("nbr").as("a"))
+        .join(adj.select(col("node"), col("nbr").as("b")), Seq("node"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+      cands
+        .join(edges, cands("a") === edges("u") && cands("b") === edges("v"),
+          "left_anti")
+        .join(deg.select(col("node").as("a"), col("d").as("deg_u")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("d").as("deg_v")), Seq("b"))
+        .select(col("a").as("u"), col("b").as("v"), col("common"),
+          col("deg_u"), col("deg_v"),
+          expr("(1000000 * common) div (deg_u + deg_v - common)").as("jac_x1e6"))
+        .orderBy(col("common").desc, col("u"), col("v"))
+        .limit(TopPairs)
     }),
     "g_triangle_count" -> ((s, dir) => {
       // triangle counting on the part co-order graph (edge = two parts
@@ -176,6 +227,32 @@ object Graph {
          |SELECT node_type, node_id, CAST(rank AS BIGINT) AS rank_scaled
          |FROM r$Iters""".stripMargin
     },
+    "g_common_neighbors" ->
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+         |e AS (
+         |  SELECT a.pk AS u, b.pk AS v
+         |  FROM items a JOIN items b ON a.okey = b.okey AND a.pk < b.pk
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |adj_all AS (
+         |  SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+         |adj AS (
+         |  SELECT node, nbr FROM (
+         |    SELECT node, nbr,
+         |           row_number() OVER (PARTITION BY node ORDER BY nbr) AS rk
+         |    FROM adj_all) WHERE rk <= $MaxNbrs),
+         |deg AS (SELECT node, COUNT(*) AS d FROM adj GROUP BY 1),
+         |c AS (
+         |  SELECT a1.nbr AS a, a2.nbr AS b, COUNT(*) AS common
+         |  FROM adj a1 JOIN adj a2 ON a1.node = a2.node AND a1.nbr < a2.nbr
+         |  GROUP BY 1, 2),
+         |nw AS (
+         |  SELECT c.* FROM c
+         |  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = c.a AND e.v = c.b))
+         |SELECT nw.a AS u, nw.b AS v, common, d1.d AS deg_u, d2.d AS deg_v,
+         |       (1000000 * common) // (d1.d + d2.d - common) AS jac_x1e6
+         |FROM nw JOIN deg d1 ON nw.a = d1.node JOIN deg d2 ON nw.b = d2.node
+         |ORDER BY common DESC, u, v LIMIT $TopPairs""".stripMargin,
     "g_triangle_count" ->
       """WITH items AS (
         |  SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),

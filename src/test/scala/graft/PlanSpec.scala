@@ -124,6 +124,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin [cid"), plan)
   }
 
+  test("g_common_neighbors: hub cap is a partial WindowGroupLimit, no cartesian join") {
+    val plan = executedPlan("g_common_neighbors")
+    assert(plan.contains("row_number(), 64, Partial"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("tx_lm_score: both model joins broadcast (trigram tables are charset-bounded)") {
     val plan = executedPlan("tx_lm_score")
     assert(plan.split("BroadcastHashJoin").length - 1 >= 2, plan)
