@@ -129,6 +129,37 @@ object MultimodalQueries {
           f.feature.map(x => Math.round(x * 65535f)).mkString(",")))
         .toDF("media_id", "kind", "n_bytes", "feature_dim", "feature_u16")
     }),
+    // contrastive (text, image) training-pair construction — the
+    // collate step of CLIP-style pretraining, distributed: every
+    // caption and every image is hash-assigned to one of 256 batches
+    // (first two md5 hex digits of its id — the same engine-portable
+    // bucket tx_split uses), and one equi-join on the batch key emits
+    // the full in-batch pair grid: the (doc, its own image) positives
+    // land in the same batch by construction (same id ⇒ same hash),
+    // every other in-batch pair is a negative — exactly the
+    // contrastive denominator. The O(batch²) fan-out is the
+    // OPERATOR'S semantics, bounded by batch size: at corpus scale
+    // the bucket count grows with the data (more hex digits), the
+    // same knob as the banded LSH joins, keeping E[batch] constant.
+    // Payloads never move — ids and batch keys only.
+    "mm_text_image_pairs" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+        .withColumn("m", md5(col("doc_id").cast("string")))
+        .select(col("doc_id"),
+          (expr("instr('0123456789abcdef', substr(m, 1, 1)) - 1") * 16 +
+           expr("instr('0123456789abcdef', substr(m, 2, 1)) - 1"))
+            .cast("int").as("batch"))
+      val imgs = Multimodal.mediaTable(Tables(s, dir).documents)
+        .filter(col("kind") === "image")
+        .withColumn("m", md5(col("media_id").cast("string")))
+        .select(col("media_id"),
+          (expr("instr('0123456789abcdef', substr(m, 1, 1)) - 1") * 16 +
+           expr("instr('0123456789abcdef', substr(m, 2, 1)) - 1"))
+            .cast("int").as("batch"))
+      docs.join(imgs, Seq("batch"))
+        .select(col("batch"), col("doc_id"), col("media_id"),
+          (col("doc_id") === col("media_id")).as("is_pos"))
+    }),
     // byte-level content dedup — the first gate of any media pipeline
     // (identical files arrive via N crawls/mirrors): group by payload
     // digest, keep the smallest id. Only (digest, id) rows shuffle;
@@ -165,6 +196,19 @@ object MultimodalQueries {
         |       CAST(bit_count(xor(a.phash, b2.phash)) AS INTEGER) AS hamming
         |FROM h a JOIN h b2 ON a.media_id < b2.media_id
         |WHERE bit_count(xor(a.phash, b2.phash)) <= 2""".stripMargin,
+    "mm_text_image_pairs" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CAST((instr('0123456789abcdef',
+        |                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |              + (instr('0123456789abcdef',
+        |                       substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+        |           AS INTEGER) AS batch
+        |  FROM documents),
+        |imgs AS (SELECT doc_id AS media_id, batch FROM b WHERE doc_id % 3 = 0)
+        |SELECT b.batch, b.doc_id, imgs.media_id,
+        |       b.doc_id = imgs.media_id AS is_pos
+        |FROM b JOIN imgs ON b.batch = imgs.batch""".stripMargin,
     "mm_dedup" ->
       """SELECT md5(text) AS content_digest,
         |       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
