@@ -255,6 +255,43 @@ object DedupQueries {
           coalesce(col("n_shared"), lit(0L)).as("n_shared"),
           (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_shingles")
             >= 0.1).as("contaminated"))
+    }),
+    // exact TF-weighted cosine similarity join (the AllPairs family):
+    // pairs meet through a posting-list equi-join on shared words, so
+    // the cost is Σ_w df(w)² — bounded by dropping stop-grade words
+    // (df > 20% of the corpus) from the similarity space first, the
+    // relative-frequency analog of AllPairs' prefix filter (they
+    // carry no discriminative weight anyway). The threshold needs NO
+    // sqrt and NO floats: cos(a,b) ≥ τ ⟺ 10⁴·dot² ≥ 10⁴τ²·‖a‖²·‖b‖²
+    // with every term an integer — cross-multiplying the squares
+    // keeps an approximate-looking predicate bit-exact in any engine.
+    // cos²·10⁴ ships as the score (monotone in cosine). The corpus
+    // count is a bounded driver scalar (one number, like g_pagerank's
+    // node count).
+    "dd_cosine_pairs" -> ((s, dir) => {
+      val docs = Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val nDocs = docs.count()
+      val tf = docs.select(col("doc_id"),
+          explode(split(graft.functions.TextFunctions.normText(col("text")), " ")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      val keep = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .filter(col("df") * 5 <= nDocs).select(col("w"))
+      val tfk = tf.join(keep, Seq("w"), "left_semi")
+      val norms = tfk.groupBy(col("doc_id"))
+        .agg(sum(col("tf") * col("tf")).as("n2"))
+      tfk.select(col("w"), col("doc_id").as("id_a"), col("tf").as("tf_a"))
+        .join(tfk.select(col("w"), col("doc_id").as("id_b"), col("tf").as("tf_b")),
+          Seq("w"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+        .join(norms.select(col("doc_id").as("id_a"), col("n2").as("n2_a")), Seq("id_a"))
+        .join(norms.select(col("doc_id").as("id_b"), col("n2").as("n2_b")), Seq("id_b"))
+        .withColumn("cos2_x1e4", expr("(10000 * dot * dot) div (n2_a * n2_b)"))
+        .filter(col("cos2_x1e4") >= 2500)
+        .select(col("id_a"), col("id_b"), col("dot"),
+          col("n2_a"), col("n2_b"), col("cos2_x1e4"))
     }))
 
   private val norm = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
@@ -330,6 +367,27 @@ object DedupQueries {
       s"""SELECT md5($norm) AS content_hash,
          |       MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
          |FROM documents GROUP BY 1""".stripMargin,
+    "dd_cosine_pairs" ->
+      s"""WITH words AS (
+         |  SELECT doc_id, unnest(string_split($norm, ' ')) AS w FROM documents),
+         |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+         |nd AS (SELECT COUNT(*) AS n FROM documents),
+         |keep AS (SELECT w FROM tf GROUP BY w
+         |         HAVING COUNT(*) * 5 <= (SELECT n FROM nd)),
+         |tfk AS (SELECT tf.* FROM tf JOIN keep USING (w)),
+         |norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2
+         |          FROM tfk GROUP BY 1),
+         |dots AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+         |  FROM tfk a JOIN tfk b ON a.w = b.w AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, dot, na.n2 AS n2_a, nb.n2 AS n2_b,
+         |       (10000 * dot * dot) // (na.n2 * nb.n2) AS cos2_x1e4
+         |FROM dots
+         |JOIN norms na ON id_a = na.doc_id
+         |JOIN norms nb ON id_b = nb.doc_id
+         |WHERE (10000 * dot * dot) // (na.n2 * nb.n2) >= 2500""".stripMargin,
     // the oracle is the DEFINITION, not the blocking: all pairs at
     // levenshtein distance exactly 1 from the O(N²) cross join —
     // hash-equality proves the deletion blocking loses nothing

@@ -64,6 +64,33 @@ class ComposedOpsSpec extends SparkSpec {
     assert(out(4L)._4 == true)                              // stop gate skips non-en
   }
 
+  /** 15 docs so a df=2 word passes the 20% df cap (2·5 ≤ 15): one
+    * 3-of-4-word overlap pair above the cos ≥ 0.5 threshold, one
+    * 1-of-4 pair below it, filler docs with unique vocabulary. */
+  private lazy val cosDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_cos_fix").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma epsilon"),
+      (3L, "zeta eta theta iota"),
+      (4L, "zeta kappa lambda mu")) ++
+      (5L to 15L).map(i => (i, s"u${i}a u${i}b u${i}c u${i}d"))
+    docs.map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("dd_cosine_pairs: hand-computed overlap pair kept, sub-threshold pair dropped") {
+    val out = SparkEntry.queries("dd_cosine_pairs")(spark, cosDir).collect()
+    // (1,2): dot 3, norms 4/4 -> cos² = 9/16 -> 5625 >= 2500. (3,4):
+    // dot 1 -> 625, excluded. No other pair shares a surviving word.
+    assert(out.length == 1, out.mkString(";"))
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5)) == ((1L, 2L, 3L, 4L, 4L, 5625L)))
+  }
+
   test("tx_lm_score: repetitive text scores near-zero surprisal, novel text above it") {
     val out = SparkEntry.queries("tx_lm_score")(spark, dir)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
