@@ -127,6 +127,25 @@ object Relational {
           org.apache.spark.sql.types.StructType.fromDDL("k INT"))
           .getField("k").as("k_val"))),
 
+    "p14_unpivot" -> ((s, dir) => {
+      // wide → long reshape (melt): per-nation entity counts unpivoted
+      // to (nation, metric, value) rows. `stack` is a codegen'd
+      // projection — the reshape itself adds NO shuffle on top of the
+      // two counting aggs, unlike the naive N-scan UNION ALL the
+      // oracle spells out (fine for DuckDB; at scale one scan must
+      // feed all output rows, which is exactly what stack does).
+      val t = Tables(s, dir)
+      val cust = t.customer.groupBy(col("c_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+      val supp = t.supplier.groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      cust.join(supp, Seq("nationkey"), "full")
+        .select(col("nationkey"),
+          expr("""stack(2, 'n_customers', coalesce(n_customers, 0L),
+                 |         'n_suppliers', coalesce(n_suppliers, 0L))
+                 |  AS (metric, value)""".stripMargin))
+    }),
+
     // ---- §2.3 joins ------------------------------------------------------
     "j1_left_join_broadcast" -> ((s, dir) => {
       val t = Tables(s, dir)
@@ -714,6 +733,19 @@ object Relational {
       """SELECT event_id, event_type,
         |       CAST(props->>'k' AS INTEGER) AS k_val
         |FROM events""".stripMargin,
+    "p14_unpivot" ->
+      """WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
+        |           FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers
+        |      FROM supplier GROUP BY 1),
+        |w AS (SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+        |             coalesce(n_customers, 0) AS n_customers,
+        |             coalesce(n_suppliers, 0) AS n_suppliers
+        |      FROM c FULL JOIN s ON c.nationkey = s.nationkey)
+        |SELECT nationkey, 'n_customers' AS metric,
+        |       CAST(n_customers AS BIGINT) AS value FROM w
+        |UNION ALL
+        |SELECT nationkey, 'n_suppliers', CAST(n_suppliers AS BIGINT) FROM w""".stripMargin,
     "w5_distribution" ->
       """SELECT c_custkey, c_acctbal,
         |       NTILE(4) OVER w AS quartile,
