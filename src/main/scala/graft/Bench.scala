@@ -19,7 +19,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** One per family: scan/agg/join/window/topk/set/etl/dedup/ann/
     * text/stream/reco/graph/multimodal + the storage-layout ops.
-    * ~37 entries × (min + 3 per-run times) ≈ 2 KB of JSON — measured
+    * ~45 entries × (min + 3 per-run times) ≈ 2.5 KB of JSON — measured
     * well inside the driver's output-tail capture (the round-1
     * overflow was the full 100+-query map). */
   val headline: Seq[String] = Seq(
@@ -36,7 +36,9 @@ object Bench {
     "g_triangle_count",
     "st_hourly_agg", "st_user_journey", "st_upsert_sink",
     "reco_topk_cosine", "reco_item_item", "mm_features",
-    "t9_exact_median", "mm_phash_neardup", "etl_backfill")
+    "t9_exact_median", "mm_phash_neardup", "etl_backfill",
+    "tx_lm_score", "dd_cosine_pairs", "g_common_neighbors",
+    "w14_trend", "ss_knn_graph")
 
   private def loadavg(): Double =
     scala.util.Try(

@@ -139,6 +139,39 @@ object Reco {
           (col("x").isNotNull && !isnan(col("x")) &&
             col("y").isNotNull && !isnan(col("y"))).as("coords_finite"))),
     "reco_model_info" -> ((s, dir) => Recommender.modelInfo(s, dir)),
+    "reco_next_item" -> ((s, dir) => {
+      // sequential ("customers bought next") recommendation — the
+      // basket-transition Markov model: for each item, the top-3
+      // items most often appearing in the SAME customer's NEXT order.
+      // Consecutive orders pair up through one lag window per
+      // customer (tiny ordered partitions, ties broken by orderkey),
+      // then the basket×basket transition join fans out per order
+      // pair — bounded by basket size squared, never by catalog or
+      // customer count. Counts are exact integers; top-3 per item is
+      // a map-side WindowGroupLimit, ties broken by next item id.
+      // At scale every stage is an equi-join/agg on item or customer
+      // keys — the same shape as reco_item_item without any √ at all.
+      val t = Tables(s, dir)
+      val seq = t.orders.select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"))
+        .withColumn("prev_orderkey", lag(col("o_orderkey"), 1).over(
+          Window.partitionBy(col("o_custkey"))
+            .orderBy(col("o_orderdate"), col("o_orderkey"))))
+        .filter(col("prev_orderkey").isNotNull)
+      val basket = t.lineitem
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val trans = seq
+        .join(basket.select(col("l_orderkey").as("prev_orderkey"),
+          col("l_partkey").as("item")), Seq("prev_orderkey"))
+        .join(basket.select(col("l_orderkey").as("o_orderkey"),
+          col("l_partkey").as("next_item")), Seq("o_orderkey"))
+        .groupBy(col("item"), col("next_item"))
+        .agg(count(lit(1)).as("n_trans"))
+      trans.withColumn("rank", row_number().over(
+          Window.partitionBy(col("item"))
+            .orderBy(col("n_trans").desc, col("next_item"))))
+        .filter(col("rank") <= 3)
+    }),
     "reco_item_item" -> ((s, dir) => {
       // item-item collaborative filtering on binary co-purchase — the
       // memory-based neighbor model that serves "customers also
@@ -194,6 +227,26 @@ object Reco {
     }))
 
   val oracles: Map[String, String] = Map(
+    "reco_next_item" ->
+      """WITH seq AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |         lag(o_orderkey) OVER (PARTITION BY o_custkey
+        |           ORDER BY o_orderdate, o_orderkey) AS prev_orderkey
+        |  FROM orders),
+        |sq AS (SELECT * FROM seq WHERE prev_orderkey IS NOT NULL),
+        |basket AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |trans AS (
+        |  SELECT p.l_partkey AS item, c.l_partkey AS next_item,
+        |         COUNT(*) AS n_trans
+        |  FROM sq
+        |  JOIN basket p ON p.l_orderkey = sq.prev_orderkey
+        |  JOIN basket c ON c.l_orderkey = sq.o_orderkey
+        |  GROUP BY 1, 2)
+        |SELECT item, next_item, n_trans, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY item
+        |            ORDER BY n_trans DESC, next_item) AS rank
+        |  FROM trans)
+        |WHERE rank <= 3""".stripMargin,
     "reco_item_item" ->
       s"""WITH ui AS (
          |  SELECT DISTINCT o_custkey AS u, l_partkey AS item
