@@ -582,8 +582,8 @@ object Similarity {
       // neighbors, the structure semantic-dedup clustering, graph-
       // based ANN serving (HNSW-ish), and diversity sampling all
       // start from. Candidates come from the banded signature join
-      // (8 bands × adaptive planes — union of 8 chances to collide,
-      // so close pairs are found with high probability); the exact
+      // (12 bands × adaptive planes — union of 12 chances to
+      // collide, so close pairs are found with high probability); the exact
       // cosine rerank + per-source row_number keeps K edges per node
       // (Catalyst runs it as a map-side WindowGroupLimit before the
       // one window shuffle). Contract: out-degree ≤ K everywhere
@@ -596,11 +596,18 @@ object Similarity {
       val p = neardupPlanes(n)
       val nBands = 12 // more seed chances than the near-dup join: top-K
                       // targets sit at lower cosine than τ-near-dups
-      val bandCols = (0 until nBands).map { b =>
-        expr(signBucketSql("embedding", DIM, p, offset = b * p))
-      }
-      val banded = e.select(col("vec_id"), posexplode(array(bandCols: _*)))
+      // ALL nBands·p plane projections are computed ONCE per vector as
+      // a single signature string, then bands slice it by substring —
+      // the naive per-band-per-join-side formulation evaluates the
+      // (large) plane expression 2·nBands times per vector and its
+      // codegen'd projection dominated the whole query (measured ~20 s
+      // → ~3 s at sf0.1 for identical buckets).
+      val sig = e.select(col("vec_id"),
+        expr(signBucketSql("embedding", DIM, nBands * p)).as("sig"))
+      val banded = sig.select(col("vec_id"), posexplode(expr(
+          s"transform(sequence(1, $nBands), b -> substr(sig, (b - 1) * $p + 1, $p))")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bk")
+        .persist()
       val cands = banded.select(col("vec_id").as("src"), col("band"), col("bk"))
         .join(banded.select(col("vec_id").as("dst"), col("band"), col("bk")),
           Seq("band", "bk"))
@@ -617,7 +624,13 @@ object Similarity {
           expr(cosineSql("e_s", "e_d", DIM)).as("cosine"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= K)
-      var graph = rerank(cands).persist()
+      // each round's graph is LINEAGE-TRUNCATED (eager localCheckpoint,
+      // the standard iterative-algorithm discipline): without it the
+      // logical plan embeds ~3 copies of the previous round's whole
+      // tree per round — including the 4.6k-literal signature
+      // projection — and driver-side analysis, not execution,
+      // dominates the query (measured ~23 s → ~8 s at sf0.1).
+      var graph = rerank(cands).localCheckpoint(true)
       // NN-Descent refinement: a neighbor's neighbor is a likely
       // neighbor — two rounds of undirected 2-hop candidate expansion
       // + exact rerank. Each round adds ≤ (2K)² candidates per node
@@ -628,18 +641,26 @@ object Similarity {
       // construction (Dong et al., WWW'11) — hash for seeds, descend
       // to converge.
       for (_ <- 1 to 2) {
+        // the undirected adjacency is CAPPED at 2K entries per node
+        // before the 2-hop join: out-degree is K by construction but
+        // IN-degree is not — near-tie cosines + id tie-breaks make a
+        // few low-id vectors near-universal neighbors, and an uncapped
+        // hub of in-degree h would contribute h·|in-edges| 2-hop rows.
+        // With the cap, |hop2| ≤ 2K·|und| regardless of skew — Dong et
+        // al.'s reverse-list sampling, deterministically: keep the 2K
+        // lowest-id partners per node.
         val und = graph.select(col("src"), col("dst")).unionByName(
-          graph.select(col("dst").as("src"), col("src").as("dst")))
+            graph.select(col("dst").as("src"), col("src").as("dst")))
+          .withColumn("urk", row_number().over(
+            Window.partitionBy(col("src")).orderBy(col("dst"))))
+          .filter(col("urk") <= 2 * K).drop("urk")
         val hop2 = und.select(col("src"), col("dst").as("mid"))
           .join(und.select(col("src").as("mid"), col("dst")), Seq("mid"))
           .filter(col("src") =!= col("dst"))
           .select(col("src"), col("dst"))
         val expanded = und.unionByName(hop2).distinct().persist()
         candRows += expanded.count()
-        val prev = graph
-        graph = rerank(expanded).persist()
-        graph.count()
-        prev.unpersist()
+        graph = rerank(expanded).localCheckpoint(true)
         expanded.unpersist()
       }
       val nEdges = graph.count()
@@ -654,8 +675,8 @@ object Similarity {
         System.err.println(f"[knn-graph] n=$n edges=$nEdges srcCov=${nSrc.toDouble / n}%.3f " +
           f"recall=${if (nq > 0) hits.toDouble / (K * nq) else 1.0}%.3f " +
           f"scanFrac=${candRows.toDouble / (n.toDouble * n)}%.4f")
-      graph.unpersist()
       cands.unpersist()
+      banded.unpersist()
       val s2 = e.sparkSession
       import s2.implicits._
       Seq((n,
