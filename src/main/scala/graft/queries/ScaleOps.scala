@@ -733,6 +733,44 @@ object ScaleOps {
             .as("sketch_within_5pct"))
     }),
 
+    // ---- deterministic Count-Min sketch ------------------------------------
+    "a21_countmin" -> ((s, dir) => {
+      // Count-Min frequency sketch over part purchase counts —
+      // DETERMINISTIC (4 md5-derived hash rows × 256 columns), so
+      // unlike the library's randomized sketches the oracle rebuilds
+      // the IDENTICAL cells and the whole estimate is hash-exact, no
+      // contract booleans needed. Build shape: exact per-key counts
+      // first (the only pass over raw rows, partial-agg friendly),
+      // then 4 cell rows per DISTINCT key into the (row, col) sum —
+      // the sketch is O(4·256) memory at ANY corpus size, and cells
+      // are sums, i.e. mergeable partials: a 1000-executor build
+      // unions by cell addition, the property that makes CMS the
+      // standard distributed frequency summary. Probing broadcasts
+      // the ~1 KB cell table; est = min over rows, ≥ true by
+      // construction (asserted as a column).
+      val d = 4
+      val counts = Tables(s, dir).lineitem
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_true"))
+      def withCell(df: DataFrame): DataFrame = df
+        .select(col("l_partkey"), col("n_true"),
+          explode(expr(s"sequence(0, ${d - 1})")).as("r"))
+        .withColumn("m",
+          md5(concat(col("r").cast("string"), lit(":"),
+            col("l_partkey").cast("string"))))
+        .withColumn("c",
+          (expr("instr('0123456789abcdef', substr(m, 1, 1)) - 1") * 16 +
+           expr("instr('0123456789abcdef', substr(m, 2, 1)) - 1")).cast("int"))
+        .drop("m")
+      val cells = withCell(counts)
+        .groupBy(col("r"), col("c")).agg(sum(col("n_true")).as("cell"))
+      val top = counts.orderBy(col("n_true").desc, col("l_partkey")).limit(3)
+      withCell(top)
+        .join(broadcast(cells), Seq("r", "c"))
+        .groupBy(col("l_partkey"), col("n_true"))
+        .agg(min(col("cell")).as("cms_est"))
+        .withColumn("no_undercount", col("cms_est") >= col("n_true"))
+    }),
+
     // ---- incremental aggregate maintenance ---------------------------------
     "a17_incremental_agg" -> ((s, dir) => {
       // the materialized-view move: at 100 TB you never re-aggregate
@@ -910,6 +948,27 @@ object ScaleOps {
       """SELECT event_type, COUNT(*) AS n, TRUE AS sketch_contains_all
         |FROM events GROUP BY event_type
         |ORDER BY n DESC, event_type LIMIT 3""".stripMargin,
+    "a21_countmin" ->
+      """WITH counts AS (
+        |  SELECT l_partkey, COUNT(*) AS n_true FROM lineitem GROUP BY 1),
+        |keyed AS (
+        |  SELECT l_partkey, n_true, r,
+        |         (instr('0123456789abcdef',
+        |                substr(md5(r || ':' || l_partkey), 1, 1)) - 1) * 16
+        |         + (instr('0123456789abcdef',
+        |                  substr(md5(r || ':' || l_partkey), 2, 1)) - 1) AS c
+        |  FROM counts, range(0, 4) t(r)),
+        |cells AS (
+        |  SELECT r, c, CAST(SUM(n_true) AS BIGINT) AS cell
+        |  FROM keyed GROUP BY 1, 2),
+        |top AS (SELECT l_partkey FROM counts
+        |        ORDER BY n_true DESC, l_partkey LIMIT 3)
+        |SELECT k.l_partkey, k.n_true, MIN(cell) AS cms_est,
+        |       MIN(cell) >= k.n_true AS no_undercount
+        |FROM keyed k
+        |JOIN top USING (l_partkey)
+        |JOIN cells USING (r, c)
+        |GROUP BY 1, 2""".stripMargin,
     "a19_sketch_merge" ->
       """SELECT COUNT(DISTINCT o_custkey) AS exact_customers,
         |       TRUE AS merged_within_5pct
