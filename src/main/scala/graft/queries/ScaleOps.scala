@@ -472,6 +472,39 @@ object ScaleOps {
              dsum(col("l_extendedprice")).as("sum_price"))
     }),
 
+    // ---- bin-blocked interval overlap join ---------------------------------
+    "j10_interval_join" -> ((s, dir) => {
+      // interval × interval OVERLAP join with NO equi key — the query
+      // shape Spark turns into a broadcast nested loop (or worse, a
+      // cartesian) if written as the raw theta join. The scale
+      // rewrite: explode each interval into its covering day bins,
+      // equi-join on the bin, then re-check the exact predicate and
+      // dedup — any overlapping day-grain pair shares ≥1 calendar
+      // day, so the blocking is LOSSLESS and the oracle proves it by
+      // running the direct theta join (DuckDB's IEJoin). Bin width ~
+      // interval length keeps the per-interval fan-out O(1); hot bins
+      // (seasonal spikes) would take the j9 salt on top. Semantics:
+      // for each urgent order's 2-day service window, how many other
+      // order windows were concurrently open — the order-concurrency
+      // signal a capacity model feeds on.
+      val t = Tables(s, dir)
+      val a = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey").as("okey_a"),
+          to_date(col("o_orderdate")).as("astart"))
+        .withColumn("aend", date_add(col("astart"), 1))
+      val b = t.orders.select(col("o_orderkey").as("okey_b"),
+          to_date(col("o_orderdate")).as("bstart"))
+        .withColumn("bend", date_add(col("bstart"), 1))
+      a.select(col("okey_a"), col("astart"), col("aend"),
+          explode(expr("sequence(astart, aend)")).as("bin"))
+        .join(b.select(col("okey_b"), col("bstart"), col("bend"),
+          explode(expr("sequence(bstart, bend)")).as("bin")), Seq("bin"))
+        .filter(col("okey_a") =!= col("okey_b"))
+        .filter(col("astart") <= col("bend") && col("bstart") <= col("aend"))
+        .select(col("okey_a"), col("okey_b")).distinct()
+        .groupBy(col("okey_a")).agg(count(lit(1)).as("n_concurrent"))
+    }),
+
     // ---- skew-safe salted join ---------------------------------------------
     "j9_salted_skew_join" -> ((s, dir) => {
       // when one join key carries a disproportionate share of the fact
@@ -923,6 +956,19 @@ object ScaleOps {
         |FROM lineitem, b
         |WHERE l_partkey <= pmn + CAST(FLOOR((pmx - pmn) / 4.0) AS BIGINT)
         |  AND l_suppkey <= smn + CAST(FLOOR((smx - smn) / 4.0) AS BIGINT)""".stripMargin,
+    "j10_interval_join" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS okey_a, CAST(o_orderdate AS DATE) AS astart,
+        |         CAST(o_orderdate AS DATE) + 1 AS aend
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |b AS (
+        |  SELECT o_orderkey AS okey_b, CAST(o_orderdate AS DATE) AS bstart,
+        |         CAST(o_orderdate AS DATE) + 1 AS bend
+        |  FROM orders)
+        |SELECT okey_a, COUNT(*) AS n_concurrent
+        |FROM a JOIN b
+        |  ON astart <= bend AND bstart <= aend AND okey_a <> okey_b
+        |GROUP BY 1""".stripMargin,
     "j9_salted_skew_join" ->
       """SELECT o_orderpriority, COUNT(*) AS n_rows,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
