@@ -646,6 +646,27 @@ object Relational {
         .withColumn("rfm_code",
           col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
     }),
+    "w15_gaps_islands" -> ((s, dir) => {
+      // gaps-and-islands: each user's runs of CONSECUTIVE active days
+      // (the streak/churn-gap primitive behind retention and engagement
+      // metrics). The classic rewrite: day − row_number(day) is
+      // constant exactly within a consecutive run, so one per-user
+      // window + one groupBy finds every island — no self-join, no
+      // iteration. Scale shape: both the window and the agg partition
+      // by user (same key, one shuffle), and the window's per-user
+      // partitions are bounded by calendar days.
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(s, dir).events
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      ev.withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("day"))))
+        .withColumn("grp", date_sub(col("day"), col("rn")))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(min(col("day")).as("island_start"),
+          max(col("day")).as("island_end"),
+          count(lit(1)).as("n_days"))
+        .drop("grp")
+    }),
     "w14_trend" -> ((s, dir) => {
       // per-nation revenue trend: EXACT least-squares slope over
       // monthly revenue, as a rational. Floating-point regression
@@ -847,6 +868,17 @@ object Relational {
         |FROM base b
         |JOIN r USING (c_custkey) JOIN f USING (c_custkey)
         |JOIN m USING (c_custkey), n""".stripMargin,
+    "w15_gaps_islands" ->
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |g AS (
+        |  SELECT user_id, day,
+        |         day - CAST(row_number() OVER (PARTITION BY user_id
+        |                    ORDER BY day) AS INTEGER) AS grp
+        |  FROM ev)
+        |SELECT user_id, MIN(day) AS island_start, MAX(day) AS island_end,
+        |       COUNT(*) AS n_days
+        |FROM g GROUP BY user_id, grp""".stripMargin,
     "w14_trend" ->
       """WITH monthly AS (
         |  SELECT n_name,
