@@ -41,6 +41,7 @@ object Graph {
   private[graft] val Iters = 5
   private val MaxNbrs = 64   // hub cap for neighborhood joins
   private val TopPairs = 100 // link-prediction candidates served
+  private val MaxHops = 3    // BFS depth for reachability
 
   val queries: Map[String, Q] = Map(
     "g_pagerank" -> ((s, dir) => {
@@ -88,6 +89,43 @@ object Graph {
       }
       ranks.select(col("node_type"), col("node_id"),
         col("rank").as("rank_scaled"))
+    }),
+    "g_reachability" -> ((s, dir) => {
+      // multi-source BFS: exact min hop distance (≤ MaxHops) from the
+      // nation-0 supplier seed set over the customer↔supplier trading
+      // graph — the reachability/blast-radius primitive (fraud rings,
+      // recall campaigns). Pure integer semantics, so unlike PageRank
+      // no fixed-point scaling is needed. Each hop is one equi-join
+      // frontier expansion + a min-agg merge; the distance frame is
+      // one row per reached node and is lineage-truncated per hop
+      // (eager localCheckpoint) so driver planning stays O(1) per
+      // iteration — the ss_knn_graph lesson applied from the start.
+      val t = Tables(s, dir)
+      val pairs = t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = pairs.select(lit("c").as("src_t"), col("ck").as("src"),
+          lit("s").as("dst_t"), col("sk").as("dst"))
+        .unionByName(pairs.select(lit("s").as("src_t"), col("sk").as("src"),
+          lit("c").as("dst_t"), col("ck").as("dst")))
+        .persist()
+      val seeds = t.supplier.filter(col("s_nationkey") === 0)
+        .select(lit("s").as("node_type"), col("s_suppkey").as("node_id"),
+          lit(0).as("hops"))
+      var dist = seeds.localCheckpoint(true)
+      for (h <- 1 to MaxHops) {
+        val next = dist.join(edges, col("node_type") === col("src_t") &&
+            col("node_id") === col("src"))
+          .select(col("dst_t").as("node_type"), col("dst").as("node_id"),
+            lit(h).as("hops"))
+        dist = dist.unionByName(next)
+          .groupBy(col("node_type"), col("node_id"))
+          .agg(min(col("hops")).as("hops"))
+          .localCheckpoint(true)
+      }
+      dist
     }),
     "g_common_neighbors" -> ((s, dir) => {
       // link prediction on the part co-order graph: for non-adjacent
@@ -226,6 +264,30 @@ object Graph {
          |$iters
          |SELECT node_type, node_id, CAST(rank AS BIGINT) AS rank_scaled
          |FROM r$Iters""".stripMargin
+    },
+    "g_reachability" -> {
+      val hops = (1 to MaxHops).map { h =>
+        s"""d$h AS (
+           |  SELECT node_type, node_id, MIN(hops) AS hops FROM (
+           |    SELECT node_type, node_id, hops FROM d${h - 1}
+           |    UNION ALL
+           |    SELECT e.dst_t, e.dst, $h
+           |    FROM d${h - 1} p
+           |    JOIN edges e ON p.node_type = e.src_t AND p.node_id = e.src)
+           |  GROUP BY 1, 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT 'c' AS src_t, ck AS src, 's' AS dst_t, sk AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT 's', sk, 'c', ck FROM pairs),
+         |d0 AS (
+         |  SELECT 's' AS node_type, s_suppkey AS node_id, 0 AS hops
+         |  FROM supplier WHERE s_nationkey = 0),
+         |$hops
+         |SELECT node_type, node_id, hops FROM d$MaxHops""".stripMargin
     },
     "g_common_neighbors" ->
       s"""WITH items AS (
