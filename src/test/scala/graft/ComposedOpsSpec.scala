@@ -81,6 +81,32 @@ class ComposedOpsSpec extends SparkSpec {
     d
   }
 
+  /** One customer, three dated orders: o1{10,11} → o2{12} → o3{10,13}. */
+  private lazy val nextDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_next_fix").toString
+    Seq(
+      (101L, 7L, java.sql.Date.valueOf("1995-01-01")),
+      (102L, 7L, java.sql.Date.valueOf("1995-02-01")),
+      (103L, 7L, java.sql.Date.valueOf("1995-03-01")))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    Seq((101L, 10L), (101L, 11L), (102L, 12L), (103L, 10L), (103L, 13L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    d
+  }
+
+  test("reco_next_item: hand-computed basket transitions with tie-broken ranks") {
+    val out = SparkEntry.queries("reco_next_item")(spark, nextDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getInt(3))).toMap
+    // o1→o2 yields 10→12 and 11→12; o2→o3 yields 12→10 and 12→13
+    // (tie at n=1 broken by next_item asc: 10 ranks before 13)
+    assert(out == Map(
+      (10L, 12L) -> ((1L, 1)), (11L, 12L) -> ((1L, 1)),
+      (12L, 10L) -> ((1L, 1)), (12L, 13L) -> ((1L, 2))), out.toString)
+  }
+
   test("dd_cosine_pairs: hand-computed overlap pair kept, sub-threshold pair dropped") {
     val out = SparkEntry.queries("dd_cosine_pairs")(spark, cosDir).collect()
     // (1,2): dot 3, norms 4/4 -> cos² = 9/16 -> 5625 >= 2500. (3,4):

@@ -241,6 +241,20 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("_fs") && plan.contains("_ds"), plan)
   }
 
+  test("j10_interval_join: bin blocking yields an equi-join, never a nested loop") {
+    val plan = executedPlan("j10_interval_join")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("w15_gaps_islands: the user_id window partitioning serves the island agg too") {
+    // HashPartitioning(user_id) satisfies clustering on (user_id, grp),
+    // so the groupBy adds NO second exchange — one shuffle end to end
+    // (plus the distinct's own)
+    val plan = executedPlan("w15_gaps_islands").split("== Initial Plan ==").head
+    assert(plan.split("Exchange").length - 1 <= 2, plan)
+  }
+
   test("dd_decontaminate: shingle overlap is an equi-join, never a cartesian") {
     val plan = executedPlan("dd_decontaminate")
     assert(!plan.contains("CartesianProduct"), plan)
