@@ -46,6 +46,31 @@ object Relational {
           count(lit(1)).as("count_order"))
     }),
 
+    "q5_local_supplier" -> ((s, dir) => {
+      // TPC-H Q5-shaped showcase: revenue from LOCAL fulfilment
+      // (supplier and customer share a nation) per nation of one
+      // region, one year. Written as declarative joins and left to
+      // Catalyst: the dim chain (region→nation) broadcasts, the date
+      // filter pushes to the orders scan, and the c_nationkey =
+      // s_nationkey correlation rides the two fact joins as a post-
+      // join filter — exactly the plan a hand scheduler would pick,
+      // for free. Revenue is decimal-summed (order-independent).
+      val t = Tables(s, dir)
+      t.region.filter(col("r_name") === "ASIA")
+        .join(t.nation, col("n_regionkey") === col("r_regionkey"))
+        .join(t.supplier, col("s_nationkey") === col("n_nationkey"))
+        .join(t.lineitem, col("l_suppkey") === col("s_suppkey"))
+        .join(t.orders.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(t.customer, col("c_custkey") === col("o_custkey")
+            && col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
     // ---- §2.1 scans / sinks --------------------------------------------
     "s3_full_scan" -> ((s, dir) => Tables(s, dir).region),
     "s5_incremental_scan" -> ((s, dir) => {
@@ -754,6 +779,21 @@ object Relational {
       """SELECT event_id, event_type,
         |       CAST(props->>'k' AS INTEGER) AS k_val
         |FROM events""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |                     AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_items
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN supplier ON s_nationkey = n_nationkey
+        |JOIN lineitem ON l_suppkey = s_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1""".stripMargin,
     "p14_unpivot" ->
       """WITH c AS (SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers
         |           FROM customer GROUP BY 1),

@@ -241,6 +241,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("_fs") && plan.contains("_ds"), plan)
   }
 
+  test("q5_local_supplier: dims broadcast, date pushed to the orders scan, no cartesian") {
+    val plan = executedPlan("q5_local_supplier")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("j10_interval_join: bin blocking yields an equi-join, never a nested loop") {
     val plan = executedPlan("j10_interval_join")
     assert(!plan.contains("CartesianProduct"), plan)
