@@ -43,6 +43,26 @@ object AnalyticsQueries {
     // AND report what broke. Every check is a partial-agg scan or one
     // slim anti-join; nothing materializes violating ROWS unless a
     // human asks (the counts are the gate).
+    "an_profile" -> ((s, dir) => {
+      // one-pass column profiling (the Deequ/analyze-table shape a DQ
+      // platform runs on every new partition): per column, null count
+      // + exact distinct count, computed in a SINGLE agg over one scan
+      // (Catalyst plans the multi-distinct via one Expand — rows grow
+      // ×columns map-side, partial-agg friendly, never a scan per
+      // column) and reshaped to one row per column with stack. All
+      // metrics are integers, so the profile is engine-exact.
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val aggs = count(lit(1)).as("n_rows") +:
+        cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          countDistinct(col(c)).as(s"${c}_nd")))
+      val wide = Tables(s, dir).orders.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.map(c => s"'$c', ${c}_nulls, ${c}_nd").mkString(", ")
+      wide.select(col("n_rows"),
+          expr(s"stack(${cols.length}, $stackArgs) AS (column_name, n_nulls, n_distinct)"))
+        .select(col("column_name"), col("n_rows"), col("n_nulls"), col("n_distinct"))
+    }),
     "an_dq_checks" -> ((s, dir) => {
       val t = Tables(s, dir)
       def row(name: String, violations: DataFrame): DataFrame =
@@ -186,6 +206,17 @@ object AnalyticsQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    "an_profile" -> {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      cols.map(c =>
+        s"""SELECT '$c' AS column_name,
+           |       (SELECT COUNT(*) FROM orders) AS n_rows,
+           |       CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_nulls,
+           |       COUNT(DISTINCT $c) AS n_distinct
+           |FROM orders""".stripMargin).mkString("\nUNION ALL\n")
+    },
     "an_dq_checks" ->
       """SELECT 'orders_pk_unique' AS constraint_name,
         |       CAST((SELECT COUNT(*) FROM (

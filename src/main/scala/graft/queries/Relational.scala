@@ -671,6 +671,31 @@ object Relational {
         .withColumn("rfm_code",
           col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
     }),
+    "w16_mom_growth" -> ((s, dir) => {
+      // month-over-month revenue growth per nation — the dashboard
+      // staple, kept engine-exact: revenue in integer 1e-4 currency
+      // units (decimal-summed), growth as a ×10⁴ integer quotient of
+      // (cur − prev) over prev with the sign applied OUTSIDE the
+      // division (w14's truncate-vs-floor rule). One shuffle for the
+      // (nation, month) agg; the lag window rides the same nation
+      // partitioning — bounded per-nation partitions.
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val monthly = t.orders
+        .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation.select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg((sum(col("o_totalprice").cast(DecimalType(18, 4))) * 10000)
+          .cast("long").as("rev_e4"))
+      monthly.withColumn("prev_e4", lag(col("rev_e4"), 1).over(
+          Window.partitionBy(col("n_name")).orderBy(col("month"))))
+        .filter(col("prev_e4").isNotNull)
+        .withColumn("growth_x1e4",
+          expr("CASE WHEN rev_e4 < prev_e4 THEN -1L ELSE 1L END" +
+            " * ((10000 * abs(rev_e4 - prev_e4)) div prev_e4)"))
+    }),
     "w15_gaps_islands" -> ((s, dir) => {
       // gaps-and-islands: each user's runs of CONSECUTIVE active days
       // (the streak/churn-gap primitive behind retention and engagement
@@ -908,6 +933,25 @@ object Relational {
         |FROM base b
         |JOIN r USING (c_custkey) JOIN f USING (c_custkey)
         |JOIN m USING (c_custkey), n""".stripMargin,
+    "w16_mom_growth" ->
+      """WITH monthly AS (
+        |  SELECT n_name, strftime(o_orderdate, '%Y-%m') AS month,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 10000
+        |              AS BIGINT) AS rev_e4
+        |  FROM orders
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT n_name, month, rev_e4,
+        |         lag(rev_e4) OVER (PARTITION BY n_name ORDER BY month)
+        |           AS prev_e4
+        |  FROM monthly)
+        |SELECT n_name, month, rev_e4, prev_e4,
+        |       (CASE WHEN rev_e4 < prev_e4 THEN -1 ELSE 1 END)
+        |         * ((10000 * abs(rev_e4 - prev_e4)) // prev_e4)
+        |         AS growth_x1e4
+        |FROM lagged WHERE prev_e4 IS NOT NULL""".stripMargin,
     "w15_gaps_islands" ->
       """WITH ev AS (
         |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
