@@ -106,23 +106,36 @@ class ZOrderSpec extends SparkSpec {
     // per-file [min,max] of both dims — the same stats parquet row
     // groups carry; a file whose box misses the predicate box is a
     // file a stats-pruning scan never opens
-    def filesHit(path: String, pHi: Long, sHi: Long): (Int, Int) = {
+    def fileBoxes(path: String): (Array[(Long, Long, Long, Long)], Int) = {
       val perFile = spark.read.parquet(path)
         .groupBy(input_file_name())
-        .agg(min("l_partkey").as("pmn"), min("l_suppkey").as("smn"))
+        .agg(min("l_partkey").as("pmn"), max("l_partkey").as("pmx"),
+             min("l_suppkey").as("smn"), max("l_suppkey").as("smx"))
         .collect()
-      val hit = perFile.count(r => r.getLong(1) <= pHi && r.getLong(2) <= sHi)
-      (hit, perFile.length)
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      (perFile, perFile.length)
     }
-    // box = bottom quarter of each dimension (same shape as s14's read)
-    val (pHi, sHi) = (pMn + (pMx - pMn) / 4, sMn + (sMx - sMn) / 4)
-    val (zHit, zAll) = filesHit(s"$tmp/z", pHi, sHi)
-    val (lHit, lAll) = filesHit(s"$tmp/lin", pHi, sHi)
+    // four quarter-sized corner boxes — aggregating across corners
+    // keeps the comparison robust to repartitionByRange's SAMPLED
+    // boundaries (the range-partitioner seed varies per session, so
+    // any single box's hit count can jitter by ±1 and tie)
+    val (pQ, sQ) = ((pMx - pMn) / 4, (sMx - sMn) / 4)
+    val boxes = Seq(
+      (pMn, pMn + pQ, sMn, sMn + sQ), (pMn, pMn + pQ, sMx - sQ, sMx),
+      (pMx - pQ, pMx, sMn, sMn + sQ), (pMx - pQ, pMx, sMx - sQ, sMx))
+    def hits(fb: Array[(Long, Long, Long, Long)]): Int = boxes.map { case (plo, phi, slo, shi) =>
+      fb.count { case (pmn, pmx, smn, smx) =>
+        pmn <= phi && plo <= pmx && smn <= shi && slo <= smx }
+    }.sum
+    val (zBoxes, zAll) = fileBoxes(s"$tmp/z")
+    val (lBoxes, lAll) = fileBoxes(s"$tmp/lin")
     assert(zAll >= 8 && lAll >= 8, s"want real file counts, got $zAll/$lAll")
     // 1-D layout: every file spans all of suppkey, so ~1/4 of files
-    // (the partkey quarter) intersect. Z-order: only files whose
-    // 2-D box overlaps — ~1/16 of them. Require strict improvement.
-    assert(zHit < lHit, s"zorder hit $zHit of $zAll, linear hit $lHit of $lAll")
+    // intersect each corner box (~16 total over 4 corners). Z-order:
+    // only files whose 2-D box overlaps (~1/16 each, ~4 total).
+    val (zHit, lHit) = (hits(zBoxes), hits(lBoxes))
+    assert(zHit < lHit, s"zorder hit $zHit, linear hit $lHit over 4 corner boxes")
+    val (pHi, sHi) = (pMn + pQ, sMn + sQ)
     // and the s14 query over the layout still returns the right data
     val n = spark.read.parquet(s"$tmp/z")
       .filter(col("l_partkey") <= pHi && col("l_suppkey") <= sHi).count()
