@@ -38,7 +38,8 @@ object Bench {
     "reco_topk_cosine", "reco_item_item", "mm_features",
     "t9_exact_median", "mm_phash_neardup", "etl_backfill",
     "tx_lm_score", "dd_cosine_pairs", "g_common_neighbors",
-    "w14_trend", "ss_knn_graph")
+    "w14_trend", "ss_knn_graph",
+    "q5_local_supplier", "j10_interval_join", "reco_next_item")
 
   private def loadavg(): Double =
     scala.util.Try(
