@@ -363,6 +363,49 @@ object Similarity {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= K)
     }),
+    // index BUILD / SERVE separation — the lifecycle every production
+    // vector store has and inline rebuilds don't: the IVF index
+    // (centroid table + per-vector assignments, partitioned by cell)
+    // is PERSISTED to parquet once, and the query path reads only the
+    // index — it never touches, scans, or re-assigns the raw corpus.
+    // At 100 TB this split is the whole point: build amortizes over
+    // every future query batch, serve prunes to nprobe cells via
+    // partition pruning on the cell directory key. Same deterministic
+    // quantizer as ss_knn_ivf, so results are bit-identical to the
+    // inline form and the oracle re-derives them exactly.
+    "ss_index_persist" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val idx = graft.core.GraftSession.scratchDir(s, "ivfidx", dir)
+      val cents = e.filter(col("vec_id") % 125 === 0)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce"))
+      val wa = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
+      spread(e).crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("cid"),
+          expr(cosineSql("embedding", "ce", DIM)).as("csim"))
+        .withColumn("arn", row_number().over(wa)).filter(col("arn") === 1)
+        .select(col("cid"), col("vec_id"), col("embedding"))
+        .write.mode("overwrite").partitionBy("cid")
+        .parquet(s"$idx/assigned")
+      cents.write.mode("overwrite").parquet(s"$idx/centroids")
+      // ---- serve path: INDEX tables only ----
+      val ic = s.read.parquet(s"$idx/centroids")
+      val ia = s.read.parquet(s"$idx/assigned")
+      val wq = Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("cid"))
+      val probes = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .crossJoin(broadcast(ic))
+        .select(col("qid"), col("qe"), col("cid"),
+          expr(cosineSql("qe", "ce", DIM)).as("qsim"))
+        .withColumn("qrn", row_number().over(wq)).filter(col("qrn") <= NPROBE)
+        .select("qid", "qe", "cid")
+      val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
+      ia.join(broadcast(probes), Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          expr(cosineSql("qe", "embedding", DIM)).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+    }),
     // IVF with TRAINED centroids: seeded MLlib KMeans (√n cells), same
     // assignment/probe plan as ss_knn_ivf — the quantizer improves,
     // the data path doesn't change. Centroids are solver output, so
@@ -810,6 +853,35 @@ object Similarity {
        |       TRUE AS scan_bounded$extra
        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin
 
+  /** Shared by ss_knn_ivf and ss_index_persist: the persisted-index
+    * serve path is bit-identical to the inline build. */
+  private lazy val ivfOracleSql: String =
+    s"""WITH cents AS (
+         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 125 = 0),
+         |assigned AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${cosineDuck("e.embedding", "c.ce", DIM)} DESC, c.cid) AS arn
+         |    FROM embeddings e CROSS JOIN cents c)
+         |  WHERE arn = 1),
+         |probes AS (
+         |  SELECT qid, qe, cid FROM (
+         |    SELECT q.vec_id AS qid, q.embedding AS qe, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${cosineDuck("q.embedding", "c.ce", DIM)} DESC, c.cid) AS qrn
+         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 100 = 0)
+         |  WHERE qrn <= $NPROBE),
+         |scored AS (
+         |  SELECT p.qid, a.vec_id,
+         |         ${cosineDuck("p.qe", "a.embedding", DIM)} AS cosine
+         |  FROM assigned a JOIN probes p USING (cid)
+         |  WHERE a.vec_id <> p.qid)
+         |SELECT qid, vec_id, cosine, rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM scored)
+         |WHERE rank <= $K""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ss_knn_mips" ->
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe
@@ -875,32 +947,8 @@ object Similarity {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
          |  FROM scored)
          |WHERE rank <= $K""".stripMargin,
-    "ss_knn_ivf" ->
-      s"""WITH cents AS (
-         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 125 = 0),
-         |assigned AS (
-         |  SELECT vec_id, embedding, cid FROM (
-         |    SELECT e.vec_id, e.embedding, c.cid,
-         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-         |             ORDER BY ${cosineDuck("e.embedding", "c.ce", DIM)} DESC, c.cid) AS arn
-         |    FROM embeddings e CROSS JOIN cents c)
-         |  WHERE arn = 1),
-         |probes AS (
-         |  SELECT qid, qe, cid FROM (
-         |    SELECT q.vec_id AS qid, q.embedding AS qe, c.cid,
-         |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |             ORDER BY ${cosineDuck("q.embedding", "c.ce", DIM)} DESC, c.cid) AS qrn
-         |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 100 = 0)
-         |  WHERE qrn <= $NPROBE),
-         |scored AS (
-         |  SELECT p.qid, a.vec_id,
-         |         ${cosineDuck("p.qe", "a.embedding", DIM)} AS cosine
-         |  FROM assigned a JOIN probes p USING (cid)
-         |  WHERE a.vec_id <> p.qid)
-         |SELECT qid, vec_id, cosine, rank FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rank
-         |  FROM scored)
-         |WHERE rank <= $K""".stripMargin,
+    "ss_knn_ivf" -> ivfOracleSql,
+    "ss_index_persist" -> ivfOracleSql,
     "ss_knn_sq" ->
       s"""WITH st AS (SELECT CAST(MIN(list_min(embedding)) AS DOUBLE) AS mn,
          |                   CAST(MAX(list_max(embedding)) AS DOUBLE) AS mx
