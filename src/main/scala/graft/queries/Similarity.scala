@@ -202,6 +202,58 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     // exact cosine top-k: query set = every 100th vector.
     "ss_knn_brute" -> ((s, dir) => bruteTopK(Tables(s, dir).embeddings)),
+    // HYBRID retrieval — the modern search stack: a lexical leg
+    // (df-capped shared-vocabulary overlap, set semantics) and a
+    // vector leg (cosine), fused by Reciprocal Rank Fusion. RRF works
+    // on RANKS, not scores, so the whole fusion is integer arithmetic
+    // (Σ 10⁶ div (60 + rank)) — no score normalization across
+    // incomparable scales, and bit-exact in any engine. Scale shape:
+    // the lexical leg is a posting-list equi-join (dd_cosine_pairs'
+    // candidate machinery), the vector leg broadcasts the query set,
+    // each leg keeps Depth rows per query via map-side WindowGroupLimit,
+    // and fusion joins two (n_queries × Depth)-row frames — tiny.
+    "ss_hybrid_rrf" -> ((s, dir) => {
+      val RrfK = 60; val Depth = 20
+      val docs = Tables(s, dir).documents
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      val nDocs = docs.count()
+      val tf = docs.select(col("doc_id"), explode(split(
+          graft.functions.TextFunctions.normText(col("text")), " ")).as("w"))
+        .distinct()
+      val keep = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+        .filter(col("df") * 5 <= nDocs).select(col("w"))
+      val tfk = tf.join(keep, Seq("w"), "left_semi")
+      val lexW = Window.partitionBy(col("qid"))
+        .orderBy(col("n_shared").desc, col("doc_id"))
+      val lex = tfk.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("qid"), col("w"))
+        .join(tfk, Seq("w"))
+        .filter(col("doc_id") =!= col("qid"))
+        .groupBy(col("qid"), col("doc_id")).agg(count(lit(1)).as("n_shared"))
+        .withColumn("lrank", row_number().over(lexW))
+        .filter(col("lrank") <= Depth)
+        .select(col("qid"), col("doc_id"), col("lrank"))
+      val e = Tables(s, dir).embeddings
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val vecW = Window.partitionBy(col("qid"))
+        .orderBy(col("cosine").desc, col("doc_id"))
+      val vec = spread(e).crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id").as("doc_id"),
+          expr(cosineSql("qe", "embedding", DIM)).as("cosine"))
+        .withColumn("vrank", row_number().over(vecW))
+        .filter(col("vrank") <= Depth)
+        .select(col("qid"), col("doc_id"), col("vrank"))
+      val fusedW = Window.partitionBy(col("qid"))
+        .orderBy(col("rrf_x1e6").desc, col("doc_id"))
+      lex.join(vec, Seq("qid", "doc_id"), "full")
+        .withColumn("rrf_x1e6",
+          coalesce(expr(s"1000000 div ($RrfK + lrank)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($RrfK + vrank)"), lit(0L)))
+        .withColumn("rank", row_number().over(fusedW))
+        .filter(col("rank") <= K)
+    }),
     // exact maximum-inner-product top-k — the retrieval objective of
     // factorization recommenders (score = u·v, NOT cosine: a vector's
     // own norm matters). Same broadcast-scan shape as ss_knn_brute.
@@ -949,6 +1001,49 @@ object Similarity {
          |WHERE rank <= $K""".stripMargin,
     "ss_knn_ivf" -> ivfOracleSql,
     "ss_index_persist" -> ivfOracleSql,
+    "ss_hybrid_rrf" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS t
+         |  FROM documents),
+         |tf AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(t, ' ')) AS w FROM d),
+         |nd AS (SELECT COUNT(*) AS n FROM documents),
+         |keep AS (SELECT w FROM tf GROUP BY w
+         |         HAVING COUNT(*) * 5 <= (SELECT n FROM nd)),
+         |tfk AS (SELECT tf.* FROM tf JOIN keep USING (w)),
+         |lex AS (
+         |  SELECT qid, doc_id, lrank FROM (
+         |    SELECT q.doc_id AS qid, c.doc_id,
+         |           COUNT(*) AS n_shared,
+         |           ROW_NUMBER() OVER (PARTITION BY q.doc_id
+         |             ORDER BY COUNT(*) DESC, c.doc_id) AS lrank
+         |    FROM tfk q JOIN tfk c ON q.w = c.w AND c.doc_id <> q.doc_id
+         |    WHERE q.doc_id % 100 = 0
+         |    GROUP BY 1, 2)
+         |  WHERE lrank <= 20),
+         |vec AS (
+         |  SELECT qid, doc_id, vrank FROM (
+         |    SELECT q.vec_id AS qid, e.vec_id AS doc_id,
+         |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${cosineDuck("q.embedding", "e.embedding", DIM)} DESC,
+         |                      e.vec_id) AS vrank
+         |    FROM embeddings q CROSS JOIN embeddings e
+         |    WHERE q.vec_id % 100 = 0 AND e.vec_id <> q.vec_id)
+         |  WHERE vrank <= 20),
+         |fused AS (
+         |  SELECT qid, doc_id, lrank, vrank,
+         |         CAST(coalesce(1000000 // (60 + lrank), 0)
+         |              + coalesce(1000000 // (60 + vrank), 0) AS BIGINT)
+         |           AS rrf_x1e6
+         |  FROM lex FULL JOIN vec USING (qid, doc_id))
+         |SELECT qid, doc_id, CAST(lrank AS INTEGER) AS lrank,
+         |       CAST(vrank AS INTEGER) AS vrank, rrf_x1e6,
+         |       CAST(rk AS INTEGER) AS rank FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |            ORDER BY rrf_x1e6 DESC, doc_id) AS rk
+         |  FROM fused)
+         |WHERE rk <= $K""".stripMargin,
     "ss_knn_sq" ->
       s"""WITH st AS (SELECT CAST(MIN(list_min(embedding)) AS DOUBLE) AS mn,
          |                   CAST(MAX(list_max(embedding)) AS DOUBLE) AS mx
