@@ -102,6 +102,29 @@ object Text {
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
     }),
+    "tx_sft_format" -> ((s, dir) => {
+      // SFT sample formatting — the last mile of a training-data
+      // pipeline: render each document into an instruction template
+      // (first 16 words as the prompt, remainder as the completion),
+      // emit the prompt/completion token split a loss mask needs, and
+      // gate out samples whose completion is too short to train on.
+      // Pure codegen'd projection — no shuffle, linear scan; the
+      // rendered sample ships as its md5 (the content-addressed form
+      // a sample store dedups on), not the full string.
+      val ws = split(normText(col("text")), " ")
+      Tables(s, dir).documents
+        .withColumn("ws", ws)
+        .select(col("doc_id"),
+          least(size(col("ws")), lit(16)).as("prompt_tokens"),
+          greatest(size(col("ws")) - 16, lit(0)).as("completion_tokens"),
+          md5(concat(
+            lit("### Instruction:\n"),
+            array_join(slice(col("ws"), 1, 16), " "),
+            lit("\n\n### Response:\n"),
+            array_join(expr("slice(ws, 17, greatest(size(ws) - 16, 1))"), " ")))
+            .as("sample_md5"),
+          (size(col("ws")) - 16 >= 10).as("keep"))
+    }),
     "tx_chunk" -> ((s, dir) => {
       // sliding-window chunking — the operator that turns documents
       // into training samples: 50-word windows advancing by 40 (10
@@ -548,6 +571,20 @@ object Text {
         |                   i -> md5(array_to_string(words[i:i+4], ' '))))
         |            ELSE md5(t) END AS shingle_fp
         |FROM norm""".stripMargin,
+    "tx_sft_format" ->
+      s"""WITH w AS (SELECT doc_id, string_split($normDuck, ' ') AS ws
+         |           FROM documents)
+         |SELECT doc_id,
+         |       CAST(least(len(ws), 16) AS INTEGER) AS prompt_tokens,
+         |       CAST(greatest(len(ws) - 16, 0) AS INTEGER) AS completion_tokens,
+         |       md5('### Instruction:' || chr(10)
+         |           || array_to_string(ws[1:16], ' ')
+         |           || chr(10) || chr(10) || '### Response:' || chr(10)
+         |           || coalesce(array_to_string(
+         |                ws[17:16 + greatest(len(ws) - 16, 1)], ' '), ''))
+         |         AS sample_md5,
+         |       len(ws) - 16 >= 10 AS keep
+         |FROM w""".stripMargin,
     "tx_chunk" ->
       s"""WITH d AS (SELECT doc_id, string_split($normDuck, ' ') AS words
          |           FROM documents),
