@@ -34,6 +34,50 @@ object Etl {
       import s.implicits._
       results.map(r => (r.name, r.rows, r.ok)).toDF("stage", "rows", "ok")
     }),
+    "etl_wap" -> ((s, dir) => {
+      // write-audit-publish — the Iceberg-era deploy discipline for
+      // data: the candidate snapshot is STAGED to its own files, the
+      // audits run against the staged files (never the live table),
+      // and PUBLISH is one atomic metadata write (a manifest listing
+      // the staged files) that only happens when every audit is
+      // green — a bad load can therefore never be half-visible.
+      // Serving reads THROUGH the manifest. Audits here: no null
+      // keys, no duplicate keys, row floor. All emitted facts are
+      // integers/booleans — engine-exact.
+      import org.apache.spark.sql.functions._
+      val root = graft.core.GraftSession.scratchDir(s, "wap", dir)
+      Tables(s, dir).orders
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(count(lit(1)).as("n_orders"))
+        .write.mode("overwrite").parquet(s"$root/staged")
+      val st = s.read.parquet(s"$root/staged")
+      val nullKeys = st.filter(col("month").isNull).count()
+      val dupKeys = st.groupBy(col("month")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).count()
+      val nRows = st.count()
+      val pass = nullKeys == 0 && dupKeys == 0 && nRows >= 1
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (pass) {
+        val files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/staged"))
+          .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
+        val out = fs.create(new org.apache.hadoop.fs.Path(root, "current.txt"), true)
+        out.write(files.mkString("\n").getBytes("UTF-8"))
+        out.close()
+      }
+      val inTxt = fs.open(new org.apache.hadoop.fs.Path(root, "current.txt"))
+      val published = scala.io.Source.fromInputStream(inTxt, "UTF-8")
+        .mkString.split("\n").toSeq.filter(_.nonEmpty)
+      inTxt.close()
+      s.read.parquet(published: _*)
+        .agg(count(lit(1)).as("n_months"),
+          sum(col("n_orders")).as("total_orders"))
+        .select(col("n_months"), col("total_orders"),
+          lit(nullKeys == 0).as("audit_nonnull_ok"),
+          lit(dupKeys == 0).as("audit_unique_ok"),
+          lit(nRows >= 1).as("audit_rowcount_ok"),
+          lit(pass).as("published"))
+    }),
     "etl_backfill" -> ((s, dir) => {
       // incremental partition backfill — the op that replaces "rerun
       // the whole DAG" when one day of a 100 TB warehouse changes.
@@ -91,6 +135,14 @@ object Etl {
     s"UPPER(SUBSTR($col, 1, 1)) || LOWER(SUBSTR($col, 2))"
 
   val oracles: Map[String, String] = Map(
+    "etl_wap" ->
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n
+        |  FROM orders GROUP BY 1)
+        |SELECT COUNT(*) AS n_months, CAST(SUM(n) AS BIGINT) AS total_orders,
+        |       TRUE AS audit_nonnull_ok, TRUE AS audit_unique_ok,
+        |       TRUE AS audit_rowcount_ok, TRUE AS published
+        |FROM m""".stripMargin,
     // per-stage (name, row-count, ok): every count is derivable from the
     // source tables — dims are 1:1 with their source (unique-key left
     // joins), dim_dates is the fixed 2016-2025 calendar, fact grain is
