@@ -19,7 +19,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** One per family: scan/agg/join/window/topk/set/etl/dedup/ann/
     * text/stream/reco/graph/multimodal + the storage-layout ops.
-    * ~45 entries × (min + 3 per-run times) ≈ 2.5 KB of JSON — measured
+    * ~48 entries × (min + 3 per-run times) ≈ 2.5 KB of JSON — measured
     * well inside the driver's output-tail capture (the round-1
     * overflow was the full 100+-query map). */
   val headline: Seq[String] = Seq(

@@ -51,11 +51,17 @@ object Etl {
         .agg(count(lit(1)).as("n_orders"))
         .write.mode("overwrite").parquet(s"$root/staged")
       val st = s.read.parquet(s"$root/staged")
-      val nullKeys = st.filter(col("month").isNull).count()
-      val dupKeys = st.groupBy(col("month")).agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).count()
-      val nRows = st.count()
-      val pass = nullKeys == 0 && dupKeys == 0 && nRows >= 1
+      // all three audits in ONE pass over the staged files: per-key
+      // counts, then a single fold over that (bounded) frame
+      val audit = st.groupBy(col("month")).agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(col("c")), lit(0L)).as("n"),
+          coalesce(sum(when(col("month").isNull, col("c"))
+            .otherwise(0L)), lit(0L)).as("nulls"),
+          coalesce(max(col("c")), lit(0L)).as("maxc"))
+        .head()
+      val (nRows, nullKeys, maxPerKey) =
+        (audit.getLong(0), audit.getLong(1), audit.getLong(2))
+      val pass = nullKeys == 0 && maxPerKey <= 1 && nRows >= 1
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       if (pass) {
@@ -65,16 +71,26 @@ object Etl {
         out.write(files.mkString("\n").getBytes("UTF-8"))
         out.close()
       }
-      val inTxt = fs.open(new org.apache.hadoop.fs.Path(root, "current.txt"))
-      val published = scala.io.Source.fromInputStream(inTxt, "UTF-8")
-        .mkString.split("\n").toSeq.filter(_.nonEmpty)
-      inTxt.close()
-      s.read.parquet(published: _*)
-        .agg(count(lit(1)).as("n_months"),
-          sum(col("n_orders")).as("total_orders"))
-        .select(col("n_months"), col("total_orders"),
+      // serve through the manifest; if nothing was EVER published
+      // (failed audit on a fresh table), the serving table is empty —
+      // report that honestly instead of crashing on a missing manifest
+      val manifestPath = new org.apache.hadoop.fs.Path(root, "current.txt")
+      val facts =
+        if (fs.exists(manifestPath)) {
+          val inTxt = fs.open(manifestPath)
+          val published = scala.io.Source.fromInputStream(inTxt, "UTF-8")
+            .mkString.split("\n").toSeq.filter(_.nonEmpty)
+          inTxt.close()
+          s.read.parquet(published: _*)
+            .agg(count(lit(1)).as("n_months"),
+              coalesce(sum(col("n_orders")), lit(0L)).as("total_orders"))
+        } else {
+          import s.implicits._
+          Seq((0L, 0L)).toDF("n_months", "total_orders")
+        }
+      facts.select(col("n_months"), col("total_orders"),
           lit(nullKeys == 0).as("audit_nonnull_ok"),
-          lit(dupKeys == 0).as("audit_unique_ok"),
+          lit(maxPerKey <= 1).as("audit_unique_ok"),
           lit(nRows >= 1).as("audit_rowcount_ok"),
           lit(pass).as("published"))
     }),

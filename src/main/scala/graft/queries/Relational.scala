@@ -753,6 +753,10 @@ object Relational {
         .select(col("n_name"), col("n_months"),
           (col("n_months") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
           (col("n_months") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+        // a single-month nation has zero x-variance (slope_den = 0,
+        // slope undefined) — excluded rather than emitting a silent
+        // NULL from the division
+        .filter(col("n_months") >= 2)
         .withColumn("slope_x100",
           expr("CASE WHEN slope_num < 0 THEN -1L ELSE 1L END" +
             " * ((100 * abs(slope_num)) div slope_den)"))
@@ -986,7 +990,7 @@ object Relational {
         |       (CASE WHEN n_months * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
         |         * ((100 * abs(n_months * sxy - sx * sy))
         |            // (n_months * sxx - sx * sx)) AS slope_x100
-        |FROM s""".stripMargin,
+        |FROM s WHERE n_months >= 2""".stripMargin,
     "j6_asof_join" ->
       """WITH r AS (
         |  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS asof_orderkey

@@ -753,7 +753,11 @@ object Similarity {
           .join(und.select(col("src").as("mid"), col("dst")), Seq("mid"))
           .filter(col("src") =!= col("dst"))
           .select(col("src"), col("dst"))
-        val expanded = und.unionByName(hop2).distinct().persist()
+        // the UNCAPPED current out-edges are always retained (+K rows
+        // per node): the cap alone could evict a node's found top-K
+        // before the rerank, making descent non-monotone in recall
+        val expanded = graph.select(col("src"), col("dst"))
+          .unionByName(und).unionByName(hop2).distinct().persist()
         candRows += expanded.count()
         graph = rerank(expanded).localCheckpoint(true)
         expanded.unpersist()
