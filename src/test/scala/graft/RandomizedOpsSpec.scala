@@ -56,6 +56,40 @@ class RandomizedOpsSpec extends SparkSpec {
     }
   }
 
+  test("g_common_neighbors matches a brute-force wedge count on random baskets") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val baskets = (1 to 15).map { okey =>
+        okey.toLong -> Seq.fill(2 + rnd.nextInt(3))(1L + rnd.nextInt(8)).distinct
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_cn_$seed").toString
+      baskets.flatMap { case (o, ps) => ps.map(p => (o, p)) }
+        .toDF("l_orderkey", "l_partkey")
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      // brute: same definition, sets on the driver
+      val pairCounts = baskets.flatMap { case (_, ps) =>
+        for (u <- ps; v <- ps if u < v) yield (u, v)
+      }.groupBy(identity).map { case (p, xs) => p -> xs.size }
+      // .toSeq first: Map.collect yielding pairs would rebuild a MAP
+      // keyed by u, silently collapsing each node to one edge
+      val edges = pairCounts.toSeq.collect { case ((u, v), c) if c >= 2 => (u, v) }.toSet
+      val adj = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+        .groupBy(_._1).map { case (n, es) =>
+          n -> es.map(_._2).toSet } // cap = 64 never binds at 8 parts
+      val expected = (for {
+        a <- adj.keys; b <- adj.keys if a < b
+        if !edges((a, b))
+        common = (adj(a) intersect adj(b)).size if common > 0
+        da = adj(a).size; db = adj(b).size
+      } yield (a, b, common.toLong, da.toLong, db.toLong,
+        1000000L * common / (da + db - common))).toSet
+      val got = SparkEntry.queries("g_common_neighbors")(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(got == expected, s"seed $seed: got ${got.size}, want ${expected.size}")
+    }
+  }
+
   test("w15_gaps_islands matches a brute-force run computation on random activity") {
     for (seed <- 1 to 5) {
       val rnd = new scala.util.Random(seed)
