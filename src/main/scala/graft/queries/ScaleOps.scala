@@ -766,6 +766,50 @@ object ScaleOps {
             .as("sketch_within_5pct"))
     }),
 
+    // ---- file-level incremental ingest ledger ------------------------------
+    "s22_ingest_ledger" -> ((s, dir) => {
+      // idempotent incremental ingest — the Auto-Loader pattern: a
+      // LEDGER of already-processed input files makes re-runs and
+      // restarts no-ops, and new files the only work. Run twice in
+      // one invocation to PROVE it: pass 1 sees every file as new and
+      // ingests it; pass 2 diffs the same listing against the ledger
+      // and ingests zero rows. The ledger and the diff are O(files)
+      // metadata (the same scale class as a manifest), never row
+      // data; at 100 TB the listing itself comes from storage
+      // inventory, not a directory walk.
+      import org.apache.hadoop.fs.Path
+      val root = graft.core.GraftSession.scratchDir(s, "ledger", dir)
+      val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new Path(root), true) // replayable end to end
+      val srcFiles = fs.listStatus(new Path(s"$dir/lineitem.parquet"))
+        .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
+      def ledger(): Set[String] = {
+        val p = new Path(root, "ledger")
+        if (fs.exists(p))
+          s.read.parquet(p.toString).collect().map(_.getString(0)).toSet
+        else Set.empty
+      }
+      def ingest(): (Long, Long) = {
+        val known = ledger()
+        val newFiles = srcFiles.filterNot(known)
+        val n = if (newFiles.isEmpty) 0L
+          else s.read.parquet(newFiles: _*).count()
+        if (newFiles.nonEmpty) {
+          import s.implicits._
+          newFiles.toSeq.toDF("file")
+            .write.mode("append").parquet(s"$root/ledger")
+        }
+        (newFiles.length.toLong, n)
+      }
+      val (new1, rows1) = ingest()
+      val (new2, rows2) = ingest()
+      val s2 = s
+      import s2.implicits._
+      Seq((rows1, new1 >= 1, new2, rows2))
+        .toDF("pass1_rows", "pass1_found_files", "pass2_new_files",
+          "pass2_rows")
+    }),
+
     // ---- deterministic Count-Min sketch ------------------------------------
     "a21_countmin" -> ((s, dir) => {
       // Count-Min frequency sketch over part purchase counts —
@@ -994,6 +1038,12 @@ object ScaleOps {
       """SELECT event_type, COUNT(*) AS n, TRUE AS sketch_contains_all
         |FROM events GROUP BY event_type
         |ORDER BY n DESC, event_type LIMIT 3""".stripMargin,
+    "s22_ingest_ledger" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS pass1_rows,
+        |       TRUE AS pass1_found_files,
+        |       CAST(0 AS BIGINT) AS pass2_new_files,
+        |       CAST(0 AS BIGINT) AS pass2_rows
+        |FROM lineitem""".stripMargin,
     "a21_countmin" ->
       """WITH counts AS (
         |  SELECT l_partkey, COUNT(*) AS n_true FROM lineitem GROUP BY 1),
