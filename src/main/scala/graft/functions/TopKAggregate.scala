@@ -125,27 +125,32 @@ case class TopKScores(
 }
 
 /** Bounded buffer for TopKTagged: same worst-first heap discipline as
-  * TopKBuffer over (item, score, payload) — the payload rides along
-  * and never participates in the ordering, so the selected set is
-  * byte-identical to TopKBuffer's on the same (item, score) input. */
+  * TopKBuffer over (item, score, payload). The payload participates as
+  * the FINAL tie-break (after score desc, item asc) so the kept set is
+  * a deterministic function of the input multiset even when duplicate
+  * (item, score) rows carry different payloads — without it, which
+  * duplicate survived a full buffer would depend on partition/merge
+  * order. On unique (item, score) inputs (e.g. reco_item_item's
+  * neighbor lists) the selected set is byte-identical to TopKBuffer's. */
 final class TopKTaggedBuffer(val k: Int) {
-  private val ord = Ordering.by[(Long, Double, Long), (Double, Long)] {
-    case (item, score, _) => (-score, item)
+  private val ord = Ordering.by[(Long, Double, Long), (Double, Long, Long)] {
+    case (item, score, payload) => (-score, item, payload)
   }
   val heap = new scala.collection.mutable.PriorityQueue[(Long, Double, Long)]()(ord)
 
   def add(item: Long, score: Double, payload: Long): Unit = {
     if (heap.size < k) heap.enqueue((item, score, payload))
     else {
-      val (wItem, wScore, _) = heap.head
-      if (score > wScore || (score == wScore && item < wItem)) {
+      val (wItem, wScore, wPayload) = heap.head
+      if (score > wScore || (score == wScore &&
+          (item < wItem || (item == wItem && payload < wPayload)))) {
         heap.dequeue(); heap.enqueue((item, score, payload))
       }
     }
   }
 
   def sortedDesc: Seq[(Long, Double, Long)] =
-    heap.toSeq.sortBy { case (item, score, _) => (-score, item) }
+    heap.toSeq.sortBy { case (item, score, payload) => (-score, item, payload) }
 }
 
 /** topk_tagged(item, score, payload, k): TopKScores with an opaque
@@ -155,7 +160,8 @@ final class TopKTaggedBuffer(val k: Int) {
   * to recover per-pair attributes — the payload rides in the k-entry
   * heap instead, so the exchange still sees only k rows per group per
   * partition. Returns array<struct<item, score, payload>> ordered by
-  * (score desc, item asc). */
+  * (score desc, item asc, payload asc) — payload is the last tie-break
+  * so the result is order-insensitive for arbitrary inputs. */
 case class TopKTagged(
     itemExpr: Expression,
     scoreExpr: Expression,

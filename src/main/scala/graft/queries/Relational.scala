@@ -910,7 +910,7 @@ object Relational {
         |a AS (SELECT s_suppkey,
         |             SUM(net) OVER (PARTITION BY s_suppkey ORDER BY day) AS active
         |      FROM b)
-        |SELECT s_suppkey, MAX(active) AS peak_backlog FROM a GROUP BY 1""".stripMargin,
+        |SELECT s_suppkey, CAST(MAX(active) AS BIGINT) AS peak_backlog FROM a GROUP BY 1""".stripMargin,
     "w13_rfm" ->
       """WITH base AS (
         |  SELECT o_custkey AS c_custkey, MAX(o_orderdate) AS last_order,

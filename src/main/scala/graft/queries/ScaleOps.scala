@@ -85,15 +85,23 @@ object ScaleOps {
     // ---- exact order statistics without a global sort --------------------
     "t9_exact_median" -> ((s, dir) => {
       // exact median by iterative histogram narrowing — the classic
-      // distributed selection algorithm. Each level scans with a range
-      // filter and builds a B-bucket count histogram (one shuffle of B
-      // rows, B-row driver collect — bounded), narrowing the value
-      // range holding the target rank; the final selection sorts only
-      // the surviving sliver. O(log_B) scans total vs the naive
+      // distributed selection algorithm. Each level scans the surviving
+      // rows and builds a B-bucket count histogram (one shuffle of B
+      // rows, B-row driver collect — bounded), narrowing to the bucket
+      // holding the target rank; the final selection sorts only the
+      // surviving sliver. O(log_B) scans total vs the naive
       // `orderBy.limit(n/2)` whose single-task sort is unrunnable at
       // 100 TB. Both middle ranks are selected so even counts average
       // exactly like the oracle (same two order statistics, same one
       // IEEE add + halve).
+      //
+      // Membership is tracked as a COMPOSED PREDICATE over the exact
+      // bucket expressions used to build each level's histogram — never
+      // as an independently recomputed value range. floor((x-l)/width)
+      // and `x >= l + bi*width` can disagree by one ulp at bucket
+      // boundaries under IEEE rounding, which would silently shift the
+      // selected order statistic; reusing the bucketing expression
+      // itself makes bookkeeping and filtering agree by construction.
       val v = Tables(s, dir).lineitem
         .select(col("l_extendedprice").cast("double").as("x"))
       val h0 = v.agg(count(lit(1)).as("n"), min(col("x")), max(col("x"))).head()
@@ -102,6 +110,7 @@ object ScaleOps {
       val B = 4096
       def orderStat(k: Long): Double = {
         var (l, h, kk) = (gLo, gHi, k)
+        var pred: org.apache.spark.sql.Column = lit(true)
         var rows = n
         var level = 0
         while (rows > 100000 && l < h && level < 8) {
@@ -110,9 +119,14 @@ object ScaleOps {
             // range narrower than double resolution — final selection
             level = 8
           } else {
-          val hist = v.filter(col("x") >= l && col("x") <= h)
-            .select(least(floor((col("x") - lit(l)) / lit(width)), lit(B - 1))
-              .cast("int").as("b"))
+          // clamp to [0, B-1]: surviving rows sit in [l, h] only up to
+          // boundary rounding, so a row one ulp outside must still land
+          // in an edge bucket rather than out of the histogram
+          val bucket = greatest(
+            least(floor((col("x") - lit(l)) / lit(width)), lit(B - 1)),
+            lit(0)).cast("int")
+          val hist = v.filter(pred)
+            .select(bucket.as("b"))
             .groupBy(col("b")).agg(count(lit(1)).as("c"))
             .collect() // ≤ B rows — bounded by construction
           val counts = Array.fill(B)(0L)
@@ -127,11 +141,16 @@ object ScaleOps {
           // duplicates piled on a boundary can stall the narrowing —
           // bail to the final selection rather than loop forever
           if (nl == l && nh == h) level = 8
-          else { l = math.max(nl, l); h = math.min(nh, h); level += 1 }
+          else {
+            // filter with the SAME expression the histogram used; the
+            // (nl, nh) range only sizes the next level's buckets
+            pred = pred && (bucket === bi)
+            l = math.max(nl, l); h = math.min(nh, h); level += 1
+          }
           }
         }
-        if (l == h) l
-        else v.filter(col("x") >= l && col("x") <= h).orderBy(col("x"))
+        if (rows == 0 || (l == h && level == 0)) l
+        else v.filter(pred).orderBy(col("x"))
           .limit(kk.toInt).agg(max(col("x"))).head().getDouble(0)
       }
       val medLo = orderStat((n + 1) / 2)
@@ -286,7 +305,7 @@ object ScaleOps {
         .withColumn("_prev", lag(col("o_orderpriority"), 1).over(byKey))
         .join(current, Seq("o_custkey"), "left")
         .filter(col("o_orderpriority") =!=
-          coalesce(col("_prev"), col("_cur_prio"), lit(" ")))
+          coalesce(col("_prev"), col("_cur_prio"), lit("\u0000")))
         .withColumn("_idx", row_number().over(byKey))
         .withColumn("version", coalesce(col("_cur_version"), lit(0)) + col("_idx"))
         .withColumn("valid_to", lead(col("valid_from"), 1).over(byKey))

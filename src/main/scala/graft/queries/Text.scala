@@ -747,12 +747,12 @@ object Text {
          |             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
          |           FROM documents),
          |c AS (SELECT doc_id, n_tokens,
-         |             coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
-         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_start
+         |             CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_start
          |      FROM t)
          |SELECT doc_id, n_tokens, cum_start,
-         |       cum_start // $PackTokens AS bin_id,
-         |       cum_start % $PackTokens AS bin_offset
+         |       CAST(cum_start // $PackTokens AS BIGINT) AS bin_id,
+         |       CAST(cum_start % $PackTokens AS BIGINT) AS bin_offset
          |FROM c""".stripMargin,
     "tx_repetition" ->
       s"""WITH w AS (SELECT doc_id, string_split($normDuck, ' ') AS ws FROM documents),

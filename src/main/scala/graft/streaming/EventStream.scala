@@ -241,7 +241,15 @@ object EventStream {
     * values, so there is no division and no float anywhere — the
     * flags are bit-reproducible and oracle-checkable exactly, which
     * no floating-point streaming detector can promise. State per user
-    * is three numbers; one keyed shuffle; O(1) per event. */
+    * is three numbers; one keyed shuffle. Per-event work is O(1), but
+    * ordering relies on buffering and sorting each user's micro-batch
+    * group by (ts, event_id) — exact ONLY because readEvents' single-
+    * file AvailableNow source delivers the whole table as one batch.
+    * If the source were ever split into multiple micro-batches,
+    * cross-batch arrival order would drive the running moments and
+    * diverge from the oracle's global (ts, event_id) window; at that
+    * point this needs an event-time watermark + timer-based emission
+    * instead of the in-batch sort. */
   def anomaly(spark: SparkSession, dir: String): DataFrame =
     runToTable(spark, s"st_anom_${dir.hashCode.abs}", mode = "append") { ss =>
       import ss.implicits._

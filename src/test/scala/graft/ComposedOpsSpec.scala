@@ -470,7 +470,7 @@ class ComposedOpsSpec extends SparkSpec {
     // 150k rows (forces the narrowing loop), even count, and 50k
     // duplicates of one value straddling the middle ranks — the
     // boundary-stall guard's worst case. Exact answer: both middle
-    // ranks (75000, 75001) fall inside the duplicate run of 500.0.
+    // ranks (75000, 75001) fall inside the duplicate run of 70000.0.
     val d = java.nio.file.Files.createTempDirectory("graft_med_fix").toString
     // sorted ranks: 1..60000 low, 60001..110000 all 70000.0 (the
     // middle ranks 75000/75001 land inside the run), then 40k high

@@ -41,6 +41,15 @@ def eq(a, b):
             return False
     return a == b
 
+def tfam(t):
+    """Collapse DuckDB types into driver-hash equivalence families.
+    HUGEINT is deliberately NOT in the int family: it surfaces as a
+    Python int128 object and hash-mismatches Spark's int64."""
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER"):
+        return "int64"
+    return t
+
 def close(a, b, rtol=1e-9):
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(close(x, y) for x, y in zip(a, b))
@@ -64,16 +73,29 @@ def main():
             results[name] = "MISSING_SPARK_OUTPUT"; continue
         try:
             sp = con.sql(f"SELECT * FROM '{pdir}/*.parquet'")
+            sp_types = dict(zip(sp.columns, [str(t) for t in sp.types]))
             sp_cols, sp_rows = canon(sp.fetchall(), [d[0] for d in sp.description])
         except Exception as e:
             results[name] = f"SPARK_READ_ERR {e}"; continue
         try:
             du = con.sql(sql)
+            du_types = dict(zip(du.columns, [str(t) for t in du.types]))
             du_cols, du_rows = canon(du.fetchall(), [d[0] for d in du.description])
         except Exception as e:
             results[name] = f"ORACLE_ERR {str(e)[:200]}"; continue
         if sp_cols != du_cols:
             results[name] = f"COLS spark={sp_cols} oracle={du_cols}"; continue
+        # dtype-strict: the driver hashes typed values, so a HUGEINT oracle vs a
+        # BIGINT spark column hash-mismatches even when every value is equal.
+        # Python's == would hide that (int(5) == int128(5)), so compare the
+        # DuckDB result types. Ints up to 64-bit are one equivalence class —
+        # the driver's hash tolerates INTEGER vs BIGINT (38 such queries are
+        # hash-green in CORRECTNESS_r06) — but HUGEINT, DECIMAL vs DOUBLE and
+        # FLOAT vs DOUBLE are exactly the divergences that ship as driver reds.
+        bad_t = {c: (sp_types[c], du_types[c]) for c in sp_cols
+                 if tfam(sp_types.get(c)) != tfam(du_types.get(c))}
+        if bad_t:
+            results[name] = f"DTYPE {bad_t}"; continue
         if len(sp_rows) != len(du_rows):
             results[name] = f"ROWS spark={len(sp_rows)} oracle={len(du_rows)}"; continue
         bad = [(a, b) for a, b in zip(sp_rows, du_rows) if not all(eq(x, y) for x, y in zip(a, b))]
