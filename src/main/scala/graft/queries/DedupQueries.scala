@@ -294,11 +294,11 @@ object DedupQueries {
           col("n2_a"), col("n2_b"), col("cos2_x1e4"))
     }))
 
-  private val norm = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
+  private[queries] val norm = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
 
   /** DuckDB rendering of Dedup.sigExpr: k min-hash slots from k/4
     * salted md5 passes, each digest sliced into four 32-bit hashes. */
-  private def sigDuck(arr: String, k: Int): String =
+  private[queries] def sigDuck(arr: String, k: Int): String =
     s"""flatten(list_transform(
        |  list_transform(range(0, ${k / 4}), p -> list_transform($arr, g -> md5(concat(p, ':', g)))),
        |  hp -> list_transform(range(0, 4), s -> list_min(list_transform(hp, h -> substr(h, s*8+1, 8))))))""".stripMargin

@@ -468,15 +468,15 @@ object Text {
   /** Most-frequent word bigram count per doc (docs with ≥2 words) —
     * shared by tx_repetition and tx_filter_pipeline. Input needs
     * (doc_id, ws: array<string>). */
-  private def topBigram(words: DataFrame): DataFrame =
+  private[queries] def topBigram(words: DataFrame): DataFrame =
     words.filter(size(col("ws")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")).as("g"))
       .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max(col("c")).as("top2"))
 
-  private val MixCap = 50
-  private val PackTokens = 512L
+  private[queries] val MixCap = 50
+  private[queries] val PackTokens = 512L
   private val SpanWords = 4
   private val VocabSize = 500
 
