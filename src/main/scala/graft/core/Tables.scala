@@ -2,7 +2,7 @@ package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Accessors for the harness tables (TPC-H-ish star schema + events /
   * documents / embeddings), one parquet file per table under `dir`.
@@ -13,18 +13,25 @@ import org.apache.spark.sql.types.LongType
   * within one query share attribute IDs (required for expressing join
   * conditions as `t.orders("o_orderkey") === t.lineitem("l_orderkey")`).
   *
-  * `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-  * reader rejects; with `spark.sql.legacy.parquet.nanosAsLong=true`
-  * (set by GraftSession) it arrives as Long nanoseconds, and since the
-  * data is microsecond-granular we convert exactly via integer
-  * division — no double round-trip (ns epoch ≈ 1.7e18 exceeds the
-  * 53-bit double mantissa).
+  * `events.ts` normalization: the generator has written the column as
+  * parquet TIMESTAMP(NANOS) in some rounds (which Spark's reader
+  * rejects; with `spark.sql.legacy.parquet.nanosAsLong=true`, set by
+  * GraftSession, it arrives as Long nanoseconds, and since the data is
+  * microsecond-granular we convert exactly via integer division — no
+  * double round-trip, ns epoch ≈ 1.7e18 exceeds the 53-bit double
+  * mantissa) and as TIMESTAMP(MICROS, isAdjustedToUTC=false) in others
+  * (which Spark 4 infers as TIMESTAMP_NTZ — rejected by `unix_micros`
+  * and by streaming event-time watermarks). Both are normalized to the
+  * session-zone instant type TIMESTAMP; the session zone is pinned to
+  * UTC by GraftSession, so the NTZ cast is wall-clock-identity.
   */
 final case class Tables(spark: SparkSession, dir: String) {
   def table(name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else if (name == "events" && df.schema("ts").dataType == TimestampNTZType)
+      df.withColumn("ts", col("ts").cast(TimestampType))
     else df
   }
 

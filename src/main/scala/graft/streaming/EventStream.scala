@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.{LongType, DecimalType, DoubleType}
+import org.apache.spark.sql.types.{LongType, DecimalType, DoubleType, TimestampNTZType, TimestampType}
 import org.apache.hadoop.fs.Path
 
 /** Structured Streaming ingest over the `events` table.
@@ -41,16 +41,24 @@ final case class AnomalyState(n: Long, sumX: BigInt, sumXX: BigInt)
 object EventStream {
 
   /** Streaming read of `<dir>/events.parquet` (schema from a static
-    * peek; ns-timestamps arrive as Long and are converted exactly). */
+    * peek). `ts` is normalized to the session-zone instant type the
+    * same way Tables does it: ns-timestamps arrive as Long (converted
+    * exactly via integer division), µs-NTZ timestamps are cast (the
+    * session zone is UTC, so the cast is wall-clock-identity) — event-
+    * time watermarks reject TIMESTAMP_NTZ outright. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     val static = spark.read.parquet(s"$dir/events.parquet")
     val stream = spark.readStream
       .schema(static.schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    if (static.schema("ts").dataType == LongType)
-      stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else stream
+    static.schema("ts").dataType match {
+      case LongType =>
+        stream.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        stream.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => stream
+    }
   }
 
   /** State-store partition count for the streaming queries. A stateful
