@@ -39,7 +39,8 @@ object Bench {
     "t9_exact_median", "mm_phash_neardup", "etl_backfill",
     "tx_lm_score", "dd_cosine_pairs", "g_common_neighbors",
     "w14_trend", "ss_knn_graph",
-    "q5_local_supplier", "j10_interval_join", "reco_next_item")
+    "q5_local_supplier", "j10_interval_join", "reco_next_item",
+    "llm_corpus_build")
 
   private def loadavg(): Double =
     scala.util.Try(

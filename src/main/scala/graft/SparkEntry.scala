@@ -29,7 +29,8 @@ object SparkEntry {
     graft.queries.Streaming.queries ++
     graft.queries.MultimodalQueries.queries ++
     graft.queries.AnalyticsQueries.queries ++
-    graft.queries.Graph.queries
+    graft.queries.Graph.queries ++
+    graft.queries.Flagship.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +45,6 @@ object SparkEntry {
     graft.queries.Streaming.oracles ++
     graft.queries.MultimodalQueries.oracles ++
     graft.queries.AnalyticsQueries.oracles ++
-    graft.queries.Graph.oracles
+    graft.queries.Graph.oracles ++
+    graft.queries.Flagship.oracles
 }

@@ -335,14 +335,15 @@ object DedupQueries {
     }.mkString(" + ")
 
   /** The dd_minhash_pairs oracle, reusable as a subquery (for the
-    * cluster oracle's edge list). */
-  private def minhashPairsSql: String =
+    * cluster oracle's edge list, and over any earlier CTE — the
+    * flagship corpus build runs it over its quality-filtered set). */
+  private[queries] def minhashPairsSql(from: String = "documents"): String =
       s"""WITH sh AS (
          |  SELECT doc_id,
          |         list_distinct(list_transform(
          |           range(1, greatest(len(string_split($norm, ' ')) - 2, 1) + 1),
          |           i -> array_to_string((string_split($norm, ' '))[i:i+2], ' '))) AS shingles
-         |  FROM documents),
+         |  FROM $from),
          |sig AS (
          |  SELECT doc_id, shingles,
          |         ${sigDuck("shingles", 16)} AS sig
@@ -449,7 +450,7 @@ object DedupQueries {
          |       coalesce(n_shared, 0) AS n_shared,
          |       CAST(coalesce(n_shared, 0) AS DOUBLE) / n_shingles >= 0.1 AS contaminated
          |FROM evd LEFT JOIN sc USING (doc_id)""".stripMargin,
-    "dd_minhash_pairs" -> minhashPairsSql,
+    "dd_minhash_pairs" -> minhashPairsSql(),
     "dd_containment" ->
       s"""WITH sh AS (
          |  SELECT doc_id,
@@ -506,7 +507,7 @@ object DedupQueries {
     // transitive closure; cluster_id = min reachable doc_id — exactly
     // the min-label fixpoint the Spark operator converges to.
     "dd_clusters" ->
-      s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($minhashPairsSql) q),
+      s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM (${minhashPairsSql()}) q),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM p
          |          UNION ALL SELECT id_b, id_a FROM p),
          |reach(id, label) AS (
@@ -516,7 +517,7 @@ object DedupQueries {
          |SELECT id AS doc_id, MIN(label) AS cluster_id
          |FROM reach GROUP BY id""".stripMargin,
     "dd_dedup_corpus" ->
-      s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM ($minhashPairsSql) q),
+      s"""WITH RECURSIVE p AS (SELECT id_a, id_b FROM (${minhashPairsSql()}) q),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM p
          |          UNION ALL SELECT id_b, id_a FROM p),
          |reach(id, label) AS (

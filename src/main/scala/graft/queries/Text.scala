@@ -221,29 +221,7 @@ object Text {
       // it as a window cumsum.
       val docs = Tables(s, dir).documents
         .select(col("doc_id"), wsTokenCount(col("text")).cast("long").as("n_tokens"))
-      val parts = s.sparkContext.defaultParallelism
-      val ordered = docs.repartitionByRange(parts, col("doc_id"))
-        .sortWithinPartitions("doc_id")
-      val rdd = ordered.rdd
-      val partSums = rdd.mapPartitionsWithIndex { case (i, it) =>
-        Iterator.single(i -> it.map(_.getLong(1)).sum)
-      }.collect().toMap
-      val nParts = rdd.getNumPartitions
-      val offsets = (0 until nParts).scanLeft(0L)((acc, i) =>
-        acc + partSums.getOrElse(i, 0L))
-      val out = rdd.mapPartitionsWithIndex { case (i, it) =>
-        var cum = offsets(i)
-        it.map { r =>
-          val start = cum
-          cum += r.getLong(1)
-          org.apache.spark.sql.Row(r.getLong(0), r.getLong(1), start,
-            start / PackTokens, start % PackTokens)
-        }
-      }
-      s.createDataFrame(out, org.apache.spark.sql.types.StructType(
-        Seq("doc_id", "n_tokens", "cum_start", "bin_id", "bin_offset").map(
-          org.apache.spark.sql.types.StructField(_,
-            org.apache.spark.sql.types.LongType, nullable = false))))
+      packPrefix(s, docs)
     }),
     "tx_lm_score" -> ((s, dir) => {
       // char-trigram LM surprisal — the distributable core of a
@@ -477,6 +455,40 @@ object Text {
 
   private[queries] val MixCap = 50
   private[queries] val PackTokens = 512L
+
+  /** Distributed two-pass prefix sum used by tx_pack and the flagship
+    * corpus build: range-partition by doc_id, per-partition token sums
+    * to the driver (bounded: one long per partition), then a
+    * per-partition running pass with the broadcast offsets — never a
+    * single-partition global window. Input must carry `doc_id` and
+    * `n_tokens: long`; every input column passes through, with
+    * cum_start / bin_id / bin_offset (bin = PackTokens window)
+    * appended. Exact integer arithmetic end to end. */
+  private[queries] def packPrefix(s: SparkSession, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val parts = s.sparkContext.defaultParallelism
+    val ordered = df.repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+    val tokIdx = ordered.schema.fieldIndex("n_tokens")
+    val rdd = ordered.rdd
+    val partSums = rdd.mapPartitionsWithIndex { case (i, it) =>
+      Iterator.single(i -> it.map(_.getLong(tokIdx)).sum)
+    }.collect().toMap
+    val offsets = (0 until rdd.getNumPartitions).scanLeft(0L)((acc, i) =>
+      acc + partSums.getOrElse(i, 0L))
+    val out = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var cum = offsets(i)
+      it.map { r =>
+        val start = cum
+        cum += r.getLong(tokIdx)
+        Row.fromSeq(r.toSeq ++ Seq(start, start / PackTokens, start % PackTokens))
+      }
+    }
+    s.createDataFrame(out, StructType(ordered.schema.fields ++
+      Seq("cum_start", "bin_id", "bin_offset")
+        .map(StructField(_, LongType, nullable = false))))
+  }
   private val SpanWords = 4
   private val VocabSize = 500
 
@@ -484,9 +496,9 @@ object Text {
   private val ChunkWords = 50
   private val ChunkStride = 40
 
-  private val normDuck = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
+  private[queries] val normDuck = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
 
-  private val stopsEn = "the|and|of|to|in|is|a"
+  private[queries] val stopsEn = "the|and|of|to|in|is|a"
   /** PII patterns shared by the Spark query and the DuckDB oracle —
     * plain greedy classes/quantifiers only (identical semantics in
     * Java regex and RE2). */
