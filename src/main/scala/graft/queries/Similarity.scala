@@ -727,15 +727,19 @@ object Similarity {
       // dominates the query (measured ~23 s → ~8 s at sf0.1).
       var graph = rerank(cands).localCheckpoint(true)
       // NN-Descent refinement: a neighbor's neighbor is a likely
-      // neighbor — two rounds of undirected 2-hop candidate expansion
-      // + exact rerank. Each round adds ≤ (2K)² candidates per node
-      // (O(n·K²), independent of corpus geometry), and lifts recall
-      // where hashing alone is weakest (isotropic corpora with no
-      // cluster structure for buckets to exploit): measured 0.29 →
-      // 0.82 at the 2000-vector scale. This is the standard
+      // neighbor — undirected 2-hop candidate expansion + exact
+      // rerank. Each round adds ≤ (2K)² candidates per node (O(n·K²),
+      // independent of corpus geometry), and lifts recall where
+      // hashing alone is weakest (isotropic corpora with no cluster
+      // structure for buckets to exploit). This is the standard
       // construction (Dong et al., WWW'11) — hash for seeds, descend
-      // to converge.
-      for (_ <- 1 to 2) {
+      // to converge. ONE round: measured on the current corpus at
+      // n=2000 (sf0.1), recall@5 is 0.42 seed-only → 0.52 after round
+      // 1 → 0.53 after round 2 — the second round's +0.01 never buys
+      // back its full expansion + rerank pass (and at n=500 one round
+      // already sits at 0.96), so descent stops at one.
+      val descentRounds = 1
+      for (_ <- 1 to descentRounds) {
         // the undirected adjacency is CAPPED at 2K entries per node
         // before the 2-hop join: out-degree is K by construction but
         // IN-degree is not — near-tie cosines + id tie-breaks make a
@@ -781,11 +785,12 @@ object Similarity {
       Seq((n,
         nEdges <= K * n,
         nSrc.toDouble / n >= 0.8,
-        // measured: 1.00 at n=500, 0.53 at n=2000 on this isotropic
-        // corpus (the hard case — nothing for buckets or descent to
-        // exploit; clustered corpora sit far higher). Floor pinned
-        // with margin so bucketing/descent regressions trip, not data
-        // difficulty — the same calibration as the other ANN entries.
+        // measured (1 descent round): 0.96 at n=500, 0.52 at n=2000 on
+        // this isotropic corpus (the hard case — nothing for buckets
+        // or descent to exploit; clustered corpora sit far higher).
+        // Floor pinned with margin so bucketing/descent regressions
+        // trip, not data difficulty — the same calibration as the
+        // other ANN entries.
         nq == 0L || hits.toDouble / (K * nq) >= 0.45,
         candRows <= 512L * n))
         .toDF("n_nodes", "degree_bounded", "coverage_ok", "recall_ok",
