@@ -796,6 +796,129 @@ object Similarity {
         .toDF("n_nodes", "degree_bounded", "coverage_ok", "recall_ok",
           "cands_linear_in_n")
     }),
+    // incremental k-NN-graph MAINTENANCE — ss_knn_graph without the
+    // rebuild: the new crawl batch (vec_id % 5 == 4, the same
+    // deterministic stand-in as dd_incremental / dd_lsh_incremental)
+    // probes the PERSISTED band index of the existing corpus, existing
+    // nodes that collide with a new vector re-rank only their own
+    // K-list ∪ the new arrivals, and one NN-Descent round runs only
+    // from DIRTY nodes (the batch + the collided). Untouched nodes'
+    // adjacency rows pass through untouched. Scale shape: the prior
+    // state (band index + adjacency) is the artifact kept warm between
+    // batches — its build cost is NOT per-batch cost; per-batch work
+    // is one index probe + rerank of O(batch · bucket) candidates and
+    // a descent expansion of O(dirty · K²) — never O(corpus). The
+    // contract pins exactly that: per-batch candidate volume linear in
+    // the BATCH size, with the same recall floor as the full build
+    // (the batch's seed candidates are band-identical to the full
+    // build's, so incrementality loses no recall by construction).
+    "ss_knn_graph_incremental" -> ((s, dir) => {
+      val e = Tables(s, dir).embeddings
+      val n = e.count()
+      val p = neardupPlanes(n)
+      val nBands = 12
+      val isNew = col("vec_id") % 5 === 4
+      val sig = e.select(col("vec_id"),
+        expr(signBucketSql("embedding", DIM, nBands * p)).as("sig"))
+      val banded = sig.select(col("vec_id"), posexplode(expr(
+          s"transform(sequence(1, $nBands), b -> substr(sig, (b - 1) * $p + 1, $p))")))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bk")
+        .withColumn("is_new", isNew)
+        .persist()
+      val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+      def rerank(pairs: DataFrame): DataFrame = pairs
+        .join(e.select(col("vec_id").as("src"), col("embedding").as("e_s"))
+          .hint("shuffle_hash"), "src")
+        .join(e.select(col("vec_id").as("dst"), col("embedding").as("e_d"))
+          .hint("shuffle_hash"), "dst")
+        .select(col("src"), col("dst"),
+          expr(cosineSql("e_s", "e_d", DIM)).as("cosine"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select("src", "dst", "cosine")
+      // 2K-capped undirected adjacency + dirty-sourced 2-hop expansion
+      // (the full build's descent step, restricted to dirty sources;
+      // mids still route through ANY node, so a dirty node reaches its
+      // neighbors' neighbors even when those neighbors are clean)
+      def descentExpand(graph: DataFrame, dirty: DataFrame): DataFrame = {
+        val und = graph.select(col("src"), col("dst")).unionByName(
+            graph.select(col("dst").as("src"), col("src").as("dst")))
+          .withColumn("urk", row_number().over(
+            Window.partitionBy(col("src")).orderBy(col("dst"))))
+          .filter(col("urk") <= 2 * K).drop("urk")
+        val dirtyUnd = und.join(dirty, Seq("src"), "left_semi")
+        val hop2 = dirtyUnd.select(col("src"), col("dst").as("mid"))
+          .join(und.select(col("src").as("mid"), col("dst")), Seq("mid"))
+          .filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst"))
+        graph.join(dirty, Seq("src"), "left_semi").select("src", "dst")
+          .unionByName(dirtyUnd).unionByName(hop2).distinct()
+      }
+      // ---- prior state (kept warm in production; built once here) ----
+      val oldBand = banded.filter(!col("is_new"))
+        .select(col("vec_id"), col("band"), col("bk"))
+      val oldCands = oldBand.select(col("vec_id").as("src"), col("band"), col("bk"))
+        .join(oldBand.select(col("vec_id").as("dst"), col("band"), col("bk")),
+          Seq("band", "bk"))
+        .filter(col("src") =!= col("dst")).select("src", "dst").distinct()
+      val allOld = e.filter(!isNew).select(col("vec_id").as("src"))
+      val seedOld = rerank(oldCands).localCheckpoint(true)
+      val oldGraph = rerank(descentExpand(seedOld, allOld)).localCheckpoint(true)
+      // ---- per-batch work (everything counted from here) ----
+      val probe = banded.filter(col("is_new"))
+        .select(col("vec_id").as("src"), col("band"), col("bk"))
+        .join(banded.select(col("vec_id").as("dst"), col("band"), col("bk")),
+          Seq("band", "bk"))
+        .filter(col("src") =!= col("dst"))
+        .select("src", "dst").distinct().persist()
+      var batchCands = probe.count()
+      val newEdges = rerank(probe)
+      // existing nodes that collided re-rank their K-list ∪ arrivals
+      val rev = probe.filter(col("dst") % 5 =!= 4)
+        .select(col("dst").as("src"), col("src").as("dst"))
+      val affected = rev.select("src").distinct().persist()
+      val updatedOld = rerank(oldGraph.join(affected, Seq("src"), "left_semi")
+        .select("src", "dst").unionByName(rev).distinct())
+      val merged = oldGraph.join(affected, Seq("src"), "left_anti")
+        .unionByName(updatedOld).unionByName(newEdges).localCheckpoint(true)
+      // one descent round from the dirty nodes only
+      val dirty = affected
+        .unionByName(e.filter(isNew).select(col("vec_id").as("src"))).distinct()
+      val expanded = descentExpand(merged, dirty).persist()
+      batchCands += expanded.count()
+      val graph = merged.join(dirty, Seq("src"), "left_anti")
+        .unionByName(rerank(expanded)).localCheckpoint(true)
+      expanded.unpersist(); probe.unpersist(); banded.unpersist()
+      val batchN = e.filter(isNew).count()
+      val nEdges = graph.count()
+      val nSrc = graph.agg(countDistinct(col("src"))).first().getLong(0)
+      val truth = bruteTopK(e)
+      val hits = graph.filter(col("src") % 100 === 0)
+        .select(col("src").as("qid"), col("dst").as("vec_id"))
+        .join(truth.select("qid", "vec_id"), Seq("qid", "vec_id"), "left_semi")
+        .count()
+      val nq = e.filter(col("vec_id") % 100 === 0).count()
+      if (sys.env.get("GRAFT_DEBUG_RECALL").contains("1"))
+        System.err.println(f"[knn-graph-inc] n=$n batch=$batchN edges=$nEdges " +
+          f"srcCov=${nSrc.toDouble / n}%.3f " +
+          f"recall=${if (nq > 0) hits.toDouble / (K * nq) else 1.0}%.3f " +
+          f"batchCands=$batchCands perBatchVec=${batchCands / math.max(batchN, 1)}")
+      val s2 = e.sparkSession
+      import s2.implicits._
+      Seq((n,
+        nEdges <= K * n,
+        nSrc.toDouble / n >= 0.8,
+        nq == 0L || hits.toDouble / (K * nq) >= 0.45,
+        // per-batch candidates bounded by the BATCH size — the
+        // incrementality claim itself. Measured: 434/batch-vec at
+        // n=500, 530 at n=2000 (adaptive planes hold bucket size
+        // roughly constant, so the per-vec probe cost stays flat as
+        // the corpus grows); pinned at 1024 for ~2× margin, the same
+        // calibration style as the full build's 512·n corpus bound.
+        batchCands <= 1024L * batchN))
+        .toDF("n_nodes", "degree_bounded", "coverage_ok", "recall_ok",
+          "batch_cost_linear_in_batch")
+    }),
     "ss_embed_neardup" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
       val n = e.count()
@@ -1075,6 +1198,11 @@ object Similarity {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, TRUE AS degree_bounded,
         |       TRUE AS coverage_ok, TRUE AS recall_ok,
         |       TRUE AS cands_linear_in_n
+        |FROM embeddings""".stripMargin,
+    "ss_knn_graph_incremental" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, TRUE AS degree_bounded,
+        |       TRUE AS coverage_ok, TRUE AS recall_ok,
+        |       TRUE AS batch_cost_linear_in_batch
         |FROM embeddings""".stripMargin,
     "ss_embed_neardup" ->
       s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, TRUE AS recall_ok,
