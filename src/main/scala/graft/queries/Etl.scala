@@ -64,23 +64,23 @@ object Etl {
       val pass = nullKeys == 0 && maxPerKey <= 1 && nRows >= 1
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val conf = s.sparkContext.hadoopConfiguration
+      val ledger = s"$root/ledger"
       if (pass) {
         val files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/staged"))
-          .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
-        val out = fs.create(new org.apache.hadoop.fs.Path(root, "current.txt"), true)
-        out.write(files.mkString("\n").getBytes("UTF-8"))
-        out.close()
+          .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted.toSeq
+        // PUBLISH is a CAS commit on the manifest ledger — a racing
+        // writer forces a rebase + retry instead of a lost update
+        // (WapConcurrencySpec pins the two-writer race)
+        graft.etl.ManifestLedger.commitWithRetry(ledger, conf)(_ => files)
       }
-      // serve through the manifest; if nothing was EVER published
+      // serve through the ledger head; if nothing was EVER published
       // (failed audit on a fresh table), the serving table is empty —
-      // report that honestly instead of crashing on a missing manifest
-      val manifestPath = new org.apache.hadoop.fs.Path(root, "current.txt")
+      // report that honestly instead of crashing on an empty ledger
+      val head = graft.etl.ManifestLedger.currentVersion(ledger, conf)
       val facts =
-        if (fs.exists(manifestPath)) {
-          val inTxt = fs.open(manifestPath)
-          val published = scala.io.Source.fromInputStream(inTxt, "UTF-8")
-            .mkString.split("\n").toSeq.filter(_.nonEmpty)
-          inTxt.close()
+        if (head > 0) {
+          val published = graft.etl.ManifestLedger.read(ledger, head, conf)
           s.read.parquet(published: _*)
             .agg(count(lit(1)).as("n_months"),
               coalesce(sum(col("n_orders")), lit(0L)).as("total_orders"))
