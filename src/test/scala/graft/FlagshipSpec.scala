@@ -42,4 +42,17 @@ class FlagshipSpec extends SparkSpec {
       (2L, "en", "web", 40L, 0L, 0L, 0L),
       (4L, "en", "web", 40L, 40L, 0L, 40L)))
   }
+
+  test("llm_corpus_audit: every doc names the stage that dropped it") {
+    val stages = SparkEntry.queries("llm_corpus_audit")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stages == Map(
+      1L -> "eval_holdout",   // survives dedup, but odd → eval side
+      2L -> "kept",
+      3L -> "eval_holdout",
+      4L -> "kept",           // exact-dup representative
+      6L -> "exact_dup",      // non-representative copy of 4
+      8L -> "contaminated",   // prefix copy of eval doc 1
+      10L -> "quality"))      // spam
+  }
 }
