@@ -411,6 +411,62 @@ object Text {
         .withColumn("pick_rank", row_number().over(w))
         .filter(col("pick_rank") <= MixCap)
         .select("doc_id", "lang", "source", "pick_rank")
+    }),
+    "tx_mix_temperature" -> ((s, dir) => {
+      // temperature-flattened domain sampling — the mixing law most
+      // pretraining recipes actually use (sample ∝ n^T, T<1, so small
+      // domains are up-weighted relative to their share): each
+      // (lang, source) cell gets quota = Target · isqrt(n) / Σ isqrt(n)
+      // (T = 0.5), docs chosen in md5(doc_id) order. Everything is
+      // INTEGER arithmetic — isqrt = floor(sqrt(n)) is exact per cell
+      // (IEEE sqrt is correctly rounded, unlike pow) and the quota is
+      // one integer multiply + divide — so the sample is bit-identical
+      // on any engine, which `sample ∝ n^0.7 of rand()` never is.
+      // Scale shape: the cell table is bounded (domains × languages),
+      // so quotas broadcast; the pick is the same single window
+      // shuffle as tx_corpus_mix.
+      val docs = Tables(s, dir).documents
+      val cells = docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("isq", floor(sqrt(col("n_docs"))).cast("long"))
+      val totIsq = cells.agg(sum(col("isq")).as("tot"))
+      val quotas = cells.crossJoin(broadcast(totIsq))
+        .select(col("lang"), col("source"), col("n_docs"),
+          // `div`, not `/`: Spark's `/` is double division and DuckDB
+          // rounds double→int casts where Spark truncates — integer
+          // division is identical everywhere
+          expr(s"($MixTarget * isq) div tot").as("quota"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"), col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs.withColumn("pick_rank", row_number().over(w))
+        .join(broadcast(quotas), Seq("lang", "source"))
+        .filter(col("pick_rank") <= col("quota"))
+        .select("doc_id", "lang", "source", "pick_rank", "quota")
+    }),
+    "tx_shard" -> ((s, dir) => {
+      // training-shard assignment — the write-side layout step after
+      // the corpus is built: every doc lands in one of ShardCount
+      // shards by md5 hash (decorrelated from doc_id order, so shards
+      // are statistically interchangeable), with a deterministic
+      // position within its shard (md5 order again — a reproducible
+      // global shuffle, the property `ORDER BY rand()` can't give).
+      // Scale shape: one hash projection + one window shuffle
+      // partitioned BY SHARD — each shard's position counter is
+      // independent, so parallelism is ShardCount-wide regardless of
+      // corpus size, and the output is exactly what a sharded writer
+      // would partitionBy.
+      val h = md5(col("doc_id").cast("string"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard_id")).orderBy(col("h"), col("doc_id"))
+      Tables(s, dir).documents
+        .select(col("doc_id"), h.as("h"))
+        .withColumn("shard_id",
+          (expr("instr('0123456789abcdef', substr(h, 1, 1)) - 1") * 16 +
+            expr("instr('0123456789abcdef', substr(h, 2, 1)) - 1")) % ShardCount)
+        .withColumn("pos", row_number().over(w))
+        .select(col("doc_id"), col("shard_id").cast("int").as("shard_id"),
+          col("pos"))
     }))
 
   /** Feature-hashing document embeddings (the hashing trick): every
@@ -455,6 +511,8 @@ object Text {
 
   private[queries] val MixCap = 50
   private[queries] val PackTokens = 512L
+  private val MixTarget = 200L
+  private val ShardCount = 16
 
   /** Distributed two-pass prefix sum used by tx_pack and the flagship
     * corpus build: range-partition by doc_id, per-partition token sums
@@ -732,6 +790,30 @@ object Text {
          |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick_rank
          |  FROM documents)
          |WHERE pick_rank <= $MixCap""".stripMargin,
+    "tx_mix_temperature" ->
+      s"""WITH cells AS (SELECT lang, source, COUNT(*) AS n_docs,
+         |                      CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS isq
+         |               FROM documents GROUP BY 1, 2),
+         |tot AS (SELECT SUM(isq) AS tot FROM cells),
+         |q AS (SELECT lang, source, CAST(($MixTarget * isq) // tot AS BIGINT) AS quota
+         |      FROM cells CROSS JOIN tot),
+         |r AS (SELECT doc_id, lang, source,
+         |             ROW_NUMBER() OVER (PARTITION BY lang, source
+         |               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick_rank
+         |      FROM documents)
+         |SELECT r.doc_id, r.lang, r.source, r.pick_rank, q.quota
+         |FROM r JOIN q USING (lang, source)
+         |WHERE r.pick_rank <= q.quota""".stripMargin,
+    "tx_shard" ->
+      s"""WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |sh AS (SELECT doc_id, h,
+         |              CAST(((instr('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+         |                    + (instr('0123456789abcdef', substr(h, 2, 1)) - 1))
+         |                   % $ShardCount AS INT) AS shard_id
+         |       FROM h)
+         |SELECT doc_id, shard_id,
+         |       ROW_NUMBER() OVER (PARTITION BY shard_id ORDER BY h, doc_id) AS pos
+         |FROM sh""".stripMargin,
     "tx_filter_pipeline" ->
       s"""WITH w AS (SELECT doc_id, lang,
          |             len(regexp_extract_all(lower(text), '\\b($stopsEn)\\b')) AS stop_hits,
