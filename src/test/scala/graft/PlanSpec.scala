@@ -74,6 +74,19 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("might_contain"), plan)
   }
 
+  test("flagship pipeline: bloom front survives the composed plan; no cartesian") {
+    // composing five stages into one plan must not lose the stage-level
+    // plan shapes: the decontamination probe still runs through
+    // might_contain, and no stage degenerates into a cartesian join.
+    // Pinned via llm_corpus_audit — it shares the build's stage plans
+    // but stays a pure DataFrame to the end (llm_corpus_build's final
+    // frame sits above the pack prefix-sum RDD boundary, which hides
+    // the upstream plan from executedPlan).
+    val plan = executedPlan("llm_corpus_audit")
+    assert(plan.contains("might_contain"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("new join-family ops: candidate joins are equi, nested loops only for 1-row scalars") {
     for (name <- Seq("g_triangle_count", "reco_item_item", "dd_containment")) {
       val plan = finalPlan(name)
