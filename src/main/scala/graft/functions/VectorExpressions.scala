@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -133,4 +133,95 @@ case class VecCosine(left: Expression, right: Expression) extends VecBinaryBase 
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecCosine =
     copy(left = l, right = r)
+}
+
+/** vec_sign_bucket(emb, dim, nPlanes, offset): the random-hyperplane
+  * LSH signature as ONE expression node.
+  *
+  * The SQL formulation inlines the ±1 plane matrix as literals —
+  * nPlanes · dim literal doubles plus a CreateArray and a vec_dot per
+  * plane. At the banded-signature sizes the ANN queries use (12 bands
+  * × adaptive planes × 64 dims ≈ 4.6k literals) the driver pays for
+  * that tree on every analysis, optimization, and Janino compile,
+  * which is measurable wall-clock on EVERY query run regardless of
+  * data size. Here the matrix lives in ONE reference object (computed
+  * once per plan from the same deterministic md5 parity stream —
+  * planeCoeffs — that the SQL literals and the DuckDB oracle use) and
+  * the codegen is a tight two-level loop.
+  *
+  * Determinism contract: per plane, a left fold over elements in index
+  * order with a double accumulator — bit-identical to
+  * `vec_dot(emb, array(<literals>))` and to the DuckDB `list_reduce`
+  * rendering, so swapping this in changes nothing any oracle can see.
+  * NaN projections sign to '0' in all three formulations
+  * (`NaN >= 0` is false in Java, Spark SQL, and DuckDB).
+  */
+case class VecSignBucket(child: Expression, dim: Int, nPlanes: Int, offset: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "vec_sign_bucket"
+  override def dataType: DataType = StringType
+
+  private lazy val planes: Array[Array[Double]] =
+    Array.tabulate(nPlanes) { j =>
+      VectorFunctions.planeCoeffs(offset + j, dim).map(_.toDouble).toArray
+    }
+
+  private def elemFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float>/array<double> input, " +
+        s"got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val ft = elemFloat
+    val n = math.min(x.numElements(), dim)
+    val bits = new Array[Byte](nPlanes)
+    var j = 0
+    while (j < nPlanes) {
+      val pl = planes(j)
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += (if (ft) x.getFloat(i).toDouble else x.getDouble(i)) * pl(i)
+        i += 1
+      }
+      bits(j) = if (acc >= 0) '1' else '0'
+      j += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(bits)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("signPlanes", planes, "double[][]")
+    val getter = if (elemFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, a => {
+      val bits = ctx.freshName("bits")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val n = ctx.freshName("n")
+      val pl = ctx.freshName("pl")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |byte[] $bits = new byte[$nPlanes];
+         |for (int $j = 0; $j < $nPlanes; $j++) {
+         |  double[] $pl = $planesRef[$j];
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double)$a.$getter($i) * $pl[$i];
+         |  }
+         |  $bits[$j] = $acc >= 0 ? (byte)'1' : (byte)'0';
+         |}
+         |${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromBytes($bits);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(c: Expression): VecSignBucket =
+    copy(child = c)
 }

@@ -53,13 +53,14 @@ object VectorFunctions {
     * band b of a banded scheme uses offset b*nPlanes, so bands are
     * independent hash functions drawn from the same deterministic
     * stream. */
-  def signBucketSql(emb: String, dim: Int, nPlanes: Int, offset: Int = 0): String = {
-    val bits = (0 until nPlanes).map { j =>
-      val arr = planeCoeffs(offset + j, dim).map(c => s"${c}.0D").mkString("array(", ", ", ")")
-      s"CASE WHEN vec_dot($emb, $arr) >= 0 THEN '1' ELSE '0' END"
-    }
-    s"concat(${bits.mkString(", ")})"
-  }
+  def signBucketSql(emb: String, dim: Int, nPlanes: Int, offset: Int = 0): String =
+    // the native expression (VecSignBucket) — the literal-inlined
+    // `concat(CASE WHEN vec_dot(emb, array(...)) ...)` formulation it
+    // replaces produced nPlanes·dim literal nodes, whose analysis +
+    // Janino compile cost the driver measurable wall-clock on every
+    // ANN query run; results are bit-identical (same planeCoeffs
+    // stream, same fold order)
+    s"vec_sign_bucket($emb, $dim, $nPlanes, $offset)"
 
   /** DuckDB: the same sign bucket from the same inlined literals. */
   def signBucketDuck(emb: String, dim: Int, nPlanes: Int, offset: Int = 0): String = {

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{TopKScores, TopKTagged, VecCosine, VecDot}
+import graft.functions.{TopKScores, TopKTagged, VecCosine, VecDot, VecSignBucket}
 
 /** Engine extension point, wired via `spark.sql.extensions`
   * (GraftSession sets it). Registers the native vector expressions so
@@ -23,6 +23,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_cosine"),
       info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float/double array columns"),
       (args: Seq[Expression]) => VecCosine(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_sign_bucket"),
+      info("vec_sign_bucket",
+        "vec_sign_bucket(emb, dim, nPlanes, offset) - random-hyperplane LSH sign " +
+          "signature as an nPlanes-char '0'/'1' string; plane matrix held as one " +
+          "reference object instead of nPlanes*dim inlined literals"),
+      (args: Seq[Expression]) => VecSignBucket(args(0),
+        args(1).eval().asInstanceOf[Number].intValue,
+        args(2).eval().asInstanceOf[Number].intValue,
+        args(3).eval().asInstanceOf[Number].intValue)))
     ext.injectFunction((
       FunctionIdentifier("topk_scores"),
       info("topk_scores",

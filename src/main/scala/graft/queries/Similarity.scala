@@ -703,18 +703,30 @@ object Similarity {
           s"transform(sequence(1, $nBands), b -> substr(sig, (b - 1) * $p + 1, $p))")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bk")
         .persist()
+      val dbg = sys.env.get("GRAFT_DEBUG_RECALL").contains("1")
+      var t0 = System.nanoTime()
+      def lap(tag: String): Unit = if (dbg) {
+        System.err.println(f"[knn-graph-t] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        t0 = System.nanoTime()
+      }
       val cands = banded.select(col("vec_id").as("src"), col("band"), col("bk"))
         .join(banded.select(col("vec_id").as("dst"), col("band"), col("bk")),
           Seq("band", "bk"))
         .filter(col("src") =!= col("dst"))
         .select("src", "dst").distinct().persist()
       var candRows = cands.count()
+      lap("seed-cands")
       val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+      // NO join-strategy hint on the vector attach: the embeddings
+      // side is exactly the stats-visible table, so AQE broadcasts it
+      // while it fits (at this SF that removes two shuffles of wide
+      // arrays per rerank — measured below) and falls back to a
+      // shuffled hash join when a real corpus outgrows the threshold.
+      // Forcing shuffle_hash here pessimized the small-table case the
+      // optimizer already knows how to win.
       def rerank(pairs: DataFrame): DataFrame = pairs
-        .join(e.select(col("vec_id").as("src"), col("embedding").as("e_s"))
-          .hint("shuffle_hash"), "src")
-        .join(e.select(col("vec_id").as("dst"), col("embedding").as("e_d"))
-          .hint("shuffle_hash"), "dst")
+        .join(e.select(col("vec_id").as("src"), col("embedding").as("e_s")), "src")
+        .join(e.select(col("vec_id").as("dst"), col("embedding").as("e_d")), "dst")
         .select(col("src"), col("dst"),
           expr(cosineSql("e_s", "e_d", DIM)).as("cosine"))
         .withColumn("rank", row_number().over(w))
@@ -726,6 +738,7 @@ object Similarity {
       // projection — and driver-side analysis, not execution,
       // dominates the query (measured ~23 s → ~8 s at sf0.1).
       var graph = rerank(cands).localCheckpoint(true)
+      lap("seed-rerank")
       // NN-Descent refinement: a neighbor's neighbor is a likely
       // neighbor — undirected 2-hop candidate expansion + exact
       // rerank. Each round adds ≤ (2K)² candidates per node (O(n·K²),
@@ -766,6 +779,7 @@ object Similarity {
         graph = rerank(expanded).localCheckpoint(true)
         expanded.unpersist()
       }
+      lap("descent")
       val nEdges = graph.count()
       val nSrc = graph.agg(countDistinct(col("src"))).first().getLong(0)
       val truth = bruteTopK(e)
@@ -774,6 +788,7 @@ object Similarity {
         .join(truth.select("qid", "vec_id"), Seq("qid", "vec_id"), "left_semi")
         .count()
       val nq = e.filter(col("vec_id") % 100 === 0).count()
+      lap("truth-stats")
       if (sys.env.get("GRAFT_DEBUG_RECALL").contains("1"))
         System.err.println(f"[knn-graph] n=$n edges=$nEdges srcCov=${nSrc.toDouble / n}%.3f " +
           f"recall=${if (nq > 0) hits.toDouble / (K * nq) else 1.0}%.3f " +

@@ -81,3 +81,55 @@ class VectorExprSpec extends SparkSpec {
     assert("""\*\(\d+\) Project \[vec_cosine""".r.findFirstIn(plan).isDefined, plan)
   }
 }
+
+/** vec_sign_bucket: bit-identical to the literal-inlined SQL
+  * formulation it replaced, on random vectors, in both codegen and
+  * interpreted modes. */
+class VecSignBucketSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.VectorFunctions.planeCoeffs
+
+  private val dim = 64
+  private val nPlanes = 12
+  private val offset = 3 // non-zero: the banded scheme uses offsets
+
+  /** The pre-native rendering: one vec_dot against inlined literals
+    * per plane. Kept here verbatim as the reference semantics. */
+  private def literalSql(emb: String): String = {
+    val bits = (0 until nPlanes).map { j =>
+      val arr = planeCoeffs(offset + j, dim).map(c => s"${c}.0D")
+        .mkString("array(", ", ", ")")
+      s"CASE WHEN vec_dot($emb, $arr) >= 0 THEN '1' ELSE '0' END"
+    }
+    s"concat(${bits.mkString(", ")})"
+  }
+
+  private lazy val vecs = {
+    val rnd = new scala.util.Random(20260813)
+    (1 to 200).map(i => (i.toLong,
+      Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("native signature equals the inlined-literal formulation bit-for-bit") {
+    val mismatches = vecs.select(
+      expr(s"vec_sign_bucket(embedding, $dim, $nPlanes, $offset)").as("fast"),
+      expr(literalSql("embedding")).as("ref"))
+      .filter($"fast" =!= $"ref").count()
+    assert(mismatches == 0)
+  }
+
+  test("interpreted eval agrees with codegen") {
+    val e = graft.functions.VecSignBucket(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1.0f, -2.0f, 0.5f) ++ Array.fill(dim - 3)(0.25f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      dim, nPlanes, offset)
+    val interp = e.eval(null).toString
+    val viaSql = vecs.limit(0).sparkSession.range(1).select(
+      expr(s"vec_sign_bucket(" +
+        s"array(${(Array(1.0f, -2.0f, 0.5f) ++ Array.fill(dim - 3)(0.25f)).map(v => s"CAST($v AS FLOAT)").mkString(",")}), " +
+        s"$dim, $nPlanes, $offset)").as("b")).head().getString(0)
+    assert(interp == viaSql)
+  }
+}
