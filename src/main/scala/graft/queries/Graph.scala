@@ -127,6 +127,60 @@ object Graph {
       }
       dist
     }),
+    "g_label_propagation" -> ((s, dir) => {
+      // community detection by SYNCHRONOUS label propagation, fixed 5
+      // rounds: every node adopts the most frequent label among its
+      // neighbors, ties broken to the SMALLEST label, every round.
+      // Classic LP is randomized-order and therefore engine-ambiguous;
+      // this variant is deterministic by construction (integer counts,
+      // value tie-break, synchronous updates), so DuckDB replays it
+      // bit-for-bit with one CTE per round. Labels start as globally
+      // unique ids (2·id for customers, 2·id+1 for suppliers — the two
+      // key spaces overlap). Note the graph is bipartite, where purely
+      // synchronous LP can oscillate between sides rather than
+      // converge — fixed-round output is still well-defined and
+      // deterministic; a production run would use semi-synchronous
+      // updates (alternate sides) on bipartite inputs.
+      // Scale shape: per round, one O(E) equi-join of edges against
+      // the O(N) label frame, one (node, label) count agg, one per-node
+      // argmax window — the window's row_number(1) is a map-side
+      // WindowGroupLimit above the count shuffle. Label frames are
+      // lineage-truncated per round (the ss_knn_graph lesson).
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables(s, dir)
+      val pairs = t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = pairs.select(lit("c").as("src_t"), col("ck").as("src"),
+          lit("s").as("dst_t"), col("sk").as("dst"))
+        .unionByName(pairs.select(lit("s").as("src_t"), col("sk").as("src"),
+          lit("c").as("dst_t"), col("ck").as("dst")))
+        .repartition(col("dst_t"), col("dst"))
+        .persist()
+      var labels = edges
+        .select(col("src_t").as("node_type"), col("src").as("node_id")).distinct()
+        .select(col("node_type"), col("node_id"),
+          (col("node_id") * 2 + when(col("node_type") === "s", 1).otherwise(0))
+            .as("label"))
+        .localCheckpoint(true)
+      val w = Window.partitionBy(col("node_type"), col("node_id"))
+        .orderBy(col("c").desc, col("label"))
+      for (_ <- 1 to Iters) {
+        labels = edges
+          .join(labels.withColumnRenamed("node_type", "src_t")
+            .withColumnRenamed("node_id", "src"), Seq("src_t", "src"))
+          .groupBy(col("dst_t").as("node_type"), col("dst").as("node_id"),
+            col("label"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("node_type", "node_id", "label")
+          .localCheckpoint(true)
+      }
+      labels
+    }),
     "g_common_neighbors" -> ((s, dir) => {
       // link prediction on the part co-order graph: for non-adjacent
       // pairs, common-neighbor count + Jaccard — the classic
@@ -264,6 +318,32 @@ object Graph {
          |$iters
          |SELECT node_type, node_id, CAST(rank AS BIGINT) AS rank_scaled
          |FROM r$Iters""".stripMargin
+    },
+    "g_label_propagation" -> {
+      val rounds = (1 to Iters).map { k =>
+        s"""l$k AS (SELECT node_type, node_id, label FROM (
+           |  SELECT node_type, node_id, label,
+           |         ROW_NUMBER() OVER (PARTITION BY node_type, node_id
+           |           ORDER BY c DESC, label) AS rn
+           |  FROM (SELECT e.dst_t AS node_type, e.dst AS node_id, p.label,
+           |               COUNT(*) AS c
+           |        FROM edges e
+           |        JOIN l${k - 1} p ON e.src_t = p.node_type AND e.src = p.node_id
+           |        GROUP BY 1, 2, 3)) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |edges AS (
+         |  SELECT 'c' AS src_t, ck AS src, 's' AS dst_t, sk AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT 's', sk, 'c', ck FROM pairs),
+         |l0 AS (
+         |  SELECT src_t AS node_type, src AS node_id,
+         |         src * 2 + (CASE WHEN src_t = 's' THEN 1 ELSE 0 END) AS label
+         |  FROM (SELECT DISTINCT src_t, src FROM edges)),
+         |$rounds
+         |SELECT node_type, node_id, label FROM l$Iters""".stripMargin
     },
     "g_reachability" -> {
       val hops = (1 to MaxHops).map { h =>

@@ -60,3 +60,66 @@ class PageRankSpec extends SparkSpec {
       s"total=$total")
   }
 }
+
+/** Pins g_label_propagation against an independent in-memory
+  * synchronous-LP implementation on the PageRank fixture graph, and
+  * hand-checks the first round on the star node (s2 touches c1, c2,
+  * c3, so its round-1 label is the smallest neighbor label). */
+class LabelPropagationSpec extends SparkSpec {
+
+  private lazy val fixtureDir: String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_lp_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    import spark.implicits._
+    def writeOne(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      df.coalesce(1).write.parquet(s"$dir/${name}_out")
+      val p = java.nio.file.Paths.get(dir)
+      val part = java.nio.file.Files.list(p.resolve(s"${name}_out"))
+        .filter(f => f.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.move(part, p.resolve(s"$name.parquet"))
+    }
+    writeOne(Seq((10L, 1L), (20L, 1L), (30L, 2L), (40L, 3L))
+      .toDF("o_orderkey", "o_custkey"), "orders")
+    writeOne(Seq((10L, 1L), (10L, 2L), (20L, 1L), (30L, 2L), (40L, 2L))
+      .toDF("l_orderkey", "l_suppkey"), "lineitem")
+    dir
+  }
+
+  private val pairs = Set((1L, 1L), (1L, 2L), (2L, 2L), (3L, 2L))
+
+  private def reference: Map[(String, Long), Long] = {
+    val edges = pairs.toSeq.flatMap { case (c, s) =>
+      Seq((("c", c), ("s", s)), (("s", s), ("c", c))) }
+    var label: Map[(String, Long), Long] =
+      edges.map(_._1).distinct.map { case k @ (t, id) =>
+        k -> (id * 2 + (if (t == "s") 1L else 0L)) }.toMap
+    for (_ <- 1 to graft.queries.Graph.Iters) {
+      label = edges.groupBy(_._2).map { case (dst, es) =>
+        val counts = es.groupBy { case (src, _) => label(src) }
+          .map { case (l, g) => (l, g.size) }
+        // most frequent, tie -> smallest label
+        dst -> counts.toSeq.sortBy { case (l, c) => (-c, l) }.head._1
+      }
+    }
+    label
+  }
+
+  test("synchronous LP matches the independent reference after 5 rounds") {
+    val got = SparkEntry.queries("g_label_propagation")(spark, fixtureDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == reference)
+  }
+
+  test("round-1 sanity: the s2 hub adopts its smallest neighbor label") {
+    // s2's neighbors are c1, c2, c3 with distinct initial labels
+    // (2, 4, 6) — all count 1, so the tie-break picks 2
+    val edges = pairs.toSeq.flatMap { case (c, s) =>
+      Seq((("c", c), ("s", s)), (("s", s), ("c", c))) }
+    val init: Map[(String, Long), Long] =
+      edges.map(_._1).distinct.map { case k @ (t, id) =>
+        k -> (id * 2 + (if (t == "s") 1L else 0L)) }.toMap
+    val s2Neighbors = edges.collect { case (src, ("s", 2L)) => init(src) }
+    assert(s2Neighbors.sorted == Seq(2L, 4L, 6L))
+  }
+}
