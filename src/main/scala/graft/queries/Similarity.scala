@@ -780,8 +780,10 @@ object Similarity {
         expanded.unpersist()
       }
       lap("descent")
-      val nEdges = graph.count()
-      val nSrc = graph.agg(countDistinct(col("src"))).first().getLong(0)
+      // one action for both stats — a count and a distinct-count ride
+      // the same aggregation job
+      val statRow = graph.agg(count(lit(1)), countDistinct(col("src"))).first()
+      val (nEdges, nSrc) = (statRow.getLong(0), statRow.getLong(1))
       val truth = bruteTopK(e)
       val hits = graph.filter(col("src") % 100 === 0)
         .select(col("src").as("qid"), col("dst").as("vec_id"))
@@ -905,8 +907,8 @@ object Similarity {
         .unionByName(rerank(expanded)).localCheckpoint(true)
       expanded.unpersist(); probe.unpersist(); banded.unpersist()
       val batchN = e.filter(isNew).count()
-      val nEdges = graph.count()
-      val nSrc = graph.agg(countDistinct(col("src"))).first().getLong(0)
+      val statRow = graph.agg(count(lit(1)), countDistinct(col("src"))).first()
+      val (nEdges, nSrc) = (statRow.getLong(0), statRow.getLong(1))
       val truth = bruteTopK(e)
       val hits = graph.filter(col("src") % 100 === 0)
         .select(col("src").as("qid"), col("dst").as("vec_id"))
