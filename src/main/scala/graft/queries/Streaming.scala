@@ -22,9 +22,33 @@ object Streaming {
     "st_late_data" -> ((s, dir) => EventStream.lateData(s, dir)),
     "st_anomaly" -> ((s, dir) => EventStream.anomaly(s, dir)),
     "st_temporal_enrich" -> ((s, dir) => EventStream.temporalEnrich(s, dir)),
-    "st_upsert_sink" -> ((s, dir) => EventStream.upsertSink(s, dir)))
+    "st_upsert_sink" -> ((s, dir) => EventStream.upsertSink(s, dir)),
+    "st_corpus_ingest" -> ((s, dir) =>
+      graft.streaming.DocumentStream.corpusIngest(s, dir)))
 
   val oracles: Map[String, String] = Map(
+    "st_corpus_ingest" ->
+      s"""WITH w AS (SELECT doc_id, lang,
+         |        len(regexp_extract_all(lower(text), '\\b(${Text.stopsEn})\\b')) AS stop_hits,
+         |        string_split(${Text.normDuck}, ' ') AS ws,
+         |        md5(${Text.normDuck}) AS h FROM documents),
+         |b AS (SELECT doc_id, lang, stop_hits, h, len(ws) AS n_words,
+         |        len(list_distinct(ws)) AS n_distinct FROM w),
+         |t AS (SELECT doc_id, MAX(c) AS top2 FROM (
+         |        SELECT doc_id, g, COUNT(*) AS c FROM (
+         |          SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+         |                 i -> ws[i] || ' ' || ws[i+1])) AS g
+         |          FROM w WHERE len(ws) >= 2) GROUP BY doc_id, g)
+         |      GROUP BY doc_id),
+         |gated AS (SELECT b.doc_id, b.h FROM b LEFT JOIN t USING (doc_id)
+         |          WHERE n_words >= 30
+         |            AND 1.0 - CAST(n_distinct AS DOUBLE) / n_words <= 0.65
+         |            AND coalesce(CAST(top2 AS DOUBLE) / (n_words - 1), 0.0) <= 0.08
+         |            AND (lang <> 'en' OR stop_hits >= 1)),
+         |k AS (SELECT h, MIN(doc_id) AS keep_id FROM gated GROUP BY h)
+         |SELECT g.doc_id, g.doc_id = k.keep_id AS is_novel,
+         |       CASE WHEN g.doc_id <> k.keep_id THEN k.keep_id END AS dup_of
+         |FROM gated g JOIN k USING (h)""".stripMargin,
     "st_hourly_agg" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
         |       event_type,

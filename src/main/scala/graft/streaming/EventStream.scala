@@ -76,7 +76,7 @@ object EventStream {
     * cache, session-local SQL conf) so the streaming shuffle-partition
     * sizing can never leak into — or race with — batch queries running
     * concurrently on the caller's session. */
-  private def runToTable(spark: SparkSession, name: String,
+  private[streaming] def runToTable(spark: SparkSession, name: String,
                          mode: String = "complete")
                         (build: SparkSession => DataFrame): DataFrame = {
     val ss = spark.newSession()
