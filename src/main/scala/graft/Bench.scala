@@ -40,7 +40,7 @@ object Bench {
     "tx_lm_score", "dd_cosine_pairs", "g_common_neighbors",
     "w14_trend", "ss_knn_graph",
     "q5_local_supplier", "j10_interval_join", "reco_next_item",
-    "llm_corpus_build")
+    "llm_corpus_build", "g_label_propagation", "st_corpus_ingest")
 
   private def loadavg(): Double =
     scala.util.Try(

@@ -886,6 +886,56 @@ object ScaleOps {
         .groupBy("month")
         .agg(sum(col("_n")).as("n_orders"),
              sum(col("_s")).cast("double").as("sum_price"))
+    }),
+    "a22_incremental_agg_retract" -> ((s, dir) => {
+      // materialized-view maintenance under a CDC feed WITH DELETES —
+      // the case a17's insert-only merge can't handle. The change feed
+      // deletes every o_orderkey % 97 == 0 order and re-prices (2×)
+      // every surviving % 89 == 0 order. Maintenance strategy per
+      // aggregate class: count/sum are ALGEBRAIC WITH INVERSE, so
+      // removed rows' partials subtract and added rows' partials add —
+      // O(|delta|) work; max has NO inverse (deleting the max row
+      // reveals the unknown runner-up), so it recomputes — but ONLY
+      // over the months the feed touched, the affected-partition
+      // recompute every MV engine falls back to. Months emptied by
+      // deletes drop out (n reaches 0). The oracle recomputes the
+      // whole view from the corrected base relation — hash-equality
+      // proves the mixed retract/recompute maintenance is lossless.
+      val ord = Tables(s, dir).orders.select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderkey").as("k"),
+        col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 4))
+          .as("p"))
+      val deleted = ord.filter(col("k") % 97 === 0)
+      val oldVer = ord.filter(col("k") % 97 =!= 0 && col("k") % 89 === 0)
+      val newVer = oldVer.withColumn("p",
+        (col("p") * 2).cast(org.apache.spark.sql.types.DecimalType(18, 4)))
+      val removed = deleted.unionByName(oldVer)
+      val zero = lit(0).cast(org.apache.spark.sql.types.DecimalType(18, 4))
+      def parts(df: DataFrame, n: String, ssum: String) = df.groupBy("month")
+        .agg(count(lit(1)).as(n), sum(col("p")).as(ssum))
+      val merged = parts(ord, "bn", "bs")
+        .join(parts(removed, "rn", "rs"), Seq("month"), "left")
+        .join(parts(newVer, "an", "as"), Seq("month"), "left")
+        .select(col("month"),
+          (col("bn") - coalesce(col("rn"), lit(0L)) + coalesce(col("an"), lit(0L)))
+            .as("n_orders"),
+          (col("bs") - coalesce(col("rs"), zero) + coalesce(col("as"), zero))
+            .as("s"))
+        .filter(col("n_orders") > 0)
+      // affected months: any delete or reprice touched them
+      val affected = removed.select("month").distinct()
+      val corrected = ord.filter(col("k") % 97 =!= 0 && col("k") % 89 =!= 0)
+        .unionByName(newVer)
+      val mxAffected = corrected.join(affected, Seq("month"), "left_semi")
+        .groupBy("month").agg(max(col("p")).as("mx_new"))
+      val mxBase = ord.groupBy("month").agg(max(col("p")).as("mx_base"))
+      merged
+        .join(mxBase, Seq("month"))
+        .join(mxAffected, Seq("month"), "left")
+        .select(col("month"), col("n_orders"),
+          col("s").cast("double").as("sum_price"),
+          coalesce(col("mx_new"), col("mx_base")).cast("double").as("max_price"))
     }))
 
   /** Decimal partial sum (merge-safe, no double drift) — the partial
@@ -1042,6 +1092,19 @@ object ScaleOps {
         |       COUNT(*) AS n_orders,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY 1""".stripMargin,
+    "a22_incremental_agg_retract" ->
+      """WITH corrected AS (
+        |  SELECT o_orderdate, CAST(o_totalprice AS DECIMAL(18,4)) AS p
+        |  FROM orders WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 <> 0
+        |  UNION ALL
+        |  SELECT o_orderdate,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 2 AS DECIMAL(18,4))
+        |  FROM orders WHERE o_orderkey % 97 <> 0 AND o_orderkey % 89 = 0)
+        |SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(p) AS DOUBLE) AS sum_price,
+        |       CAST(MAX(p) AS DOUBLE) AS max_price
+        |FROM corrected GROUP BY 1""".stripMargin,
     "s15_manifest_prune" ->
       """WITH b AS (SELECT MIN(l_orderkey) AS kmn, MAX(l_orderkey) AS kmx
         |           FROM lineitem),
