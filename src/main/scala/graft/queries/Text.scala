@@ -522,7 +522,7 @@ object Text {
     * `n_tokens: long`; every input column passes through, with
     * cum_start / bin_id / bin_offset (bin = PackTokens window)
     * appended. Exact integer arithmetic end to end. */
-  private[queries] def packPrefix(s: SparkSession, df: DataFrame): DataFrame = {
+  private[graft] def packPrefix(s: SparkSession, df: DataFrame): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val parts = s.sparkContext.defaultParallelism

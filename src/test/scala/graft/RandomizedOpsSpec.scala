@@ -119,3 +119,30 @@ class RandomizedOpsSpec extends SparkSpec {
     }
   }
 }
+
+/** packPrefix (tx_pack / llm_corpus_build's packing stage): the
+  * distributed two-pass prefix sum must equal a sequential scan for
+  * any token distribution and any partitioning. */
+class PackPrefixProps extends SparkSpec {
+  import spark.implicits._
+
+  test("distributed prefix sum equals the sequential scan on random inputs") {
+    val rnd = new scala.util.Random(8451)
+    for (trial <- 1 to 3) {
+      val n = 500 + rnd.nextInt(1500)
+      // non-contiguous, shuffled doc ids; token counts incl. zeros
+      val docs = rnd.shuffle((1 to n).map(_.toLong * 3 + 1).toVector)
+        .map(id => (id, rnd.nextInt(600).toLong))
+      val out = graft.queries.Text.packPrefix(spark,
+          docs.toDF("doc_id", "n_tokens").repartition(7 + trial))
+        .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      var cum = 0L
+      docs.sortBy(_._1).foreach { case (id, tok) =>
+        assert(out(id) == ((cum, cum / 512L, cum % 512L)),
+          s"trial $trial doc $id")
+        cum += tok
+      }
+      assert(out.size == n)
+    }
+  }
+}
