@@ -168,9 +168,15 @@ object Graph {
       val w = Window.partitionBy(col("node_type"), col("node_id"))
         .orderBy(col("c").desc, col("label"))
       for (_ <- 1 to Iters) {
+        // shuffle-free round (the g_pagerank layout argument): the
+        // O(N) label frame broadcasts into the edge join, the count
+        // agg groups on (dst_t, dst, label) whose clustering the
+        // edges' (dst_t, dst) pre-partitioning already satisfies, and
+        // the argmax window partitions on the same prefix — so the
+        // only per-round exchange is the broadcast itself
         labels = edges
-          .join(labels.withColumnRenamed("node_type", "src_t")
-            .withColumnRenamed("node_id", "src"), Seq("src_t", "src"))
+          .join(broadcast(labels.withColumnRenamed("node_type", "src_t")
+            .withColumnRenamed("node_id", "src")), Seq("src_t", "src"))
           .groupBy(col("dst_t").as("node_type"), col("dst").as("node_id"),
             col("label"))
           .agg(count(lit(1)).as("c"))
