@@ -800,24 +800,25 @@ object ScaleOps {
       val root = graft.core.GraftSession.scratchDir(s, "ledger", dir)
       val fs = new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(new Path(root), true) // replayable end to end
+      val conf = s.sparkContext.hadoopConfiguration
       val srcFiles = fs.listStatus(new Path(s"$dir/lineitem.parquet"))
         .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted
-      def ledger(): Set[String] = {
-        val p = new Path(root, "ledger")
-        if (fs.exists(p))
-          s.read.parquet(p.toString).collect().map(_.getString(0)).toSet
-        else Set.empty
-      }
+      // the processed-file set lives in the CAS manifest ledger (the
+      // same kernel etl_wap publishes through), so two ingest workers
+      // racing on one table cannot both record the same file — the
+      // loser rebases on the winner's head and re-diffs, and re-runs
+      // stay no-ops
+      val ledgerRoot = s"$root/ledger"
       def ingest(): (Long, Long) = {
-        val known = ledger()
+        val head = graft.etl.ManifestLedger.currentVersion(ledgerRoot, conf)
+        val known = if (head == 0) Set.empty[String]
+          else graft.etl.ManifestLedger.read(ledgerRoot, head, conf).toSet
         val newFiles = srcFiles.filterNot(known)
         val n = if (newFiles.isEmpty) 0L
           else s.read.parquet(newFiles: _*).count()
-        if (newFiles.nonEmpty) {
-          import s.implicits._
-          newFiles.toSeq.toDF("file")
-            .write.mode("append").parquet(s"$root/ledger")
-        }
+        if (newFiles.nonEmpty)
+          graft.etl.ManifestLedger.commitWithRetry(ledgerRoot, conf)(current =>
+            (current ++ newFiles.filterNot(current.toSet)).sorted)
         (newFiles.length.toLong, n)
       }
       val (new1, rows1) = ingest()
