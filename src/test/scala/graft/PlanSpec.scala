@@ -87,6 +87,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("tx_mix_temperature: quotas attach by broadcast; docs never shuffle for them") {
+    // the bounded cell-quota table must broadcast into the doc-side
+    // join — a shuffled join here would move the whole corpus to
+    // attach a handful of quota rows
+    val plan = finalPlan("tx_mix_temperature")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("a22 retract maintenance: all merges are hash joins, no cartesian") {
+    val plan = finalPlan("a22_incremental_agg_retract")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
+
   test("new join-family ops: candidate joins are equi, nested loops only for 1-row scalars") {
     for (name <- Seq("g_triangle_count", "reco_item_item", "dd_containment")) {
       val plan = finalPlan(name)
