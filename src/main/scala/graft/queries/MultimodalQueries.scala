@@ -104,6 +104,37 @@ object MultimodalQueries {
         .withColumn("is_cut", coalesce(col("hamming") > 16, lit(false)))
         .select("media_id", "frame_idx", "hamming", "is_cut")
     }),
+    // voice-activity segmentation over the audio tracks — the VAD →
+    // segment step a speech pipeline runs before ASR/filtering: a
+    // per-frame energy (STUB: the frame digest's leading 16 bits; a
+    // real codec computes RMS over PCM windows — same plumbing),
+    // thresholded, and contiguous active runs become segments via
+    // gaps-and-islands (frame_idx minus active-rank is constant
+    // within a run). Scale shape: one explode → one window per media
+    // (partitioned by media_id) → one bounded per-run groupBy;
+    // O(frames) rows end to end, no joins.
+    "mm_audio_vad" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+      val active = Multimodal.mediaTable(Tables(s, dir).documents)
+        .filter(col("kind") === "audio")
+        .select(col("media_id"),
+          explode(expr("sequence(0, n_frames - 1)")).as("frame_idx"))
+        .withColumn("energy",
+          conv(substring(md5(concat(md5(col("media_id").cast("string")),
+            lit(":"), col("frame_idx"))), 1, 4), 16, 10).cast("long"))
+        .filter(col("energy") > 40000)
+      active
+        .withColumn("grp", col("frame_idx") - row_number().over(w))
+        .groupBy(col("media_id"), col("grp"))
+        .agg(min(col("frame_idx")).as("seg_start"),
+          max(col("frame_idx")).as("seg_end"),
+          count(lit(1)).as("n_active"))
+        .withColumn("seg_idx", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("media_id")).orderBy(col("seg_start"))))
+        .select("media_id", "seg_idx", "seg_start", "seg_end", "n_active")
+    }),
     // deterministic frame sampling: ~4 evenly spaced frames per video.
     "mm_frame_sample" -> ((s, dir) => {
       val m = Multimodal.mediaTable(Tables(s, dir).documents)
@@ -283,6 +314,36 @@ object MultimodalQueries {
         |       CAST(bit_count(xor(fsig, prev_sig)) AS INTEGER) AS hamming,
         |       coalesce(bit_count(xor(fsig, prev_sig)) > 16, FALSE) AS is_cut
         |FROM lg""".stripMargin,
+    // same digest-energy recipe as the Spark side, then the identical
+    // gaps-and-islands segmentation.
+    "mm_audio_vad" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, CAST(8 + doc_id % 120 AS INTEGER) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |fr AS (
+        |  SELECT media_id, unnest(range(0, n_frames)) AS frame_idx FROM m),
+        |en AS (
+        |  SELECT media_id, frame_idx,
+        |         CAST(SUM((strpos('0123456789abcdef',
+        |                  substr(md5(md5(CAST(media_id AS VARCHAR)) || ':' || frame_idx),
+        |                         CAST(i AS INTEGER) + 1, 1)) - 1)
+        |             * (CAST(1 AS BIGINT) << CAST(4 * (3 - i) AS INTEGER)))
+        |           AS BIGINT) AS energy
+        |  FROM fr, range(0, 4) t(i)
+        |  GROUP BY media_id, frame_idx),
+        |act AS (
+        |  SELECT media_id, frame_idx,
+        |         ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY frame_idx) AS rn
+        |  FROM en WHERE energy > 40000),
+        |seg AS (
+        |  SELECT media_id, MIN(frame_idx) AS seg_start, MAX(frame_idx) AS seg_end,
+        |         COUNT(*) AS n_active
+        |  FROM (SELECT media_id, frame_idx, frame_idx - rn AS grp FROM act)
+        |  GROUP BY media_id, grp)
+        |SELECT media_id,
+        |       ROW_NUMBER() OVER (PARTITION BY media_id ORDER BY seg_start) AS seg_idx,
+        |       seg_start, seg_end, n_active
+        |FROM seg""".stripMargin,
     // the stub features are md5-digest u16 folds; re-derive them in SQL
     // by parsing each 4-hex-char chunk of md5(text).
     "mm_features" ->
