@@ -412,6 +412,31 @@ object Text {
         .filter(col("pick_rank") <= MixCap)
         .select("doc_id", "lang", "source", "pick_rank")
     }),
+    "tx_encode" -> ((s, dir) => {
+      // tokenizer APPLICATION — the encode step between vocab
+      // induction (tx_vocab) and packing (tx_pack): each document's
+      // first EncodeMaxTokens words map to their frequency-rank vocab
+      // id, out-of-vocabulary words to 0 (the UNK convention). The
+      // vocab is bounded (VocabSize rows) so it BROADCASTS; encoding
+      // is a slice + posexplode + one broadcast join — O(tokens) with
+      // no corpus-side shuffle, the shape a 100 TB tokenization pass
+      // must have.
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir).documents
+      val counts = docs
+        .select(explode(split(normText(col("text")), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      val vocab = counts.orderBy(col("n").desc, col("word")).limit(VocabSize)
+        .withColumn("token_id",
+          row_number().over(Window.orderBy(col("n").desc, col("word"))))
+        .select("word", "token_id")
+      docs.select(col("doc_id"), posexplode(
+          slice(split(normText(col("text")), " "), 1, EncodeMaxTokens)))
+        .withColumnRenamed("pos", "pos0").withColumnRenamed("col", "word")
+        .join(broadcast(vocab), Seq("word"), "left")
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"),
+          coalesce(col("token_id"), lit(0)).as("token_id"))
+    }),
     "tx_mix_temperature" -> ((s, dir) => {
       // temperature-flattened domain sampling — the mixing law most
       // pretraining recipes actually use (sample ∝ n^T, T<1, so small
@@ -513,6 +538,7 @@ object Text {
   private[queries] val PackTokens = 512L
   private val MixTarget = 200L
   private val ShardCount = 16
+  private val EncodeMaxTokens = 32
 
   /** Distributed two-pass prefix sum used by tx_pack and the flagship
     * corpus build: range-partition by doc_id, per-partition token sums
@@ -790,6 +816,20 @@ object Text {
          |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick_rank
          |  FROM documents)
          |WHERE pick_rank <= $MixCap""".stripMargin,
+    "tx_encode" ->
+      s"""WITH words AS (
+         |  SELECT unnest(string_split($normDuck, ' ')) AS word FROM documents),
+         |counts AS (SELECT word, COUNT(*) AS n FROM words GROUP BY 1),
+         |vocab AS (SELECT word, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS INT)
+         |                 AS token_id
+         |          FROM (SELECT word, n FROM counts
+         |                ORDER BY n DESC, word LIMIT $VocabSize)),
+         |toks AS (SELECT doc_id, CAST(i AS INT) AS pos, ws[CAST(i AS INT)] AS word
+         |         FROM (SELECT doc_id, string_split($normDuck, ' ') AS ws FROM documents),
+         |              range(1, $EncodeMaxTokens + 1) t(i)
+         |         WHERE i <= len(ws))
+         |SELECT t.doc_id, t.pos, coalesce(v.token_id, 0) AS token_id
+         |FROM toks t LEFT JOIN vocab v USING (word)""".stripMargin,
     "tx_mix_temperature" ->
       s"""WITH cells AS (SELECT lang, source, COUNT(*) AS n_docs,
          |                      CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS isq
