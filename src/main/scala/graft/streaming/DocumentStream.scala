@@ -56,9 +56,14 @@ object DocumentStream {
           |  bgs -> array_max(transform(array_distinct(bgs),
           |    g -> size(filter(bgs, x -> x = g))))), 1)""".stripMargin)
       val gated = readDocuments(ss, dir)
+        // materialize the normalization ONCE per row — md5 and the
+        // word split both consume it, and the regex chain is the
+        // per-row cost that matters on a corpus scan
         .select(col("doc_id"), col("lang"),
           graft.functions.TextFunctions.stopwordHits(col("text")).as("stop_hits"),
-          md5(normCol).as("h"), split(normCol, " ").as("ws"))
+          normCol.as("nrm"))
+        .select(col("doc_id"), col("lang"), col("stop_hits"),
+          md5(col("nrm")).as("h"), split(col("nrm"), " ").as("ws"))
         .withColumn("n_words", size(col("ws")))
         .withColumn("n_distinct", size(array_distinct(col("ws"))))
         .withColumn("top2", when(col("n_words") >= 2, top2Expr))
