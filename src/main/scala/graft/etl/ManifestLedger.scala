@@ -32,7 +32,10 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * mini format.
   */
 object ManifestLedger {
-  private val VersionRe = """v(\d{5})\.txt""".r
+  // {5,}: the %05d writer pads, it does not truncate — v100000.txt is
+  // a legal name and a 5-digit-exact pattern would stop seeing the
+  // head at the 100,001st commit, wedging every CAS after it
+  private val VersionRe = """v(\d{5,})\.txt""".r
 
   private def fsOf(root: String, conf: Configuration): FileSystem =
     new Path(root).getFileSystem(conf)
@@ -80,14 +83,25 @@ object ManifestLedger {
         case _: java.nio.file.FileAlreadyExistsException => false
       }
     } else {
+      var claimed = false
       try {
         val out = fs.create(target, false)
+        claimed = true
         out.write(bytes)
         out.close()
         true
       } catch {
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case _: java.io.IOException if fs.exists(target) => false
+        case e: java.io.IOException =>
+          if (claimed) {
+            // we WON the namespace claim but failed to write the
+            // content — a truncated version file must not become the
+            // head other writers rebase on; release the claim and
+            // report the commit as lost so the caller retries cleanly
+            try fs.delete(target, false) catch { case _: Throwable => () }
+            throw e
+          }
+          if (fs.exists(target)) false else throw e
       }
     }
   }

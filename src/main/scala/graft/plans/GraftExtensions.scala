@@ -29,10 +29,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "vec_sign_bucket(emb, dim, nPlanes, offset) - random-hyperplane LSH sign " +
           "signature as an nPlanes-char '0'/'1' string; plane matrix held as one " +
           "reference object instead of nPlanes*dim inlined literals"),
-      (args: Seq[Expression]) => VecSignBucket(args(0),
-        args(1).eval().asInstanceOf[Number].intValue,
-        args(2).eval().asInstanceOf[Number].intValue,
-        args(3).eval().asInstanceOf[Number].intValue)))
+      (args: Seq[Expression]) => {
+        require(args.length == 4,
+          s"vec_sign_bucket requires 4 arguments (emb, dim, nPlanes, offset); got ${args.length}")
+        def intLit(i: Int, name: String): Int = args(i) match {
+          case e if e.foldable => e.eval().asInstanceOf[Number].intValue
+          case other => throw new IllegalArgumentException(
+            s"vec_sign_bucket: $name must be an integer literal, got ${other.sql}")
+        }
+        VecSignBucket(args(0), intLit(1, "dim"),
+          intLit(2, "nPlanes"), intLit(3, "offset"))
+      }))
     ext.injectFunction((
       FunctionIdentifier("topk_scores"),
       info("topk_scores",

@@ -72,10 +72,7 @@ object Flagship {
       size(col("ws")).as("n_words"),
       size(array_distinct(col("ws"))).as("n_distinct"))
     val gate = Text.topBigram(words).join(base, Seq("doc_id"), "right")
-      .filter(col("n_words") >= 30 &&
-        lit(1.0) - col("n_distinct").cast("double") / col("n_words") <= 0.65 &&
-        coalesce(col("top2").cast("double") / (col("n_words") - 1), lit(0.0)) <= 0.08 &&
-        (col("lang") =!= "en" || col("stop_hits") >= 1))
+      .filter(Text.gatePredicate)
       .select("doc_id")
     val kept = docs.join(gate, Seq("doc_id"), "left_semi").persist()
 
@@ -125,9 +122,17 @@ object Flagship {
   val queries: Map[String, Q] = Map(
     "llm_corpus_build" -> ((s, dir) => {
       val st = stages(s, dir)
-      // stage 5 — pack into PackTokens-sized training windows
+      // stage 5 — pack into PackTokens-sized training windows. The
+      // mixed survivor set is SMALL (≤ MixCap per cell), so an eager
+      // localCheckpoint materializes it and severs the lineage back to
+      // the corpus-sized persisted intermediates — which can then be
+      // RELEASED instead of sitting in the block manager for the rest
+      // of a 200-query sweep (the final write re-executes only the
+      // checkpointed frame, not the pipeline).
       val sized = st.mixed.select(col("doc_id"), col("lang"), col("source"),
         wsTokenCount(col("text")).cast("long").as("n_tokens"))
+        .localCheckpoint(true)
+      st.kept.unpersist(); st.deduped.unpersist()
       Text.packPrefix(s, sized)
     }),
     // provenance: one row per INPUT doc, naming the FIRST stage that
@@ -136,24 +141,38 @@ object Flagship {
     // audit costs one extra pass over slim id sets, not a second
     // pipeline run per stage.
     "llm_corpus_audit" -> ((s, dir) => {
-      val st = stages(s, dir)
-      def mark(df: DataFrame, name: String): DataFrame =
-        df.select(col("doc_id"), lit(true).as(name))
-      st.docs.select(col("doc_id"))
-        .join(mark(st.gate, "in_gate"), Seq("doc_id"), "left")
-        .join(mark(st.exactKeep, "is_exact_rep"), Seq("doc_id"), "left")
-        .join(mark(st.nearDrop, "is_near_drop"), Seq("doc_id"), "left")
-        .join(mark(st.clean, "is_clean"), Seq("doc_id"), "left")
-        .join(mark(st.mixed.select("doc_id"), "in_mix"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          when(col("in_gate").isNull, "quality")
-            .when(col("is_exact_rep").isNull, "exact_dup")
-            .when(col("is_near_drop").isNotNull, "near_dup")
-            .when(col("doc_id") % 2 === 1, "eval_holdout")
-            .when(col("is_clean").isNull, "contaminated")
-            .when(col("in_mix").isNull, "mix_overflow")
-            .otherwise("kept").as("stage"))
+      val (out, release) = auditPlan(s, dir)
+      // one row per input doc — materialize and release the
+      // corpus-sized persists (same argument as the build)
+      val cp = out.localCheckpoint(true)
+      release()
+      cp
     }))
+
+  /** The composed audit frame BEFORE the checkpoint, plus a handle
+    * releasing the stage persists — the plan-inspection surface for
+    * PlanSpec (the public query checkpoints its result, which hides
+    * the composed plan from executedPlan). */
+  private[graft] def auditPlan(s: SparkSession, dir: String): (DataFrame, () => Unit) = {
+    val st = stages(s, dir)
+    def mark(df: DataFrame, name: String): DataFrame =
+      df.select(col("doc_id"), lit(true).as(name))
+    val out = st.docs.select(col("doc_id"))
+      .join(mark(st.gate, "in_gate"), Seq("doc_id"), "left")
+      .join(mark(st.exactKeep, "is_exact_rep"), Seq("doc_id"), "left")
+      .join(mark(st.nearDrop, "is_near_drop"), Seq("doc_id"), "left")
+      .join(mark(st.clean, "is_clean"), Seq("doc_id"), "left")
+      .join(mark(st.mixed.select("doc_id"), "in_mix"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("in_gate").isNull, "quality")
+          .when(col("is_exact_rep").isNull, "exact_dup")
+          .when(col("is_near_drop").isNotNull, "near_dup")
+          .when(col("doc_id") % 2 === 1, "eval_holdout")
+          .when(col("is_clean").isNull, "contaminated")
+          .when(col("in_mix").isNull, "mix_overflow")
+          .otherwise("kept").as("stage"))
+    (out, () => { st.kept.unpersist(); st.deduped.unpersist() })
+  }
 
   /** DuckDB shingle-list rendering (Dedup.withShingles, n = 3) over
     * whatever relation's `text` column is in scope. */
@@ -177,10 +196,7 @@ object Flagship {
        |          FROM w WHERE len(ws) >= 2) GROUP BY doc_id, g)
        |      GROUP BY doc_id),
        |gate AS (SELECT doc_id FROM b LEFT JOIN t USING (doc_id)
-       |         WHERE n_words >= 30
-       |           AND 1.0 - CAST(n_distinct AS DOUBLE) / n_words <= 0.65
-       |           AND coalesce(CAST(top2 AS DOUBLE) / (n_words - 1), 0.0) <= 0.08
-       |           AND (lang <> 'en' OR stop_hits >= 1)),
+       |         WHERE ${Text.gateWhereSql}),
        |kept AS (SELECT d.* FROM documents d JOIN gate USING (doc_id)),
        |p AS (SELECT id_a, id_b FROM (${DedupQueries.minhashPairsSql("kept")}) q),
        |edges AS (SELECT id_a AS src, id_b AS dst FROM p

@@ -157,6 +157,70 @@ object Similarity {
       .filter(col("rank") <= K)
   }
 
+  /** Shared machinery of the kNN-graph family (full build +
+    * incremental maintenance) — one definition so the two queries
+    * cannot drift apart (the incrementality argument "batch seeds are
+    * band-identical to the full build's" is then true by construction).
+    *
+    * Banded signature: ALL nBands·p plane projections are computed
+    * ONCE per vector as a single signature string (the native
+    * vec_sign_bucket expression), then bands slice it by substring —
+    * the naive per-band-per-join-side formulation evaluates the plane
+    * expression 2·nBands times per vector and its projection dominated
+    * the whole query (measured ~20 s → ~3 s at sf0.1). */
+  private def knnBandedSig(e: DataFrame, nBands: Int, p: Int): DataFrame =
+    e.select(col("vec_id"),
+        expr(signBucketSql("embedding", DIM, nBands * p)).as("sig"))
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(1, $nBands), b -> substr(sig, (b - 1) * $p + 1, $p))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bk")
+
+  /** Exact cosine rerank keeping K edges per source. NO join-strategy
+    * hint on the vector attach: the embeddings side is a stats-visible
+    * table, so AQE broadcasts it while it fits (removing two shuffles
+    * of wide arrays per rerank — measured) and falls back to a
+    * shuffled hash join when a real corpus outgrows the threshold;
+    * forcing shuffle_hash pessimized the case the optimizer already
+    * wins. */
+  private def knnRerank(e: DataFrame, pairs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
+    pairs
+      .join(e.select(col("vec_id").as("src"), col("embedding").as("e_s")), "src")
+      .join(e.select(col("vec_id").as("dst"), col("embedding").as("e_d")), "dst")
+      .select(col("src"), col("dst"),
+        expr(cosineSql("e_s", "e_d", DIM)).as("cosine"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select("src", "dst", "cosine")
+  }
+
+  /** One NN-Descent candidate expansion: 2K-capped undirected
+    * adjacency + 2-hop closure from the `dirty` sources (None = every
+    * node, the full build). The cap bounds hub fan-out — out-degree is
+    * K by construction but IN-degree is not, and an uncapped hub of
+    * in-degree h would contribute h·|in-edges| 2-hop rows; with it,
+    * |hop2| ≤ 2K·|und| regardless of skew (Dong et al.'s reverse-list
+    * sampling, deterministically: the 2K lowest-id partners). The
+    * UNCAPPED current out-edges of the dirty sources are always
+    * retained: the cap alone could evict a node's found top-K before
+    * the rerank, making descent non-monotone in recall. Mids route
+    * through ANY node, so a dirty node reaches its neighbors'
+    * neighbors even when those neighbors are clean. */
+  private def descentExpand(graph: DataFrame, dirty: Option[DataFrame]): DataFrame = {
+    val und = graph.select(col("src"), col("dst")).unionByName(
+        graph.select(col("dst").as("src"), col("src").as("dst")))
+      .withColumn("urk", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("dst"))))
+      .filter(col("urk") <= 2 * K).drop("urk")
+    val dirtyUnd = dirty.map(d => und.join(d, Seq("src"), "left_semi")).getOrElse(und)
+    val hop2 = dirtyUnd.select(col("src"), col("dst").as("mid"))
+      .join(und.select(col("src").as("mid"), col("dst")), Seq("mid"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"))
+    val kept = dirty.map(d => graph.join(d, Seq("src"), "left_semi")).getOrElse(graph)
+    kept.select("src", "dst").unionByName(dirtyUnd).unionByName(hop2).distinct()
+  }
+
   /** Exact brute-force top-K by INNER PRODUCT (MIPS) for the same
     * every-100th query set — truth for ss_knn_mips and the contract
     * baseline for the norm-augmented LSH reduction. */
@@ -691,18 +755,7 @@ object Similarity {
       val p = neardupPlanes(n)
       val nBands = 12 // more seed chances than the near-dup join: top-K
                       // targets sit at lower cosine than τ-near-dups
-      // ALL nBands·p plane projections are computed ONCE per vector as
-      // a single signature string, then bands slice it by substring —
-      // the naive per-band-per-join-side formulation evaluates the
-      // (large) plane expression 2·nBands times per vector and its
-      // codegen'd projection dominated the whole query (measured ~20 s
-      // → ~3 s at sf0.1 for identical buckets).
-      val sig = e.select(col("vec_id"),
-        expr(signBucketSql("embedding", DIM, nBands * p)).as("sig"))
-      val banded = sig.select(col("vec_id"), posexplode(expr(
-          s"transform(sequence(1, $nBands), b -> substr(sig, (b - 1) * $p + 1, $p))")))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bk")
-        .persist()
+      val banded = knnBandedSig(e, nBands, p).persist()
       val dbg = sys.env.get("GRAFT_DEBUG_RECALL").contains("1")
       var t0 = System.nanoTime()
       def lap(tag: String): Unit = if (dbg) {
@@ -716,21 +769,7 @@ object Similarity {
         .select("src", "dst").distinct().persist()
       var candRows = cands.count()
       lap("seed-cands")
-      val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
-      // NO join-strategy hint on the vector attach: the embeddings
-      // side is exactly the stats-visible table, so AQE broadcasts it
-      // while it fits (at this SF that removes two shuffles of wide
-      // arrays per rerank — measured below) and falls back to a
-      // shuffled hash join when a real corpus outgrows the threshold.
-      // Forcing shuffle_hash here pessimized the small-table case the
-      // optimizer already knows how to win.
-      def rerank(pairs: DataFrame): DataFrame = pairs
-        .join(e.select(col("vec_id").as("src"), col("embedding").as("e_s")), "src")
-        .join(e.select(col("vec_id").as("dst"), col("embedding").as("e_d")), "dst")
-        .select(col("src"), col("dst"),
-          expr(cosineSql("e_s", "e_d", DIM)).as("cosine"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
+      def rerank(pairs: DataFrame): DataFrame = knnRerank(e, pairs)
       // each round's graph is LINEAGE-TRUNCATED (eager localCheckpoint,
       // the standard iterative-algorithm discipline): without it the
       // logical plan embeds ~3 copies of the previous round's whole
@@ -753,28 +792,7 @@ object Similarity {
       // already sits at 0.96), so descent stops at one.
       val descentRounds = 1
       for (_ <- 1 to descentRounds) {
-        // the undirected adjacency is CAPPED at 2K entries per node
-        // before the 2-hop join: out-degree is K by construction but
-        // IN-degree is not — near-tie cosines + id tie-breaks make a
-        // few low-id vectors near-universal neighbors, and an uncapped
-        // hub of in-degree h would contribute h·|in-edges| 2-hop rows.
-        // With the cap, |hop2| ≤ 2K·|und| regardless of skew — Dong et
-        // al.'s reverse-list sampling, deterministically: keep the 2K
-        // lowest-id partners per node.
-        val und = graph.select(col("src"), col("dst")).unionByName(
-            graph.select(col("dst").as("src"), col("src").as("dst")))
-          .withColumn("urk", row_number().over(
-            Window.partitionBy(col("src")).orderBy(col("dst"))))
-          .filter(col("urk") <= 2 * K).drop("urk")
-        val hop2 = und.select(col("src"), col("dst").as("mid"))
-          .join(und.select(col("src").as("mid"), col("dst")), Seq("mid"))
-          .filter(col("src") =!= col("dst"))
-          .select(col("src"), col("dst"))
-        // the UNCAPPED current out-edges are always retained (+K rows
-        // per node): the cap alone could evict a node's found top-K
-        // before the rerank, making descent non-monotone in recall
-        val expanded = graph.select(col("src"), col("dst"))
-          .unionByName(und).unionByName(hop2).distinct().persist()
+        val expanded = descentExpand(graph, dirty = None).persist()
         candRows += expanded.count()
         graph = rerank(expanded).localCheckpoint(true)
         expanded.unpersist()
@@ -835,42 +853,10 @@ object Similarity {
       val p = neardupPlanes(n)
       val nBands = 12
       val isNew = col("vec_id") % 5 === 4
-      val sig = e.select(col("vec_id"),
-        expr(signBucketSql("embedding", DIM, nBands * p)).as("sig"))
-      val banded = sig.select(col("vec_id"), posexplode(expr(
-          s"transform(sequence(1, $nBands), b -> substr(sig, (b - 1) * $p + 1, $p))")))
-        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bk")
+      val banded = knnBandedSig(e, nBands, p)
         .withColumn("is_new", isNew)
         .persist()
-      val w = Window.partitionBy(col("src")).orderBy(col("cosine").desc, col("dst"))
-      def rerank(pairs: DataFrame): DataFrame = pairs
-        .join(e.select(col("vec_id").as("src"), col("embedding").as("e_s"))
-          .hint("shuffle_hash"), "src")
-        .join(e.select(col("vec_id").as("dst"), col("embedding").as("e_d"))
-          .hint("shuffle_hash"), "dst")
-        .select(col("src"), col("dst"),
-          expr(cosineSql("e_s", "e_d", DIM)).as("cosine"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= K)
-        .select("src", "dst", "cosine")
-      // 2K-capped undirected adjacency + dirty-sourced 2-hop expansion
-      // (the full build's descent step, restricted to dirty sources;
-      // mids still route through ANY node, so a dirty node reaches its
-      // neighbors' neighbors even when those neighbors are clean)
-      def descentExpand(graph: DataFrame, dirty: DataFrame): DataFrame = {
-        val und = graph.select(col("src"), col("dst")).unionByName(
-            graph.select(col("dst").as("src"), col("src").as("dst")))
-          .withColumn("urk", row_number().over(
-            Window.partitionBy(col("src")).orderBy(col("dst"))))
-          .filter(col("urk") <= 2 * K).drop("urk")
-        val dirtyUnd = und.join(dirty, Seq("src"), "left_semi")
-        val hop2 = dirtyUnd.select(col("src"), col("dst").as("mid"))
-          .join(und.select(col("src").as("mid"), col("dst")), Seq("mid"))
-          .filter(col("src") =!= col("dst"))
-          .select(col("src"), col("dst"))
-        graph.join(dirty, Seq("src"), "left_semi").select("src", "dst")
-          .unionByName(dirtyUnd).unionByName(hop2).distinct()
-      }
+      def rerank(pairs: DataFrame): DataFrame = knnRerank(e, pairs)
       // ---- prior state (kept warm in production; built once here) ----
       val oldBand = banded.filter(!col("is_new"))
         .select(col("vec_id"), col("band"), col("bk"))
@@ -878,9 +864,8 @@ object Similarity {
         .join(oldBand.select(col("vec_id").as("dst"), col("band"), col("bk")),
           Seq("band", "bk"))
         .filter(col("src") =!= col("dst")).select("src", "dst").distinct()
-      val allOld = e.filter(!isNew).select(col("vec_id").as("src"))
       val seedOld = rerank(oldCands).localCheckpoint(true)
-      val oldGraph = rerank(descentExpand(seedOld, allOld)).localCheckpoint(true)
+      val oldGraph = rerank(descentExpand(seedOld, dirty = None)).localCheckpoint(true)
       // ---- per-batch work (everything counted from here) ----
       val probe = banded.filter(col("is_new"))
         .select(col("vec_id").as("src"), col("band"), col("bk"))
@@ -901,11 +886,12 @@ object Similarity {
       // one descent round from the dirty nodes only
       val dirty = affected
         .unionByName(e.filter(isNew).select(col("vec_id").as("src"))).distinct()
-      val expanded = descentExpand(merged, dirty).persist()
+      val expanded = descentExpand(merged, Some(dirty)).persist()
       batchCands += expanded.count()
       val graph = merged.join(dirty, Seq("src"), "left_anti")
         .unionByName(rerank(expanded)).localCheckpoint(true)
       expanded.unpersist(); probe.unpersist(); banded.unpersist()
+      affected.unpersist()
       val batchN = e.filter(isNew).count()
       val statRow = graph.agg(count(lit(1)), countDistinct(col("src"))).first()
       val (nEdges, nSrc) = (statRow.getLong(0), statRow.getLong(1))

@@ -41,10 +41,7 @@ object Streaming {
          |          FROM w WHERE len(ws) >= 2) GROUP BY doc_id, g)
          |      GROUP BY doc_id),
          |gated AS (SELECT b.doc_id, b.h FROM b LEFT JOIN t USING (doc_id)
-         |          WHERE n_words >= 30
-         |            AND 1.0 - CAST(n_distinct AS DOUBLE) / n_words <= 0.65
-         |            AND coalesce(CAST(top2 AS DOUBLE) / (n_words - 1), 0.0) <= 0.08
-         |            AND (lang <> 'en' OR stop_hits >= 1)),
+         |          WHERE ${Text.gateWhereSql}),
          |k AS (SELECT h, MIN(doc_id) AS keep_id FROM gated GROUP BY h)
          |SELECT g.doc_id, g.doc_id = k.keep_id AS is_novel,
          |       CASE WHEN g.doc_id <> k.keep_id THEN k.keep_id END AS dup_of

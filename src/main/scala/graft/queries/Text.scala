@@ -198,11 +198,11 @@ object Text {
         size(array_distinct(col("ws"))).as("n_distinct"))
       val gated = topBigram(words).join(base, Seq("doc_id"), "right")
         .select(col("doc_id"),
-          (col("n_words") >= 30).as("len_ok"),
-          (lit(1.0) - col("n_distinct").cast("double") / col("n_words") <= 0.65)
-            .as("rep_ok"),
+          (col("n_words") >= GateMinWords).as("len_ok"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_words")
+            <= GateMaxDupFrac).as("rep_ok"),
           (coalesce(col("top2").cast("double") / (col("n_words") - 1), lit(0.0))
-            <= 0.08).as("bigram_ok"),
+            <= GateMaxTopBigramFrac).as("bigram_ok"),
           (col("lang") =!= "en" || col("stop_hits") >= 1).as("stop_ok"))
       gated.withColumn("keep",
         col("len_ok") && col("rep_ok") && col("bigram_ok") && col("stop_ok"))
@@ -540,6 +540,29 @@ object Text {
   private val ShardCount = 16
   private val EncodeMaxTokens = 32
 
+  /** Quality-gate thresholds — ONE definition consumed by
+    * tx_filter_pipeline, the flagship corpus build (Flagship.scala),
+    * the streaming front-door (DocumentStream.scala), and every one of
+    * their oracles, so a threshold tweak can never desynchronize the
+    * batch and streaming halves of the pipeline or their oracles. */
+  private[graft] val GateMinWords = 30
+  private[graft] val GateMaxDupFrac = 0.65
+  private[graft] val GateMaxTopBigramFrac = 0.08
+
+  /** The gate over (n_words, n_distinct, top2, lang, stop_hits). */
+  private[graft] def gatePredicate: org.apache.spark.sql.Column =
+    col("n_words") >= GateMinWords &&
+      lit(1.0) - col("n_distinct").cast("double") / col("n_words") <= GateMaxDupFrac &&
+      coalesce(col("top2").cast("double") / (col("n_words") - 1), lit(0.0)) <= GateMaxTopBigramFrac &&
+      (col("lang") =!= "en" || col("stop_hits") >= 1)
+
+  /** DuckDB rendering of gatePredicate, same column names in scope. */
+  private[queries] val gateWhereSql: String =
+    s"n_words >= $GateMinWords " +
+      s"AND 1.0 - CAST(n_distinct AS DOUBLE) / n_words <= $GateMaxDupFrac " +
+      s"AND coalesce(CAST(top2 AS DOUBLE) / (n_words - 1), 0.0) <= $GateMaxTopBigramFrac " +
+      "AND (lang <> 'en' OR stop_hits >= 1)"
+
   /** Distributed two-pass prefix sum used by tx_pack and the flagship
     * corpus build: range-partition by doc_id, per-partition token sums
     * to the driver (bounded: one long per partition), then a
@@ -867,14 +890,11 @@ object Text {
          |          FROM w WHERE len(ws) >= 2) GROUP BY doc_id, g)
          |      GROUP BY doc_id)
          |SELECT doc_id,
-         |       n_words >= 30 AS len_ok,
-         |       1.0 - CAST(n_distinct AS DOUBLE) / n_words <= 0.65 AS rep_ok,
-         |       coalesce(CAST(top2 AS DOUBLE) / (n_words - 1), 0.0) <= 0.08 AS bigram_ok,
+         |       n_words >= $GateMinWords AS len_ok,
+         |       1.0 - CAST(n_distinct AS DOUBLE) / n_words <= $GateMaxDupFrac AS rep_ok,
+         |       coalesce(CAST(top2 AS DOUBLE) / (n_words - 1), 0.0) <= $GateMaxTopBigramFrac AS bigram_ok,
          |       (lang <> 'en' OR stop_hits >= 1) AS stop_ok,
-         |       (n_words >= 30
-         |        AND 1.0 - CAST(n_distinct AS DOUBLE) / n_words <= 0.65
-         |        AND coalesce(CAST(top2 AS DOUBLE) / (n_words - 1), 0.0) <= 0.08
-         |        AND (lang <> 'en' OR stop_hits >= 1)) AS keep
+         |       ($gateWhereSql) AS keep
          |FROM b LEFT JOIN t USING (doc_id)""".stripMargin,
     "tx_pack" ->
       s"""WITH t AS (SELECT doc_id,

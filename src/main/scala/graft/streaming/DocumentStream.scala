@@ -67,10 +67,7 @@ object DocumentStream {
         .withColumn("n_words", size(col("ws")))
         .withColumn("n_distinct", size(array_distinct(col("ws"))))
         .withColumn("top2", when(col("n_words") >= 2, top2Expr))
-        .filter(col("n_words") >= 30 &&
-          lit(1.0) - col("n_distinct").cast("double") / col("n_words") <= 0.65 &&
-          coalesce(col("top2").cast("double") / (col("n_words") - 1), lit(0.0)) <= 0.08 &&
-          (col("lang") =!= "en" || col("stop_hits") >= 1))
+        .filter(graft.queries.Text.gatePredicate)
         .select(col("h"), col("doc_id"))
         .as[(String, Long)]
       gated.groupByKey(_._1)

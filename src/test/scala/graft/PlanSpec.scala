@@ -78,11 +78,14 @@ class PlanSpec extends SparkSpec {
     // composing five stages into one plan must not lose the stage-level
     // plan shapes: the decontamination probe still runs through
     // might_contain, and no stage degenerates into a cartesian join.
-    // Pinned via llm_corpus_audit — it shares the build's stage plans
-    // but stays a pure DataFrame to the end (llm_corpus_build's final
-    // frame sits above the pack prefix-sum RDD boundary, which hides
-    // the upstream plan from executedPlan).
-    val plan = executedPlan("llm_corpus_audit")
+    // Pinned via Flagship.auditPlan — the pre-checkpoint composed
+    // frame (both public queries checkpoint their results to release
+    // the stage persists, which hides the composed plan from
+    // executedPlan).
+    val (df, release) = graft.queries.Flagship.auditPlan(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    release()
     assert(plan.contains("might_contain"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
