@@ -35,10 +35,18 @@ object Dedup {
     else docs
   }
 
-  /** Word n-gram shingle set (distinct) of the canonical text. */
-  def withShingles(docs: DataFrame, textCol: String = "text", n: Int = 3): DataFrame =
+  /** Word n-gram shingle set (distinct) of the canonical text.
+    * `normalize = false` declares textCol ALREADY canonical (the
+    * caller ran normText once and cached it) — the regex chain is the
+    * dominant per-row cost of every text-dedup pass, so a pipeline
+    * touching the corpus several times normalizes once and passes the
+    * stored column; semantics are identical because normText is
+    * idempotent. */
+  def withShingles(docs: DataFrame, textCol: String = "text", n: Int = 3,
+                   normalize: Boolean = true): DataFrame =
     spread(docs)
-      .withColumn("_words", split(normText(col(textCol)), " "))
+      .withColumn("_words", split(
+        if (normalize) normText(col(textCol)) else col(textCol), " "))
       .withColumn("shingles", array_distinct(transform(
         sequence(lit(1), greatest(size(col("_words")) - (n - 1), lit(1))),
         i => concat_ws(" ", slice(col("_words"), i, lit(n))))))
@@ -46,9 +54,11 @@ object Dedup {
 
   /** Exact dedup: group by canonical-content hash, keep the smallest
     * id as the representative, report group size. */
-  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+            normalize: Boolean = true): DataFrame =
     docs
-      .groupBy(md5(normText(col(textCol))).as("content_hash"))
+      .groupBy(md5(if (normalize) normText(col(textCol)) else col(textCol))
+        .as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** MinHash signature: k permutations from k/4 salted md5 passes —
@@ -83,11 +93,13 @@ object Dedup {
     * shuffle on (band, hash) — never a cartesian). Pairs are verified
     * with exact Jaccard over the shingle sets. */
   def minhashLshPairs(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
-                      minJaccard: Double = 0.5): DataFrame = {
+                      minJaccard: Double = 0.5, textCol: String = "text",
+                      normalize: Boolean = true): DataFrame = {
     val r = k / bands
     // persisted: feeds banding AND both sides of the verify join (at
     // warehouse scale this signature table is written to storage once).
-    val sigs = minhashSignatures(withShingles(docs, n = n), k = k)
+    val sigs = minhashSignatures(
+      withShingles(docs, textCol = textCol, n = n, normalize = normalize), k = k)
       .select(col("doc_id"), col("shingles"), col("sig"))
       .persist()
     val banded = sigs.select(

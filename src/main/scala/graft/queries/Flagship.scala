@@ -62,12 +62,21 @@ object Flagship {
     mixed: DataFrame)     // clean docs surviving the per-cell mix cap
 
   private def stages(s: SparkSession, dir: String): Stages = {
+    // normalize ONCE: the normText regex chain is the dominant per-row
+    // cost of every text pass, and this pipeline would otherwise run
+    // it five times (gate, exact dedup, LSH shingling, both
+    // decontamination sides) — measured ~1.5-2 s per pass at sf0.1.
+    // The cached `nrm` column feeds every stage; the Dedup operators
+    // take it with normalize = false (identical semantics — normText
+    // is idempotent). At warehouse scale this column is exactly what
+    // you'd store alongside the raw text.
     val docs = Tables(s, dir).documents
+      .withColumn("nrm", normText(col("text"))).persist()
 
     // stage 1 — quality gate, same thresholds as tx_filter_pipeline
     val words = docs.select(col("doc_id"), col("lang"),
       stopwordHits(col("text")).as("stop_hits"),
-      split(normText(col("text")), " ").as("ws"))
+      split(col("nrm"), " ").as("ws"))
     val base = words.select(col("doc_id"), col("lang"), col("stop_hits"),
       size(col("ws")).as("n_words"),
       size(array_distinct(col("ws"))).as("n_distinct"))
@@ -77,8 +86,10 @@ object Flagship {
     val kept = docs.join(gate, Seq("doc_id"), "left_semi").persist()
 
     // stage 2 — exact + near dedup among the survivors
-    val exactKeep = Dedup.exact(kept).select(col("keep_id").as("doc_id"))
-    val nearDrop = Dedup.clusters(Dedup.minhashLshPairs(kept))
+    val exactKeep = Dedup.exact(kept, textCol = "nrm", normalize = false)
+      .select(col("keep_id").as("doc_id"))
+    val nearDrop = Dedup.clusters(
+        Dedup.minhashLshPairs(kept, textCol = "nrm", normalize = false))
       .filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
     val deduped = kept.join(exactKeep, Seq("doc_id"), "left_semi")
       .join(nearDrop, Seq("doc_id"), "left_anti")
@@ -94,9 +105,11 @@ object Flagship {
     // near-verbatim leakage (which includes all cross-half exact
     // dupes at overlap 1.0). The eval set is the external benchmark
     // corpus, so it is NOT quality-filtered.
-    val evalSh = Dedup.withShingles(docs.filter(col("doc_id") % 2 === 1))
+    val evalSh = Dedup.withShingles(docs.filter(col("doc_id") % 2 === 1),
+        textCol = "nrm", normalize = false)
       .select(explode(col("shingles")).as("shingle")).distinct()
-    val trSh = Dedup.withShingles(deduped.filter(col("doc_id") % 2 === 0))
+    val trSh = Dedup.withShingles(deduped.filter(col("doc_id") % 2 === 0),
+        textCol = "nrm", normalize = false)
       .select(col("doc_id"), col("shingles"))
     val exploded = trSh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val probe = graft.functions.BloomFilterSupport
@@ -132,7 +145,7 @@ object Flagship {
       val sized = st.mixed.select(col("doc_id"), col("lang"), col("source"),
         wsTokenCount(col("text")).cast("long").as("n_tokens"))
         .localCheckpoint(true)
-      st.kept.unpersist(); st.deduped.unpersist()
+      st.docs.unpersist(); st.kept.unpersist(); st.deduped.unpersist()
       Text.packPrefix(s, sized)
     }),
     // provenance: one row per INPUT doc, naming the FIRST stage that
@@ -171,7 +184,9 @@ object Flagship {
           .when(col("is_clean").isNull, "contaminated")
           .when(col("in_mix").isNull, "mix_overflow")
           .otherwise("kept").as("stage"))
-    (out, () => { st.kept.unpersist(); st.deduped.unpersist() })
+    (out, () => {
+      st.docs.unpersist(); st.kept.unpersist(); st.deduped.unpersist()
+    })
   }
 
   /** DuckDB shingle-list rendering (Dedup.withShingles, n = 3) over
