@@ -20,16 +20,17 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * and a reader pinned to version N is repeatable forever (time
   * travel falls out for free).
   *
-  * Atomicity of the claim: on HDFS `create(overwrite = false)` is an
-  * atomic namespace operation; on the local filesystem Hadoop's
-  * RawLocalFileSystem implements it check-then-act, so for `file:`
-  * URIs the claim goes through O_EXCL (`CREATE_NEW`) instead — truly
-  * atomic at the syscall. An object store would use its conditional
-  * put here. The version file is tiny (a file list) and written in
-  * one stream; a reader that catches a version file mid-write sees a
-  * truncated list — production formats close that hole with
-  * write-to-temp + rename, accepted here as out of scope for the
-  * mini format.
+  * Atomicity of the claim AND the content: the full file list is
+  * written to a uniquely-named temp file first, then published with a
+  * single namespace operation that refuses an existing target — a
+  * hard link (`Files.createLink`) for `file:` URIs, `rename` for
+  * HDFS (whose rename to an existing file returns false). Either way
+  * the publish is the CAS: exactly one of two racing writers lands,
+  * and any version file that is visible at all is complete. This
+  * closes the torn-read hole where a concurrent commitWithRetry could
+  * observe a half-written head, rebase on a truncated file list, and
+  * permanently drop ledger entries. An object store would use its
+  * conditional put here.
   */
 object ManifestLedger {
   // {5,}: the %05d writer pads, it does not truncate — v100000.txt is
@@ -71,37 +72,44 @@ object ManifestLedger {
     fs.mkdirs(new Path(root))
     val target = versionPath(root, expected + 1)
     val bytes = files.mkString("\n").getBytes("UTF-8")
+    // Write the FULL content to a writer-private temp file first, then
+    // publish with one namespace op that refuses an existing target —
+    // so the claim and the content land together and a visible
+    // vNNNNN.txt is never truncated. The temp name starts with '.'
+    // so VersionRe / listStatus never mistake it for a head.
     if (fs.getScheme == "file") {
-      // local FS: Hadoop's create(overwrite=false) is check-then-act;
-      // CREATE_NEW is the real O_EXCL
+      val dir = java.nio.file.Paths.get(new Path(root).toUri.getPath)
+      val targetP = java.nio.file.Paths.get(target.toUri.getPath)
+      val tmp = java.nio.file.Files.createTempFile(
+        dir, f".v${expected + 1}%05d-", ".tmp")
       try {
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(target.toUri.getPath), bytes,
-          java.nio.file.StandardOpenOption.CREATE_NEW)
+        java.nio.file.Files.write(tmp, bytes)
+        // hard link = atomic publish of the already-complete content;
+        // fails with FileAlreadyExistsException when another writer
+        // already holds this version — the CAS-lost signal
+        java.nio.file.Files.createLink(targetP, tmp)
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
+      } finally {
+        java.nio.file.Files.deleteIfExists(tmp)
+        ()
       }
     } else {
-      var claimed = false
+      val tmp = new Path(root,
+        f".v${expected + 1}%05d.tmp-${java.util.UUID.randomUUID}")
       try {
-        val out = fs.create(target, false)
-        claimed = true
+        val out = fs.create(tmp, true)
         out.write(bytes)
         out.close()
-        true
+        // HDFS rename is atomic in the namenode and returns false when
+        // the destination file already exists — claim + content in one
+        if (fs.rename(tmp, target)) true
+        else { fs.delete(tmp, false); false }
       } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
         case e: java.io.IOException =>
-          if (claimed) {
-            // we WON the namespace claim but failed to write the
-            // content — a truncated version file must not become the
-            // head other writers rebase on; release the claim and
-            // report the commit as lost so the caller retries cleanly
-            try fs.delete(target, false) catch { case _: Throwable => () }
-            throw e
-          }
-          if (fs.exists(target)) false else throw e
+          try fs.delete(tmp, false) catch { case _: Throwable => () }
+          throw e
       }
     }
   }

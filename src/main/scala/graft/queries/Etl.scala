@@ -46,11 +46,19 @@ object Etl {
       // integers/booleans — engine-exact.
       import org.apache.spark.sql.functions._
       val root = graft.core.GraftSession.scratchDir(s, "wap", dir)
+      // each run stages into its OWN directory and never deletes a
+      // prior run's: committed manifest versions reference staged part
+      // files by absolute path, so reusing (and overwriting) one
+      // staged/ dir would break every already-published version —
+      // exactly the repeatable-pinned-reader guarantee the ledger
+      // makes. Old snapshots are reclaimed by vacuum against the
+      // ledger (s19's discipline), never by the writer.
+      val staged = s"$root/staged-${java.util.UUID.randomUUID}"
       Tables(s, dir).orders
         .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
         .agg(count(lit(1)).as("n_orders"))
-        .write.mode("overwrite").parquet(s"$root/staged")
-      val st = s.read.parquet(s"$root/staged")
+        .write.mode("overwrite").parquet(staged)
+      val st = s.read.parquet(staged)
       // all three audits in ONE pass over the staged files: per-key
       // counts, then a single fold over that (bounded) frame
       val audit = st.groupBy(col("month")).agg(count(lit(1)).as("c"))
@@ -67,7 +75,7 @@ object Etl {
       val conf = s.sparkContext.hadoopConfiguration
       val ledger = s"$root/ledger"
       if (pass) {
-        val files = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/staged"))
+        val files = fs.listStatus(new org.apache.hadoop.fs.Path(staged))
           .map(_.getPath.toString).filter(_.endsWith(".parquet")).sorted.toSeq
         // PUBLISH is a CAS commit on the manifest ledger — a racing
         // writer forces a rebase + retry instead of a lost update

@@ -185,6 +185,11 @@ object Graph {
           .select("node_type", "node_id", "label")
           .localCheckpoint(true)
       }
+      // the final labels localCheckpoint is eager, so the edge cache
+      // is no longer reachable from the returned plan — release it
+      // rather than leaving session-lifetime blocks to embedding
+      // callers (Verify/Bench clearCache between queries, specs don't)
+      edges.unpersist()
       labels
     }),
     "g_common_neighbors" -> ((s, dir) => {

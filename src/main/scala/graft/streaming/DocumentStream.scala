@@ -3,9 +3,10 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** O(1) per-content-hash streaming state: the smallest doc_id ever
-  * seen with this content — the canonical copy every later duplicate
-  * points at. */
+/** O(1) per-content-hash streaming state: the keeper doc_id — the
+  * canonical copy every later duplicate points at. Elected ONCE, as
+  * the smallest doc_id in the hash's first micro-batch, and never
+  * re-elected (see corpusIngest for why append mode forces that). */
 final case class KeeperState(keeper: Long)
 
 /** Streaming front-door for the corpus pipeline: documents arrive as
@@ -36,11 +37,20 @@ object DocumentStream {
       .parquet(dir)
   }
 
-  /** (doc_id, is_novel, dup_of) for every quality-passing document:
-    * novel docs carry dup_of = null, duplicates point at the smallest
-    * doc_id with identical canonical content. Within a micro-batch,
-    * group rows are ordered by doc_id so the output is deterministic
-    * under any arrival order. */
+  /** (doc_id, is_novel, dup_of) for every quality-passing document.
+    * Novelty is FIRST-ARRIVAL: is_novel = "this content hash has never
+    * been seen by the stream", so exactly one novel row is ever
+    * emitted per hash, and every duplicate — including a doc_id
+    * SMALLER than the keeper arriving in a later micro-batch — points
+    * at the standing keeper (smallest doc_id of the hash's first
+    * batch). Append mode cannot retract the keeper's already-emitted
+    * rows, so re-electing on a late smaller id would leave two novel
+    * rows and dangling dup_of pointers; first-arrival is the only
+    * coherent cross-batch reading. When all arrivals land in one
+    * micro-batch (the file source here) this coincides bit-for-bit
+    * with the batch pipeline's global-min-keeper semantics, which the
+    * DuckDB oracle pins. Within a micro-batch, group rows are ordered
+    * by doc_id so output is deterministic under any arrival order. */
   def corpusIngest(spark: SparkSession, dir: String): DataFrame =
     EventStream.runToTable(spark, s"st_corpus_${dir.hashCode.abs}",
       mode = "append") { ss =>
@@ -74,15 +84,19 @@ object DocumentStream {
         .flatMapGroupsWithState[KeeperState, (Long, Boolean, Option[Long])](
           OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
           case (_, it, state: GroupState[KeeperState]) =>
-            var keeper = state.getOption.map(_.keeper).getOrElse(Long.MaxValue)
-            val rows = it.map(_._2).toSeq.sorted.map { id =>
-              val novel = id < keeper
-              val out = (id, novel, if (novel) None else Some(keeper))
-              if (novel) keeper = id
-              out
+            val ids = it.map(_._2).toSeq.sorted
+            if (ids.isEmpty) Iterator.empty
+            else state.getOption match {
+              case Some(KeeperState(k)) =>
+                // hash already known: everything in this batch is a
+                // duplicate of the standing keeper, even ids < k
+                ids.iterator.map(id => (id, false, Some(k)))
+              case None =>
+                val k = ids.head
+                state.update(KeeperState(k))
+                ((k, true, Option.empty[Long]) +:
+                  ids.tail.map(id => (id, false, Some(k)))).iterator
             }
-            state.update(KeeperState(keeper))
-            rows.iterator
         }
         .toDF("doc_id", "is_novel", "dup_of")
     }
