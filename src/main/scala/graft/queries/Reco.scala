@@ -144,13 +144,20 @@ object Reco {
       // basket-transition Markov model: for each item, the top-3
       // items most often appearing in the SAME customer's NEXT order.
       // Consecutive orders pair up through one lag window per
-      // customer (tiny ordered partitions, ties broken by orderkey),
-      // then the basket×basket transition join fans out per order
-      // pair — bounded by basket size squared, never by catalog or
-      // customer count. Counts are exact integers; top-3 per item is
-      // a map-side WindowGroupLimit, ties broken by next item id.
-      // At scale every stage is an equi-join/agg on item or customer
-      // keys — the same shape as reco_item_item without any √ at all.
+      // customer (tiny ordered partitions, ties broken by orderkey).
+      // Baskets are aggregated ONCE to l_orderkey → item array (one
+      // shuffle on the order key; array_distinct inside the agg
+      // replaces a separate distinct shuffle — counts consume a set,
+      // so collect_list order nondeterminism is harmless), and the
+      // basket² transition fan-out happens AFTER both order-key joins
+      // as two explodes — so the joins move one compact row per order
+      // instead of one row per lineitem, and both joins consume the
+      // SAME aggregated frame, already hash-partitioned on its key by
+      // its own agg exchange (reused, not re-shuffled). Fan-out stays
+      // bounded by basket size squared, never catalog or customer
+      // count. Counts are exact integers; top-3 per item is a
+      // map-side WindowGroupLimit over the aggregated (small)
+      // transition frame, ties broken by next item id.
       val t = Tables(s, dir)
       val seq = t.orders.select(col("o_custkey"), col("o_orderkey"),
           col("o_orderdate"))
@@ -158,13 +165,18 @@ object Reco {
           Window.partitionBy(col("o_custkey"))
             .orderBy(col("o_orderdate"), col("o_orderkey"))))
         .filter(col("prev_orderkey").isNotNull)
-      val basket = t.lineitem
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .select(col("prev_orderkey"), col("o_orderkey"))
+      val basketArr = t.lineitem
+        .select(col("l_orderkey"), col("l_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(array_distinct(collect_list(col("l_partkey"))).as("items"))
       val trans = seq
-        .join(basket.select(col("l_orderkey").as("prev_orderkey"),
-          col("l_partkey").as("item")), Seq("prev_orderkey"))
-        .join(basket.select(col("l_orderkey").as("o_orderkey"),
-          col("l_partkey").as("next_item")), Seq("o_orderkey"))
+        .join(basketArr.select(col("l_orderkey").as("prev_orderkey"),
+          col("items").as("prev_items")), Seq("prev_orderkey"))
+        .join(basketArr.select(col("l_orderkey").as("o_orderkey"),
+          col("items").as("next_items")), Seq("o_orderkey"))
+        .select(explode(col("prev_items")).as("item"), col("next_items"))
+        .select(col("item"), explode(col("next_items")).as("next_item"))
         .groupBy(col("item"), col("next_item"))
         .agg(count(lit(1)).as("n_trans"))
       trans.withColumn("rank", row_number().over(

@@ -762,13 +762,18 @@ object Similarity {
         System.err.println(f"[knn-graph-t] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
         t0 = System.nanoTime()
       }
+      // the candidate-volume contract stat rides the rerank job as an
+      // observed metric instead of a separate persist + count action —
+      // at bench scale the audit's cost was dominated by job-launch
+      // floors, not compute, and at cluster scale one fewer
+      // materialization of the widest intermediate is strictly better
+      val obsSeed = org.apache.spark.sql.Observation("knn_seed_cands")
       val cands = banded.select(col("vec_id").as("src"), col("band"), col("bk"))
         .join(banded.select(col("vec_id").as("dst"), col("band"), col("bk")),
           Seq("band", "bk"))
         .filter(col("src") =!= col("dst"))
-        .select("src", "dst").distinct().persist()
-      var candRows = cands.count()
-      lap("seed-cands")
+        .select("src", "dst").distinct()
+        .observe(obsSeed, count(lit(1)).as("c"))
       def rerank(pairs: DataFrame): DataFrame = knnRerank(e, pairs)
       // each round's graph is LINEAGE-TRUNCATED (eager localCheckpoint,
       // the standard iterative-algorithm discipline): without it the
@@ -777,6 +782,7 @@ object Similarity {
       // projection — and driver-side analysis, not execution,
       // dominates the query (measured ~23 s → ~8 s at sf0.1).
       var graph = rerank(cands).localCheckpoint(true)
+      var candRows = obsSeed.get("c").asInstanceOf[Long]
       lap("seed-rerank")
       // NN-Descent refinement: a neighbor's neighbor is a likely
       // neighbor — undirected 2-hop candidate expansion + exact
@@ -791,29 +797,36 @@ object Similarity {
       // back its full expansion + rerank pass (and at n=500 one round
       // already sits at 0.96), so descent stops at one.
       val descentRounds = 1
-      for (_ <- 1 to descentRounds) {
-        val expanded = descentExpand(graph, dirty = None).persist()
-        candRows += expanded.count()
+      for (r <- 1 to descentRounds) {
+        val obsExp = org.apache.spark.sql.Observation(s"knn_descent_$r")
+        val expanded = descentExpand(graph, dirty = None)
+          .observe(obsExp, count(lit(1)).as("c"))
         graph = rerank(expanded).localCheckpoint(true)
-        expanded.unpersist()
+        candRows += obsExp.get("c").asInstanceOf[Long]
       }
       lap("descent")
       // one action for both stats — a count and a distinct-count ride
       // the same aggregation job
       val statRow = graph.agg(count(lit(1)), countDistinct(col("src"))).first()
       val (nEdges, nSrc) = (statRow.getLong(0), statRow.getLong(1))
+      // recall audit in ONE job: outer-join truth against the graph's
+      // sampled adjacency, then count queries and hits in the same agg
+      // (nq = distinct truth qids ≡ the every-100th query count when
+      // n ≥ 2, since every query has n-1 truth candidates)
       val truth = bruteTopK(e)
-      val hits = graph.filter(col("src") % 100 === 0)
-        .select(col("src").as("qid"), col("dst").as("vec_id"))
-        .join(truth.select("qid", "vec_id"), Seq("qid", "vec_id"), "left_semi")
-        .count()
-      val nq = e.filter(col("vec_id") % 100 === 0).count()
+      val hitRow = truth.select(col("qid"), col("vec_id"))
+        .join(graph.filter(col("src") % 100 === 0)
+          .select(col("src").as("qid"), col("dst").as("vec_id"),
+            lit(1L).as("hit")),
+          Seq("qid", "vec_id"), "left_outer")
+        .agg(countDistinct(col("qid")), coalesce(sum(col("hit")), lit(0L)))
+        .first()
+      val (nq, hits) = (hitRow.getLong(0), hitRow.getLong(1))
       lap("truth-stats")
       if (sys.env.get("GRAFT_DEBUG_RECALL").contains("1"))
         System.err.println(f"[knn-graph] n=$n edges=$nEdges srcCov=${nSrc.toDouble / n}%.3f " +
           f"recall=${if (nq > 0) hits.toDouble / (K * nq) else 1.0}%.3f " +
           f"scanFrac=${candRows.toDouble / (n.toDouble * n)}%.4f")
-      cands.unpersist()
       banded.unpersist()
       val s2 = e.sparkSession
       import s2.implicits._
