@@ -280,6 +280,29 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("q5_local_supplier: no post-join re-shuffle — only the fact joins and the agg exchange") {
+    // the r8 driver bench read q5 at 2.9x an isolated closing-run
+    // baseline; the plan was never wrong (re-grounded in round 9, see
+    // bench_baseline.json) — this pins the shape so a future real
+    // regression (a dim falling out of broadcast, a post-join
+    // repartition) fails loudly instead of reading as box noise.
+    // Allowed exchanges: lineitem/orders fact shuffles (AQE may
+    // broadcast one away) + the final groupBy(n_name) agg exchange +
+    // broadcast builds for the dims.
+    val plan = finalPlan("q5_local_supplier")
+    val shuffles = "ShuffleExchange".r.findAllIn(plan).length
+    assert(shuffles <= 3, s"q5 gained a shuffle: $shuffles\n$plan")
+  }
+
+  test("reco_next_item: one basket aggregation, its exchange reused by both joins") {
+    val plan = finalPlan("reco_next_item")
+    // the basket array agg appears on both sides of the transition
+    // join; the second side must reuse the first's exchange (or its
+    // broadcast), not rebuild the aggregation from the scan
+    assert(plan.contains("ReusedExchange"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("j10_interval_join: bin blocking yields an equi-join, never a nested loop") {
     val plan = executedPlan("j10_interval_join")
     assert(!plan.contains("CartesianProduct"), plan)
