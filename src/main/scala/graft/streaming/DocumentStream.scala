@@ -53,7 +53,7 @@ object DocumentStream {
     * by doc_id so output is deterministic under any arrival order. */
   def corpusIngest(spark: SparkSession, dir: String): DataFrame =
     EventStream.runToTable(spark, s"st_corpus_${dir.hashCode.abs}",
-      mode = "append") { ss =>
+      mode = "append", largeState = true) { ss =>
       import ss.implicits._
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
       val normCol = graft.functions.TextFunctions.normText(col("text"))

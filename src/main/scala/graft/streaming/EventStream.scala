@@ -71,16 +71,42 @@ object EventStream {
   private def streamShufflePartitions: String =
     sys.env.getOrElse("GRAFT_STREAM_PARTS", "8")
 
+  /** State store provider selection, A/B-measured (sf0.1, like
+    * loads): RocksDB + changelog checkpointing wins when the state is
+    * LARGE and keyed (the corpus-ingest content-hash keeper map:
+    * 5.2 s vs 6.2 s warm, 7.1 s vs 9.5 s cold) — per-batch commit
+    * becomes a memtable write plus a changelog append instead of a
+    * full-map snapshot file per store instance, and on a real cluster
+    * it is also what keeps multi-GB per-executor state off the heap.
+    * The default provider wins when state is SMALL per instance
+    * (stream-stream join buffers: 2.3 s vs 2.9 s) — there the RocksDB
+    * native-instance overhead never pays off. So: RocksDB for
+    * declared-large state, default provider otherwise;
+    * `GRAFT_STREAM_STATESTORE=rocksdb|hdfs` forces either for A/B. */
+  private def stateStoreConf(ss: SparkSession, largeState: Boolean): Unit = {
+    val mode = sys.env.getOrElse("GRAFT_STREAM_STATESTORE",
+      if (largeState) "rocksdb" else "hdfs")
+    if (mode == "rocksdb") {
+      ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      ss.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+    }
+  }
+
   /** Run a one-shot stream to an in-memory table. The stream is built
     * on a CHILD SESSION (`newSession`: shared SparkContext and catalog
     * cache, session-local SQL conf) so the streaming shuffle-partition
     * sizing can never leak into — or race with — batch queries running
     * concurrently on the caller's session. */
   private[streaming] def runToTable(spark: SparkSession, name: String,
-                         mode: String = "complete")
+                         mode: String = "complete",
+                         largeState: Boolean = false)
                         (build: SparkSession => DataFrame): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
+    stateStoreConf(ss, largeState)
     val q = build(ss).writeStream
       .format("memory")
       .queryName(name)
