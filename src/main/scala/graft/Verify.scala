@@ -19,6 +19,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        e.printStackTrace()
       }
       // release per-query persisted intermediates between queries
       spark.catalog.clearCache()

@@ -16,14 +16,20 @@ object Analytics {
     spark.sql(sql)
   }
 
-  /** S13: catalog table listing (spark.catalog-backed). */
+  /** S13: catalog table listing (spark.catalog-backed). Column
+    * predicate, NOT a typed-filter lambda: the lambda captured the
+    * Tables instance and with it the SparkSession, whose
+    * ObservationManager is not serializable — task serialization then
+    * failed whenever the plan ran as a real job (surfaced in the full
+    * verify sweep round 9). */
   def listTables(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     t.registerViews()
-    import spark.implicits._
+    import org.apache.spark.sql.functions.col
     spark.catalog.listTables()
-      .filter(tbl => t.names.contains(tbl.name))
-      .map(_.name).toDF("table_name").orderBy("table_name")
+      .where(col("name").isin(t.names: _*))
+      .select(col("name").as("table_name"))
+      .orderBy("table_name")
   }
 
   /** S14: describe-table (name, type, position) from the schema. */

@@ -33,33 +33,28 @@ object MultimodalQueries {
           greatest(lit(1), floor(col("height") * col("scale"))).cast("int"))
       m.select(col("media_id"), col("width"), col("height"),
         col("thumb_w"), col("thumb_h"),
-        md5(concat(md5(col("payload")), lit(":"),
-          col("thumb_w").cast("string"), lit("x"),
-          col("thumb_h").cast("string"))).as("thumb_md5"))
+        Multimodal.codec.thumbDigest(col("payload"),
+          col("thumb_w"), col("thumb_h")).as("thumb_md5"))
     }),
     // perceptual-hash near-duplicate detection over the image catalog —
     // the re-encode/resize dedup pass an image training corpus needs
     // (byte-exact mm_dedup can't see a JPEG quality change). The
-    // 60-bit pHash here is the stub codec's: base bits from the md5 of
-    // a planted source-group key, with per-image single-bit "artifact"
-    // flips — a real DCT pHash swaps in with no plan change, because
-    // the OPERATOR is the banded blocking: 4 bands × 15 bits as the
-    // candidate equi-join key. Any pair within Hamming ≤ 2 shares ≥ 2
-    // intact bands (2 flipped bits can spoil at most 2 of 4 — the
-    // pigeonhole guarantee), so banding finds EVERY such pair and the
-    // exact bit_count verify discards band-collision noise: the banded
-    // plan is provably ≡ the all-pairs scan the oracle runs, at
-    // equi-join cost. No payload ever shuffles — signatures only.
+    // 60-bit pHash comes from the active MediaCodec (stub: digest of a
+    // planted source-group key with per-image single-bit "artifact"
+    // flips; a real DCT pHash swaps in via Multimodal.withCodec with
+    // no plan change), because the OPERATOR is the banded blocking:
+    // 4 bands × 15 bits as the candidate equi-join key. Any pair
+    // within Hamming ≤ 2 shares ≥ 2 intact bands (2 flipped bits can
+    // spoil at most 2 of 4 — the pigeonhole guarantee), so banding
+    // finds EVERY such pair and the exact bit_count verify discards
+    // band-collision noise: the banded plan is provably ≡ the
+    // all-pairs scan the oracle runs, at equi-join cost. No payload
+    // ever shuffles — signatures only.
     "mm_phash_neardup" -> ((s, dir) => {
       val sig = Multimodal.mediaTable(Tables(s, dir).documents)
         .filter(col("kind") === "image")
-        .withColumn("base",
-          conv(substring(md5((col("media_id") % 97).cast("string")), 1, 15), 16, 10)
-            .cast("long"))
         .withColumn("phash",
-          when(col("media_id") % 2 === 0,
-            expr("base ^ shiftleft(1L, cast(media_id % 60 as int))"))
-            .otherwise(col("base")))
+          Multimodal.codec.phash(col("payload"), col("media_id")))
         .select(col("media_id"), col("phash"))
       val banded = sig.select(col("media_id"), col("phash"),
           explode(expr(
@@ -79,24 +74,25 @@ object MultimodalQueries {
     }),
     // shot-boundary detection over the sampled frames: a cut is
     // declared where consecutive frames' 32-bit perceptual signatures
-    // differ in more than half their bits (Hamming > 16). With the
-    // stub codec the signature is the leading 32 bits of the frame
-    // digest — a real pHash/dHash swaps in with no plan change: the
-    // operator IS the per-video lag window (partitioned by media_id,
-    // tiny ordered partitions, fully parallel across videos) + a
-    // codegen'd xor/bit_count; no shuffle beyond the one window
-    // partitioning, payloads never move.
+    // differ in more than half their bits (Hamming > 16). The frame
+    // signature comes from the active MediaCodec (stub: leading 32
+    // bits of the frame digest; a real pHash/dHash swaps in via
+    // Multimodal.withCodec with no plan change): the operator IS the
+    // per-video lag window (partitioned by media_id, tiny ordered
+    // partitions, fully parallel across videos) + a codegen'd
+    // xor/bit_count; no shuffle beyond the one window partitioning,
+    // payloads never move.
     "mm_shot_boundary" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("media_id")).orderBy(col("frame_idx"))
       val frames = Multimodal.mediaTable(Tables(s, dir).documents)
         .filter(col("kind") === "video")
         .withColumn("step", greatest(expr("n_frames div 4"), lit(1)))
-        .select(col("media_id"),
+        .select(col("media_id"), col("payload"),
           explode(expr("sequence(0, n_frames - 1, step)")).as("frame_idx"))
         .withColumn("fsig",
-          conv(substring(md5(concat(md5(col("media_id").cast("string")),
-            lit(":"), col("frame_idx"))), 1, 8), 16, 10).cast("long"))
+          Multimodal.codec.frameSig(col("payload"), col("media_id"), col("frame_idx")))
+        .drop("payload")
       frames
         .withColumn("prev_sig", lag(col("fsig"), 1).over(w))
         .withColumn("hamming",
@@ -106,8 +102,9 @@ object MultimodalQueries {
     }),
     // voice-activity segmentation over the audio tracks — the VAD →
     // segment step a speech pipeline runs before ASR/filtering: a
-    // per-frame energy (STUB: the frame digest's leading 16 bits; a
-    // real codec computes RMS over PCM windows — same plumbing),
+    // per-frame energy from the active MediaCodec (stub: the frame
+    // digest's leading 16 bits; a real codec computes RMS over PCM
+    // windows — same plumbing),
     // thresholded, and contiguous active runs become segments via
     // gaps-and-islands (frame_idx minus active-rank is constant
     // within a run). Scale shape: one explode → one window per media
@@ -118,11 +115,11 @@ object MultimodalQueries {
         .partitionBy(col("media_id")).orderBy(col("frame_idx"))
       val active = Multimodal.mediaTable(Tables(s, dir).documents)
         .filter(col("kind") === "audio")
-        .select(col("media_id"),
+        .select(col("media_id"), col("payload"),
           explode(expr("sequence(0, n_frames - 1)")).as("frame_idx"))
         .withColumn("energy",
-          conv(substring(md5(concat(md5(col("media_id").cast("string")),
-            lit(":"), col("frame_idx"))), 1, 4), 16, 10).cast("long"))
+          Multimodal.codec.frameEnergy(col("payload"), col("media_id"), col("frame_idx")))
+        .drop("payload")
         .filter(col("energy") > 40000)
       active
         .withColumn("grp", col("frame_idx") - row_number().over(w))
@@ -140,12 +137,13 @@ object MultimodalQueries {
       val m = Multimodal.mediaTable(Tables(s, dir).documents)
         .filter(col("kind") === "video")
         .withColumn("step", greatest(expr("n_frames div 4"), lit(1)))
-      m.select(col("media_id"), col("n_frames"),
+      m.select(col("media_id"), col("payload"), col("n_frames"),
           explode(expr("sequence(0, n_frames - 1, step)")).as("frame_idx"))
         .withColumn("frame_md5",
-          // STUB decode: digest of (payload digest, frame index) — a real
-          // decoder would emit the frame raster here.
-          md5(concat(md5(col("media_id").cast("string")), lit(":"), col("frame_idx"))))
+          // codec decode: stub emits the digest of (media digest,
+          // frame index); a real decoder emits the frame raster here.
+          Multimodal.codec.frameDigest(col("payload"), col("media_id"), col("frame_idx")))
+        .drop("payload")
     }),
     // the checked projection renders the float feature vector as its
     // exact u16 fold values (feature = u16/65535f, lossless round-trip

@@ -437,6 +437,38 @@ object Text {
         .select(col("doc_id"), (col("pos0") + 1).as("pos"),
           coalesce(col("token_id"), lit(0)).as("token_id"))
     }),
+    "tx_bpe_vocab" -> ((s, dir) => {
+      // merge-rule BPE induction (see functions/Bpe.scala for the
+      // pinned semantics + scale rationale): one corpus-scale word
+      // count, then a deterministic driver-side learn over the
+      // bounded ≤BpeWords head — the HF/sentencepiece trainer shape.
+      val rules = graft.functions.Bpe.learn(
+        graft.functions.Bpe.topWords(Tables(s, dir).documents,
+          normText, BpeWords, BpeWordLenMax), BpeMerges)
+      s.createDataFrame(rules)
+        .select("merge_rank", "lft", "rgt", "merged", "pair_n")
+    }),
+    "tx_bpe_encode" -> ((s, dir) => {
+      // subword tokenizer APPLICATION: the k learned merges, applied
+      // in rank order to every document's first BpeEncodeWords words.
+      // The rules are driver values (≤ BpeMerges of them) baked into
+      // the expression — encoding is a pure narrow projection over
+      // the corpus, one `aggregate` fold per rule, no joins and no
+      // shuffle: the only scale-relevant property a 100 TB tokenize
+      // pass needs.
+      import graft.functions.Bpe
+      val rules = Bpe.learn(
+        Bpe.topWords(Tables(s, dir).documents,
+          normText, BpeWords, BpeWordLenMax), BpeMerges)
+      Tables(s, dir).documents
+        .select(col("doc_id"), posexplode(
+          slice(split(normText(col("text")), " "), 1, BpeEncodeWords)))
+        .withColumnRenamed("pos", "pos0").withColumnRenamed("col", "word")
+        .withColumn("toks", Bpe.applyMergesCol(Bpe.charTokens(col("word")), rules))
+        .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("word"),
+          size(col("toks")).as("n_tokens"),
+          array_join(col("toks"), "|").as("tokens"))
+    }),
     "tx_mix_temperature" -> ((s, dir) => {
       // temperature-flattened domain sampling — the mixing law most
       // pretraining recipes actually use (sample ∝ n^T, T<1, so small
@@ -598,6 +630,11 @@ object Text {
   }
   private val SpanWords = 4
   private val VocabSize = 500
+
+  private val BpeWords = 2048
+  private val BpeWordLenMax = 20
+  private val BpeMerges = 12
+  private val BpeEncodeWords = 24
 
   private val HashDims = 64
   private val ChunkWords = 50
@@ -853,6 +890,40 @@ object Text {
          |         WHERE i <= len(ws))
          |SELECT t.doc_id, t.pos, coalesce(v.token_id, 0) AS token_id
          |FROM toks t LEFT JOIN vocab v USING (word)""".stripMargin,
+    // BPE oracles: the learn loop unrolled as generated CTEs — per
+    // round, pair counts → best pair → recursive leftmost-replace
+    // (≡ greedy left-to-right application; see functions/Bpe.scala).
+    "tx_bpe_vocab" ->
+      ("WITH RECURSIVE\n" +
+        graft.functions.Bpe.learnSqlCtes(normDuck, BpeWords, BpeWordLenMax, BpeMerges) +
+        "\nSELECT merge_rank, lft, rgt, merged, pair_n FROM merges"),
+    "tx_bpe_encode" ->
+      ("WITH RECURSIVE\n" +
+        graft.functions.Bpe.learnSqlCtes(normDuck, BpeWords, BpeWordLenMax, BpeMerges) +
+        s""",
+           |dw AS MATERIALIZED (
+           |  SELECT doc_id,
+           |         CAST(unnest(range(1, least(len(ws), $BpeEncodeWords) + 1)) AS INTEGER) AS pos,
+           |         ws
+           |  FROM (SELECT doc_id, string_split($normDuck, ' ') AS ws FROM documents)),
+           |dw2 AS MATERIALIZED (SELECT doc_id, pos, ws[pos] AS word FROM dw),
+           |enc AS (
+           |  SELECT doc_id, pos, word,
+           |         ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' ' AS seq,
+           |         1 AS r
+           |  FROM dw2
+           |  UNION ALL
+           |  SELECT e.doc_id, e.pos, e.word,
+           |         CASE WHEN strpos(e.seq, m.pat) > 0
+           |              THEN substr(e.seq, 1, strpos(e.seq, m.pat) - 1) || ' ' || m.merged || ' ' ||
+           |                   substr(e.seq, strpos(e.seq, m.pat) + length(m.pat))
+           |              ELSE e.seq END AS seq,
+           |         CASE WHEN strpos(e.seq, m.pat) > 0 THEN e.r ELSE e.r + 1 END AS r
+           |  FROM enc e JOIN merges m ON m.merge_rank = e.r)
+           |SELECT doc_id, pos, word,
+           |       CAST(len(string_split(trim(seq), ' ')) AS INTEGER) AS n_tokens,
+           |       array_to_string(string_split(trim(seq), ' '), '|') AS tokens
+           |FROM enc WHERE r > (SELECT coalesce(max(merge_rank), 0) FROM merges)""".stripMargin),
     "tx_mix_temperature" ->
       s"""WITH cells AS (SELECT lang, source, COUNT(*) AS n_docs,
          |                      CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS isq
