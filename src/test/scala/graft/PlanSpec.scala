@@ -354,6 +354,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("ShuffledHashJoin"), plan)
   }
 
+  test("tx_bpe_encode: tokenization is a pure narrow projection — zero exchanges") {
+    // the 100 TB-relevant property: the merge rules are baked into the
+    // expression, so encoding the corpus is scan → posexplode → folds,
+    // with no shuffle anywhere (the learn pass runs its own bounded
+    // jobs before this plan is built and does not appear in it)
+    val plan = finalPlan("tx_bpe_encode")
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
+  }
+
   test("s14: box predicate is pushed to the z-ordered parquet scan") {
     // the rendered PushedFilters list truncates ("LessThanOrEqual(l_sup…")
     // so assert the first pushed filter there and the second via the
