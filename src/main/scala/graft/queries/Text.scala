@@ -125,6 +125,72 @@ object Text {
             .as("sample_md5"),
           (size(col("ws")) - 16 >= 10).as("keep"))
     }),
+    "tx_fim" -> ((s, dir) => {
+      // fill-in-the-middle sample construction — the FIM transform
+      // infilling-capable code/text models train on: each document is
+      // split into prefix / middle / suffix thirds (integer word
+      // boundaries, so both engines cut identically) and rendered in
+      // PSM order (<PRE> prefix <SUF> suffix <MID> middle). Like
+      // tx_sft_format the rendered sample ships as its md5 and a
+      // keep flag gates docs too short to infill. Pure codegen'd
+      // projection — no shuffle, linear scan.
+      val ws = split(normText(col("text")), " ")
+      Tables(s, dir).documents
+        .withColumn("ws", ws)
+        .withColumn("n", size(col("ws")))
+        .withColumn("p_end", expr("cast(n div 3 as int)"))
+        .withColumn("m_end", expr("cast((2 * n) div 3 as int)"))
+        .select(col("doc_id"),
+          col("n").as("n_words"),
+          col("p_end").as("prefix_tokens"),
+          (col("m_end") - col("p_end")).as("middle_tokens"),
+          (col("n") - col("m_end")).as("suffix_tokens"),
+          md5(concat(
+            lit("<PRE>"), array_join(expr("slice(ws, 1, p_end)"), " "),
+            lit("<SUF>"), array_join(expr("slice(ws, m_end + 1, n - m_end)"), " "),
+            lit("<MID>"), array_join(expr("slice(ws, p_end + 1, m_end - p_end)"), " ")))
+            .as("psm_md5"),
+          (col("n") >= 12).as("keep"))
+    }),
+    "tx_pref_pairs" -> ((s, dir) => {
+      // preference-pair mining — DPO/RLHF data prep from a scored
+      // corpus: within each (lang, source) cell, docs rank by quality
+      // score (ties broken by doc_id) and the top half pairs
+      // positionally with the bottom half (rank i ↔ rank i + half),
+      // so every pair has chosen_score ≥ rejected_score by
+      // construction and margins are well spread. Scale shape: ONE
+      // window shuffle on the cell key, then a self-join on
+      // (cell, rank) that reuses the same partitioning; cells are
+      // independent so parallelism tracks the corpus. Margins are one
+      // IEEE subtraction of the already-oracle-exact quality score.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("score").desc, col("doc_id"))
+      val ranked = Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), col("source"),
+          qualityScore(col("text")).as("score"))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy(col("lang"), col("source"))))
+        // `div`, not `/`: double division + int cast truncates in
+        // Spark but rounds in DuckDB — integer division is identical
+        .withColumn("half", expr("cast(cnt div 2 as int)"))
+      val chosen = ranked.filter(col("rk") <= col("half"))
+        .select(col("lang"), col("source"), col("rk").as("pair_rank"),
+          col("doc_id").as("chosen_id"), col("score").as("chosen_score"),
+          col("half"))
+      val rejected = ranked
+        .select(col("lang"), col("source"),
+          col("rk").as("rej_rk"), col("doc_id").as("rejected_id"),
+          col("score").as("rejected_score"))
+      chosen.join(rejected,
+          chosen("lang") === rejected("lang") &&
+          chosen("source") === rejected("source") &&
+          rejected("rej_rk") === chosen("pair_rank") + chosen("half"))
+        .select(chosen("lang"), chosen("source"), col("pair_rank"),
+          col("chosen_id"), col("rejected_id"),
+          (col("chosen_score") - col("rejected_score")).as("margin"))
+    }),
     "tx_chunk" -> ((s, dir) => {
       // sliding-window chunking — the operator that turns documents
       // into training samples: 50-word windows advancing by 40 (10
@@ -890,6 +956,40 @@ object Text {
          |         WHERE i <= len(ws))
          |SELECT t.doc_id, t.pos, coalesce(v.token_id, 0) AS token_id
          |FROM toks t LEFT JOIN vocab v USING (word)""".stripMargin,
+    "tx_fim" ->
+      s"""WITH w AS (SELECT doc_id, string_split($normDuck, ' ') AS ws FROM documents),
+         |d AS (SELECT doc_id, ws, CAST(len(ws) AS INTEGER) AS n,
+         |             CAST(len(ws) // 3 AS INTEGER) AS p_end,
+         |             CAST((2 * len(ws)) // 3 AS INTEGER) AS m_end
+         |      FROM w)
+         |SELECT doc_id, n AS n_words, p_end AS prefix_tokens,
+         |       m_end - p_end AS middle_tokens, n - m_end AS suffix_tokens,
+         |       md5('<PRE>' || array_to_string(ws[1:p_end], ' ') ||
+         |           '<SUF>' || array_to_string(ws[m_end+1:n], ' ') ||
+         |           '<MID>' || array_to_string(ws[p_end+1:m_end], ' ')) AS psm_md5,
+         |       n >= 12 AS keep
+         |FROM d""".stripMargin,
+    "tx_pref_pairs" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, lang, source,
+         |         least(CAST(len(regexp_extract_all(lower(text), '\\b($stopsEn)\\b')) AS DOUBLE)
+         |                 / len(string_split_regex(trim(text), '\\s+')) * 2.0, 1.0) * 0.5
+         |         + least(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         |                 / len(string_split_regex(trim(text), '\\s+')) / 10.0, 1.0) * 0.5
+         |           AS score
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang, source, score,
+         |         ROW_NUMBER() OVER (PARTITION BY lang, source
+         |                            ORDER BY score DESC, doc_id) AS rk,
+         |         CAST(COUNT(*) OVER (PARTITION BY lang, source) // 2 AS INTEGER) AS half
+         |  FROM sc)
+         |SELECT c.lang, c.source, c.rk AS pair_rank,
+         |       c.doc_id AS chosen_id, j.doc_id AS rejected_id,
+         |       c.score - j.score AS margin
+         |FROM r c JOIN r j
+         |  ON c.lang = j.lang AND c.source = j.source AND j.rk = c.rk + c.half
+         |WHERE c.rk <= c.half""".stripMargin,
     // BPE oracles: the learn loop unrolled as generated CTEs — per
     // round, pair counts → best pair → recursive leftmost-replace
     // (≡ greedy left-to-right application; see functions/Bpe.scala).

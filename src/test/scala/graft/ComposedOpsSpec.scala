@@ -526,4 +526,27 @@ class ComposedOpsSpec extends SparkSpec {
       assert(out(id) == ((b, split)), s"doc $id")
     }
   }
+
+  test("tx_fim: thirds tile the word count exactly; short docs gated") {
+    val out = SparkEntry.queries("tx_fim")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getBoolean(6)))).toMap
+    // doc 1: 40 words → 13/13/14, infillable; doc 3: 5 words → 1/2/2, gated
+    assert(out(1L) == ((40, 13, 13, 14, true)))
+    assert(out(3L) == ((5, 1, 2, 2, false)))
+    assert(out.values.forall { case (n, p, m, s, _) => p + m + s == n })
+  }
+
+  test("tx_pref_pairs: top-half pairs bottom-half, margins never negative") {
+    val out = SparkEntry.queries("tx_pref_pairs")(spark, dir).collect()
+    // (en, web) has 3 docs → one pair (rank 1 ↔ rank 2); (zh, web)
+    // has 1 doc → half = 0, no pair
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("lang") == "en")
+    assert(r.getAs[Long]("chosen_id") != r.getAs[Long]("rejected_id"))
+    assert(r.getAs[Double]("margin") >= 0.0)
+    // the degenerate all-"spam" doc can never be the chosen of a pair
+    assert(r.getAs[Long]("chosen_id") != 2L)
+  }
 }
