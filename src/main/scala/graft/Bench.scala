@@ -119,7 +119,15 @@ object Bench {
       // is legitimately slower and must not feed the steal heuristics
       def goodCold = timings.filter(t => t._1 && t._3).map(_._2)
       def goodWarm = timings.filter(t => t._1 && !t._3).map(_._2)
-      val basis = if (good.size >= 3) good.tail else good
+      // basis: cold samples are EXCLUDED outright for coldExplicit
+      // entries (cold legitimately exceeds 2× warm — first-build IO —
+      // and would fire the spread retry on every healthy run); for
+      // everything else run 1 is dropped when ≥3 samples exist (it
+      // carries codegen warmup)
+      val basis = {
+        val b = if (coldQ) goodWarm else good
+        if (!coldQ && b.size >= 3) b.tail else b
+      }
       val spreadRetry = basis.nonEmpty && basis.max / basis.min > 2.0
       // uniform-steal shape (round 5's st_user_journey phantom:
       // [2.14, 7.61, 6.57]): run 1 — which CARRIES codegen warmup —
@@ -127,7 +135,9 @@ object Bench {
       // Steady-state can't be slower than warmup, so that shape means
       // every steady-state sample was contaminated AND the reported
       // min is a warmup-laden outlier of an earlier, milder wave.
-      val uniformRetry = good.size >= 3 && good.head <= good.min &&
+      // (Not meaningful for coldExplicit entries, whose run 1 is the
+      // deliberately-slow cold sample.)
+      val uniformRetry = !coldQ && good.size >= 3 && good.head <= good.min &&
         basis.min / good.head > 2.0
       val retried = spreadRetry || uniformRetry
       if (retried) timings ++= (1 to 2).map(_ => once(false))

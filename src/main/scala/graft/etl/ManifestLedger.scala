@@ -91,6 +91,21 @@ object ManifestLedger {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
+        case _: UnsupportedOperationException |
+             _: java.nio.file.FileSystemException =>
+          // filesystem without hard links (some NFS/FUSE/overlay
+          // mounts): fall back to CREATE_NEW — the claim is still
+          // atomic, but claim and content are two steps again (the
+          // pre-round-9 window), accepted only where the filesystem
+          // cannot do better; aborting the commit would be worse
+          try {
+            java.nio.file.Files.write(targetP, bytes,
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
       } finally {
         java.nio.file.Files.deleteIfExists(tmp)
         ()

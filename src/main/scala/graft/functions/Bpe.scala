@@ -68,7 +68,7 @@ object Bpe {
       }
       if (counts.isEmpty) exhausted = true
       else {
-        val ((l, rt), n) = counts.minBy { case ((l2, r2), n2) => (-n2, l2, r2) }
+        val ((l, rt), n) = counts.reduce { (x, y) => if (better(x, y)) x else y }
         out += MergeRule(r, l, rt, l + rt, n)
         seqs = seqs.map { case (t, cnt) => (applyRule(t, l, rt), cnt) }
         r += 1
@@ -95,6 +95,28 @@ object Bpe {
 
   private def codepointTokens(w: String): Array[String] =
     w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
+  /** Tie-break comparison by CODEPOINT (≡ UTF-8 byte order, what
+    * Spark's UTF8String and DuckDB's ORDER BY both use) — Java
+    * String#compareTo ranks supplementary-plane chars below
+    * U+E000..U+FFFF (UTF-16 code-unit order) and would diverge from
+    * the oracle on such ties. */
+  private def cpCompare(a: String, b: String): Int = {
+    val ai = a.codePoints().iterator()
+    val bi = b.codePoints().iterator()
+    while (ai.hasNext && bi.hasNext) {
+      val c = Integer.compare(ai.next(), bi.next())
+      if (c != 0) return c
+    }
+    java.lang.Boolean.compare(ai.hasNext, bi.hasNext)
+  }
+
+  /** (count DESC, lft ASC, rgt ASC) under codepoint order. */
+  private def better(x: ((String, String), Long), y: ((String, String), Long)): Boolean = {
+    if (x._2 != y._2) return x._2 > y._2
+    val c = cpCompare(x._1._1, y._1._1)
+    if (c != 0) c < 0 else cpCompare(x._1._2, y._1._2) < 0
+  }
 
   /** Column: split a word into per-codepoint tokens — the same
     * `regexp_replace(word, '(.)', '\\1 ')` construction the oracle

@@ -709,6 +709,17 @@ object Text {
   private[queries] val normDuck = """regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"""
 
   private[queries] val stopsEn = "the|and|of|to|in|is|a"
+
+  /** DuckDB replica of TextFunctions.qualityScore — ONE definition
+    * consumed by both the tx_quality and tx_pref_pairs oracles, so a
+    * score tweak cannot silently desynchronize them. (Declared AFTER
+    * stopsEn: object vals initialize in declaration order, and an
+    * earlier placement interpolated stopsEn as the string "null".) */
+  private[queries] val scoreDuck: String =
+    s"""least(CAST(len(regexp_extract_all(lower(text), '\\b($stopsEn)\\b')) AS DOUBLE)
+       |        / len(string_split_regex(trim(text), '\\s+')) * 2.0, 1.0) * 0.5
+       |+ least(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+       |        / len(string_split_regex(trim(text), '\\s+')) / 10.0, 1.0) * 0.5""".stripMargin
   /** PII patterns shared by the Spark query and the DuckDB oracle —
     * plain greedy classes/quantifiers only (identical semantics in
     * Java regex and RE2). */
@@ -726,10 +737,7 @@ object Text {
          |       length(text) AS n_chars_m,
          |       len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
          |       len(regexp_extract_all(lower(text), '\\b($stopsEn)\\b')) AS stop_hits,
-         |       least(CAST(len(regexp_extract_all(lower(text), '\\b($stopsEn)\\b')) AS DOUBLE)
-         |               / len(string_split_regex(trim(text), '\\s+')) * 2.0, 1.0) * 0.5
-         |       + least(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-         |               / len(string_split_regex(trim(text), '\\s+')) / 10.0, 1.0) * 0.5
+         |       $scoreDuck
          |         AS quality_score
          |FROM documents""".stripMargin,
     "tx_langid" ->
@@ -972,10 +980,7 @@ object Text {
     "tx_pref_pairs" ->
       s"""WITH sc AS (
          |  SELECT doc_id, lang, source,
-         |         least(CAST(len(regexp_extract_all(lower(text), '\\b($stopsEn)\\b')) AS DOUBLE)
-         |                 / len(string_split_regex(trim(text), '\\s+')) * 2.0, 1.0) * 0.5
-         |         + least(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
-         |                 / len(string_split_regex(trim(text), '\\s+')) / 10.0, 1.0) * 0.5
+         |         $scoreDuck
          |           AS score
          |  FROM documents),
          |r AS (

@@ -19,10 +19,14 @@ class DctCodecSpec extends SparkSpec {
     assert(hamAb < hamAc, s"one-byte edit ($hamAb bits) not closer than unrelated ($hamAc)")
   }
 
-  test("frame signatures vary by frame and stay 32-bit") {
+  test("frame signatures vary by frame (offset actually reaches the raster)") {
     val p = "some video payload bytes for frame windows".getBytes("UTF-8")
     val sigs = (0L to 3L).map(i => DctCodec.hash64(p, i * 32 * 32) & 0xffffffffL)
-    assert(sigs.forall(s => s >= 0 && s <= 0xffffffffL))
+    // the payload length (42) is coprime-ish to the raster stride, so
+    // different offsets tile different pixels — if hash64 ignored the
+    // offset every signature would collapse to one value and
+    // mm_shot_boundary could never see a cut under this codec
+    assert(sigs.distinct.size > 1, sigs.toString)
   }
 
   test("mm queries run under DctCodec with identical schemas") {

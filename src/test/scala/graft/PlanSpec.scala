@@ -289,8 +289,13 @@ class PlanSpec extends SparkSpec {
     // Allowed exchanges: lineitem/orders fact shuffles (AQE may
     // broadcast one away) + the final groupBy(n_name) agg exchange +
     // broadcast builds for the dims.
+    // NOTE "Exchange hashpartitioning", not "ShuffleExchange":
+    // ShuffleExchangeExec renders as "Exchange" in plan strings, so
+    // the original pin counted a string that never occurs and could
+    // never fail (review finding, round 9)
     val plan = finalPlan("q5_local_supplier")
-    val shuffles = "ShuffleExchange".r.findAllIn(plan).length
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(shuffles >= 1, s"q5 plan shape changed unexpectedly:\n$plan")
     assert(shuffles <= 3, s"q5 gained a shuffle: $shuffles\n$plan")
   }
 
