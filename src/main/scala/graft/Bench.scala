@@ -41,7 +41,7 @@ object Bench {
     "w14_trend", "ss_knn_graph",
     "q5_local_supplier", "j10_interval_join", "reco_next_item",
     "llm_corpus_build", "g_label_propagation", "st_corpus_ingest",
-    "tx_bpe_encode")
+    "tx_bpe_encode", "sel_dsir")
 
   /** IO-heavy entries whose first sample is made explicitly COLD: the
     * app's scratch state (streaming checkpoints, staged tables, ledger

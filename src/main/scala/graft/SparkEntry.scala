@@ -30,6 +30,7 @@ object SparkEntry {
     graft.queries.MultimodalQueries.queries ++
     graft.queries.AnalyticsQueries.queries ++
     graft.queries.Graph.queries ++
+    graft.queries.Selection.queries ++
     graft.queries.Flagship.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -46,5 +47,6 @@ object SparkEntry {
     graft.queries.MultimodalQueries.oracles ++
     graft.queries.AnalyticsQueries.oracles ++
     graft.queries.Graph.oracles ++
+    graft.queries.Selection.oracles ++
     graft.queries.Flagship.oracles
 }

@@ -1,0 +1,305 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.functions.FixedLog
+import graft.functions.TextFunctions.normText
+import graft.operators.Dedup
+
+/** Data-selection operators — the model-free core of the "which docs
+  * do we actually train on" stage of an LLM data pipeline, downstream
+  * of cleaning/dedup (Text.scala, DedupQueries.scala) and upstream of
+  * mixing/packing (tx_corpus_mix, tx_pack):
+  *
+  *  - `sel_dsir`: hashed-n-gram importance weighting (the DSIR
+  *    recipe: score every raw doc by how target-domain-like its
+  *    hashed unigram distribution is, keep the top-K);
+  *  - `sel_nb_langid`: a multinomial Naive Bayes classifier trained
+  *    on half the corpus and scored on the other half — the
+  *    fasttext-style learned filter, reduced to count arithmetic;
+  *  - `sel_contrastive_pairs`: (anchor, positive, in-batch negative)
+  *    triplets for embedding-model training, positives mined from the
+  *    MinHash near-dup pairs.
+  *
+  * Cross-engine exactness: every log-probability is an exact integer
+  * in 1/256-bit fixed point via [[FixedLog]] (`floor(256*log2 n)` from
+  * bit-length + a shared 256-entry mantissa table) — real ln() is not
+  * correctly rounded and would drift between engines; the whole-bit
+  * `length(bin(n))` quantization (tx_lm_score) is exact but too
+  * coarse for CLASSIFICATION, where the signal lives in sub-bit
+  * probability ratios and a whole-bit normalizer term swamps it
+  * (measured: whole-bit NB collapses to the smallest class at 12%
+  * accuracy; 1/256-bit NB behaves like real NB). The log lookups run
+  * on MODEL tables only (≤ Buckets rows), never per token.
+  *
+  * Data-ceiling note: the synthetic corpus draws every lang's text
+  * from ONE shared vocabulary, so no content-based classifier can
+  * beat the majority class on it and DSIR's lang='en' target slice is
+  * distribution-identical to the raw corpus — held-out accuracy and
+  * enrichment on the test tables sit at that ceiling by construction.
+  * SelectionSpec pins the real semantics on crafted fixtures whose
+  * classes ARE lexically separable.
+  */
+object Selection {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Hash buckets for the unigram feature space. 256 = the two
+    * leading md5 hex chars, so the bucket falls out of the digest
+    * with no modulo. Real DSIR uses 10k buckets over uni+bigrams;
+    * the bucket count is a constant, not a scale knob — the model
+    * table stays ≤ Buckets rows no matter the corpus size. */
+  private val Buckets = 256
+  /** Docs kept by the DSIR selection step. */
+  private val DsirK = 100
+  /** In-batch group count for negative sampling. Semantic constant
+    * (defines which pairs share a "batch"), not a parallelism knob. */
+  private val CpBatches = 8
+  /** Class labels for the NB classifier — the corpus' lang values,
+    * alphabetical; CASE order below is the deterministic tie-break. */
+  private val Langs = Seq("de", "en", "es", "fr", "zh")
+
+  /** (doc_id, lang, b) — one row per token, b = hashed unigram bucket
+    * from the two leading md5 hex chars (0..255). The repartition
+    * spreads the single-row-group local file (see tx_ngram_profile);
+    * at corpus scale the scan's own splits parallelize and the
+    * exchange ships (id, lang, text) once. */
+  private def hashedWords(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        explode(split(normText(col("text")), " ")).as("w"))
+      .withColumn("m", md5(col("w")))
+      .withColumn("b",
+        expr("(instr('0123456789abcdef', substr(m, 1, 1)) - 1) * 16" +
+          " + instr('0123456789abcdef', substr(m, 2, 1)) - 1"))
+      .drop("w", "m")
+
+  val queries: Map[String, Q] = Map(
+    "sel_dsir" -> ((s, dir) => {
+      // DSIR importance weighting (Xie et al. 2023, "Data Selection
+      // for Language Models via Importance Resampling"): featurize
+      // every doc as hashed unigram counts, weight each token by
+      // log2 p_target(b) - log2 p_raw(b) under add-one-smoothed
+      // bucket models (target = the lang='en' slice standing in for
+      // the in-domain corpus; raw = everything), sum per doc, keep
+      // the top-K. In 1/256-bit fixed point the per-token weight is
+      // llog(n_t(b)+1) - llog(n_r(b)+1); the smoothing denominators
+      // (T+B vs R+B) are per-token constants that shift every doc's
+      // score by the same n_tokens-linear term, so the emitted score
+      // adds that term explicitly to stay faithful to the paper's
+      // unnormalized log-weight. Scale shape: one groupBy on the
+      // bucket (model ≤ 256 rows, log lookups run HERE, broadcast),
+      // one partial-agg groupBy per doc summing precomputed ints, and
+      // a distributed TakeOrdered for the top-K cut joined back as a
+      // flag — no window over the corpus, no driver-side data.
+      val words = hashedWords(s, dir)
+      val model = words.groupBy("b").agg(
+        count(lit(1)).as("n_r"),
+        sum(when(col("lang") === "en", 1).otherwise(0)).as("n_t"))
+        .withColumn("w_b", expr(
+          s"${FixedLog.spark("n_t + 1")} - ${FixedLog.spark("n_r + 1")}"))
+      val denom = words.agg(
+        count(lit(1)).as("r_tot"),
+        sum(when(col("lang") === "en", 1).otherwise(0)).as("t_tot"))
+        .withColumn("d_fp", expr(
+          s"${FixedLog.spark(s"r_tot + $Buckets")} - ${FixedLog.spark(s"t_tot + $Buckets")}"))
+        .select("d_fp")
+      val perDoc = words.join(broadcast(model.select("b", "w_b")), Seq("b"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("w_b")).as("_s"))
+        .crossJoin(broadcast(denom))
+        .withColumn("dsir_fp", col("_s") + col("n_tokens") * col("d_fp"))
+        .drop("_s", "d_fp")
+      val top = perDoc.orderBy(col("dsir_fp").desc, col("doc_id"))
+        .limit(DsirK).select(col("doc_id"), lit(1).as("_sel"))
+      perDoc.join(broadcast(top), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("dsir_fp"), coalesce(col("_sel"), lit(0)).as("selected"))
+    }),
+    "sel_nb_langid" -> ((s, dir) => {
+      // Multinomial Naive Bayes over hashed unigrams — the learned
+      // classifier-filter shape (quality/domain/language gating with
+      // a trained model) with exact count arithmetic: train on the
+      // even-doc_id half, score the odd half.
+      //   score_c = llog(docs_c + 1)                     [prior]
+      //           + Σ_tokens llog(n_{c,b} + 1)           [likelihood]
+      //           - n_tokens * llog(n_c + Buckets)       [normalizer]
+      // — add-one-smoothed multinomial NB in 1/256-bit fixed point.
+      // Scale shape: the model is ≤ 256 rows × one count per class
+      // (one groupBy of the train half) and carries its log lookups;
+      // class totals/priors are one broadcast row; scoring is
+      // explode → broadcast join → one per-doc partial agg over
+      // precomputed integers. Nothing grows with corpus size except
+      // the two linear passes.
+      val words = hashedWords(s, dir)
+      val train = words.filter(col("doc_id") % 2 === 0)
+      val modelCols = Langs.map(c =>
+        sum(when(col("lang") === c, 1).otherwise(0)).as(s"n_$c"))
+      val model = Langs.foldLeft(
+        train.groupBy("b").agg(modelCols.head, modelCols.tail: _*))(
+        (df, c) => df.withColumn(s"l_$c", expr(FixedLog.spark(s"n_$c + 1"))))
+      val totCols = Langs.map(c => sum(col(s"n_$c")).as(s"tot_$c"))
+      val totals = Langs.foldLeft(model.agg(totCols.head, totCols.tail: _*))(
+        (df, c) => df.withColumn(s"nz_$c",
+          expr(FixedLog.spark(s"tot_$c + $Buckets"))))
+      val priorCols = Langs.map(c =>
+        sum(when(col("lang") === c, 1).otherwise(0)).as(s"docs_$c"))
+      val priors = Langs.foldLeft(
+        Tables(s, dir).documents.filter(col("doc_id") % 2 === 0)
+          .agg(priorCols.head, priorCols.tail: _*))(
+        (df, c) => df.withColumn(s"pr_$c",
+          expr(FixedLog.spark(s"docs_$c + 1"))))
+      val scored = words.filter(col("doc_id") % 2 === 1)
+        .join(broadcast(model.select("b",
+          Langs.map(c => s"l_$c"): _*)), Seq("b"), "left")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          Langs.map(c => sum(coalesce(col(s"l_$c"), lit(0L))).as(s"s_$c")): _*)
+        .crossJoin(broadcast(totals.select(Langs.map(c => col(s"nz_$c")): _*)))
+        .crossJoin(broadcast(priors.select(Langs.map(c => col(s"pr_$c")): _*)))
+      val withScores = Langs.foldLeft(scored)((df, c) =>
+        df.withColumn(s"score_$c",
+          col(s"pr_$c") + col(s"s_$c") - col("n_tokens") * col(s"nz_$c")))
+      val best = greatest(Langs.map(c => col(s"score_$c")): _*)
+      // tie-break: first class in alphabetical order wins
+      val pred = Langs.foldRight(lit(Langs.last)) { (c, els) =>
+        if (c == Langs.last) els
+        else when(col(s"score_$c") === best, lit(c)).otherwise(els)
+      }
+      withScores
+        .withColumn("pred_lang", pred)
+        .select(Seq(col("doc_id"), col("lang").as("labeled_lang"),
+          col("pred_lang"),
+          when(col("pred_lang") === col("labeled_lang"), 1).otherwise(0)
+            .as("correct")) ++
+          Langs.map(c => col(s"score_$c")): _*)
+    }),
+    "sel_contrastive_pairs" -> ((s, dir) => {
+      // (anchor, positive, negative) triplets for contrastive
+      // embedding training: positives are the verified MinHash
+      // near-dup pairs (the standard "weak supervision from dedup"
+      // trick), negatives are IN-BATCH — each anchor takes the next
+      // pair's positive within its deterministic batch group, wrapping
+      // at the group end, exactly how in-batch negatives fall out of a
+      // training loop. The rare collision where the wrapped negative
+      // IS the anchor's own positive is dropped (degenerate triplet).
+      // Scale shape: rides the banded LSH pair generation (one keyed
+      // shuffle, no cartesian); the windows partition by the batch
+      // key, whose group sizes are |pairs|/CpBatches — batches are a
+      // semantic grouping, so at corpus scale CpBatches rises with
+      // the pair volume the trainer shards.
+      val pairs = Dedup.minhashLshPairs(Tables(s, dir).documents)
+      val bk = pmod(col("id_a"), lit(CpBatches))
+      val w = Window.partitionBy(bk).orderBy(col("id_a"), col("id_b"))
+      val wf = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      pairs
+        .withColumn("neg",
+          coalesce(lead(col("id_b"), 1).over(w), first(col("id_b")).over(wf)))
+        .filter(col("neg") =!= col("id_b") && col("neg") =!= col("id_a"))
+        .select(col("id_a").as("anchor_id"), col("id_b").as("positive_id"),
+          col("neg").as("negative_id"), col("jaccard"))
+    }))
+
+  /** Shared oracle CTE: one row per token with its hashed bucket. */
+  private val hashedWordsSql =
+    s"""w AS (
+       |  SELECT doc_id, lang,
+       |         md5(unnest(string_split(${Text.normDuck}, ' '))) AS m
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, lang,
+       |         (instr('0123456789abcdef', substr(m, 1, 1)) - 1) * 16
+       |         + instr('0123456789abcdef', substr(m, 2, 1)) - 1 AS b
+       |  FROM w)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "sel_dsir" ->
+      s"""WITH $hashedWordsSql,
+         |model AS (
+         |  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_r,
+         |         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+         |  FROM h GROUP BY 1),
+         |modelw AS (
+         |  SELECT b, ${FixedLog.duck("n_t + 1")} - ${FixedLog.duck("n_r + 1")} AS w_b
+         |  FROM model),
+         |denom AS (
+         |  SELECT ${FixedLog.duck(s"CAST(COUNT(*) AS BIGINT) + $Buckets")}
+         |         - ${FixedLog.duck(
+               s"CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) + $Buckets")}
+         |           AS d_fp
+         |  FROM h),
+         |per AS (
+         |  SELECT doc_id, lang, COUNT(*) AS n_tokens,
+         |         CAST(SUM(w_b) AS BIGINT) + COUNT(*) * d_fp AS dsir_fp
+         |  FROM h JOIN modelw USING (b) CROSS JOIN denom
+         |  GROUP BY doc_id, lang, d_fp),
+         |top AS (SELECT doc_id, 1 AS _sel FROM per
+         |        ORDER BY dsir_fp DESC, doc_id LIMIT $DsirK)
+         |SELECT per.doc_id, lang, n_tokens, dsir_fp,
+         |       COALESCE(_sel, 0) AS selected
+         |FROM per LEFT JOIN top ON per.doc_id = top.doc_id""".stripMargin,
+    "sel_nb_langid" ->
+      s"""WITH $hashedWordsSql,
+         |model AS (
+         |  SELECT b,
+         |         ${Langs.map(c =>
+               s"CAST(SUM(CASE WHEN lang = '$c' THEN 1 ELSE 0 END) AS BIGINT) AS n_$c")
+               .mkString(",\n         ")}
+         |  FROM h WHERE doc_id % 2 = 0 GROUP BY 1),
+         |modell AS (
+         |  SELECT b, ${Langs.map(c =>
+               s"${FixedLog.duck(s"n_$c + 1")} AS l_$c").mkString(",\n         ")}
+         |  FROM model),
+         |totals AS (
+         |  SELECT ${Langs.map(c =>
+               s"${FixedLog.duck(s"CAST(SUM(n_$c) AS BIGINT) + $Buckets")} AS nz_$c")
+               .mkString(",\n         ")}
+         |  FROM model),
+         |priors AS (
+         |  SELECT ${Langs.map(c =>
+               s"${FixedLog.duck(
+                 s"CAST(SUM(CASE WHEN lang = '$c' THEN 1 ELSE 0 END) AS BIGINT) + 1")} AS pr_$c")
+               .mkString(",\n         ")}
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |scored AS (
+         |  SELECT doc_id, lang, COUNT(*) AS n_tokens,
+         |         ${Langs.map(c =>
+               s"CAST(SUM(COALESCE(l_$c, 0)) AS BIGINT) AS s_$c")
+               .mkString(",\n         ")}
+         |  FROM h LEFT JOIN modell USING (b)
+         |  WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT doc_id, lang,
+         |         ${Langs.map(c =>
+               s"pr_$c + s_$c - n_tokens * nz_$c AS score_$c")
+               .mkString(",\n         ")}
+         |  FROM scored CROSS JOIN totals CROSS JOIN priors)
+         |SELECT doc_id, lang AS labeled_lang,
+         |       CASE ${Langs.init.map(c =>
+             s"WHEN score_$c = greatest(${Langs.map(l => s"score_$l").mkString(", ")}) THEN '$c'")
+             .mkString("\n            ")}
+         |            ELSE '${Langs.last}' END AS pred_lang,
+         |       CASE WHEN (CASE ${Langs.init.map(c =>
+             s"WHEN score_$c = greatest(${Langs.map(l => s"score_$l").mkString(", ")}) THEN '$c'")
+             .mkString("\n            ")}
+         |            ELSE '${Langs.last}' END) = lang THEN 1 ELSE 0 END AS correct,
+         |       ${Langs.map(c => s"score_$c").mkString(", ")}
+         |FROM sc""".stripMargin,
+    "sel_contrastive_pairs" ->
+      s"""WITH pairs_j AS (${DedupQueries.minhashPairsSql()})
+         |SELECT id_a AS anchor_id, id_b AS positive_id,
+         |       neg AS negative_id, jaccard
+         |FROM (
+         |  SELECT id_a, id_b, jaccard,
+         |         COALESCE(LEAD(id_b) OVER win,
+         |                  FIRST_VALUE(id_b) OVER winf) AS neg
+         |  FROM pairs_j
+         |  WINDOW win AS (PARTITION BY id_a % $CpBatches ORDER BY id_a, id_b),
+         |         winf AS (PARTITION BY id_a % $CpBatches ORDER BY id_a, id_b
+         |                  ROWS BETWEEN UNBOUNDED PRECEDING
+         |                           AND UNBOUNDED FOLLOWING))
+         |WHERE neg <> id_b AND neg <> id_a""".stripMargin)
+}

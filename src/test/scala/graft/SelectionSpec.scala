@@ -1,0 +1,142 @@
+package graft
+
+import graft.functions.FixedLog
+
+/** Pins the data-selection operators' SEMANTICS on crafted fixtures
+  * whose classes ARE lexically separable — the oracle gate only proves
+  * Spark == DuckDB on the harness corpus, which draws every lang from
+  * one shared vocabulary and so cannot distinguish a working
+  * classifier from a majority-class one. */
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val EnWords = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+  private val DeWords = Seq("zug", "haus", "strasse", "himmel", "wasser")
+
+  private def doc(words: Seq[String], reps: Int): String =
+    Seq.fill(reps)(words).flatten.mkString(" ")
+
+  /** Fixture: en docs use EnWords, de docs use DeWords, disjoint.
+    * Even doc_ids train the NB model, odd doc_ids evaluate it; every
+    * eval token appears in training, so NB must classify perfectly. */
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_sel_fix").toString
+    val rows = Seq(
+      (2L, doc(EnWords, 4), "en"), (4L, doc(EnWords.reverse, 4), "en"),
+      (1L, doc(EnWords, 4), "en"), (3L, doc(EnWords.tail :+ "alpha", 4), "en"),
+      (6L, doc(DeWords, 4), "de"), (8L, doc(DeWords.reverse, 4), "de"),
+      (5L, doc(DeWords, 4), "de"), (7L, doc(DeWords.tail :+ "zug", 4), "de"))
+    rows.map { case (id, t, l) => (id, t, l, "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def bucket(w: String): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(w.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h(c: Char) = "0123456789abcdef".indexOf(c)
+    h(hex(0)) * 16 + h(hex(1))
+  }
+
+  test("FixedLog: 1/256-bit precision, monotone, exact on powers of two") {
+    for (k <- 0 until 63) assert(FixedLog(1L << k) == 256L * k)
+    var prev = -1L
+    for (n <- (1L to 4096L) ++ Seq(65535L, 1000000L, Long.MaxValue)) {
+      val got = FixedLog(n)
+      val want = math.floor(256.0 * math.log(n.toDouble) / math.log(2.0)).toLong
+      // one-sided: truncating to 8 mantissa bits loses up to
+      // log2(257/256) ~ 1.44/256, the table floor up to 1/256 more
+      assert(got <= want && got >= want - 2, s"n=$n got=$got want=$want")
+      if (n <= 4096) { assert(got >= prev); prev = got }
+    }
+  }
+
+  test("FixedLog: Spark SQL rendering equals the Scala reference") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val ns = (1L to 600L) ++ Seq(1000L, 65536L, 1L << 40, Long.MaxValue)
+    val got = ns.toDF("n")
+      .select(col("n"), expr(s"CAST(${FixedLog.spark("n")} AS BIGINT)").as("l"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ns.foreach(n => assert(got(n) == FixedLog(n), s"n=$n"))
+  }
+
+  test("sel_nb_langid: perfectly separable vocab -> perfect held-out accuracy") {
+    val out = SparkEntry.queries("sel_nb_langid")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getInt(3)))
+      .toMap
+    assert(out.keySet == Set(1L, 3L, 5L, 7L))
+    out.foreach { case (id, (labeled, pred, correct)) =>
+      assert(pred == labeled, s"doc $id predicted $pred, labeled $labeled")
+      assert(correct == 1)
+    }
+  }
+
+  test("sel_nb_langid: scores match an independent NB reference") {
+    val langs = Seq("de", "en", "es", "fr", "zh")
+    // reference model from the train half (even doc_ids)
+    val train = Seq(("en", doc(EnWords, 4)), ("en", doc(EnWords.reverse, 4)),
+      ("de", doc(DeWords, 4)), ("de", doc(DeWords.reverse, 4)))
+    val counts = scala.collection.mutable.Map.empty[(String, Int), Long]
+    train.foreach { case (l, t) =>
+      t.split(" ").foreach(w => counts((l, bucket(w))) =
+        counts.getOrElse((l, bucket(w)), 0L) + 1) }
+    val tot = langs.map(c =>
+      c -> counts.collect { case ((`c`, _), n) => n }.sum).toMap
+    val docsC = Map("en" -> 2L, "de" -> 2L).withDefaultValue(0L)
+    def score(c: String, words: Seq[String]): Long =
+      FixedLog(docsC(c) + 1) +
+        words.map(w => FixedLog(counts.getOrElse((c, bucket(w)), 0L) + 1)).sum -
+        words.size * FixedLog(tot(c) + 256)
+    val evalDocs = Map(
+      1L -> doc(EnWords, 4), 3L -> doc(EnWords.tail :+ "alpha", 4),
+      5L -> doc(DeWords, 4), 7L -> doc(DeWords.tail :+ "zug", 4))
+    val out = SparkEntry.queries("sel_nb_langid")(spark, dir).collect()
+      .map(r => r.getLong(0) -> langs.indices.map(i => r.getLong(4 + i)))
+      .toMap
+    evalDocs.foreach { case (id, t) =>
+      val want = langs.map(c => score(c, t.split(" ").toSeq))
+      assert(out(id) == want, s"doc $id: got ${out(id)}, want $want")
+    }
+  }
+
+  test("sel_dsir: target-vocab docs outscore off-target docs and are selected") {
+    val out = SparkEntry.queries("sel_dsir")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(3), r.getInt(4)))
+      .toMap
+    assert(out.size == 8)
+    val en = out.collect { case (_, ("en", w, _)) => w }
+    val de = out.collect { case (_, ("de", w, _)) => w }
+    // every doc has the same token count, so the unnormalized weights
+    // compare directly: the en (target-vocab) docs must strictly
+    // dominate the de docs
+    assert(en.min > de.max,
+      s"en weights $en should dominate de weights $de")
+    // all 8 docs fit inside the top-100 cut -> all selected
+    out.values.foreach { case (_, _, sel) => assert(sel == 1) }
+  }
+
+  /** Contrastive fixture: three exact-dup pairs; ids chosen so two
+    * pairs share batch id_a%8 == 1 and one sits alone in batch 3. */
+  private lazy val cpDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_selcp_fix").toString
+    val t1 = doc(Seq("red", "green", "blue", "cyan", "teal"), 3)
+    val t2 = doc(Seq("one", "two", "three", "four", "five"), 3)
+    val t3 = doc(Seq("ada", "curie", "noether", "hopper", "lovelace"), 3)
+    Seq((1L, t1), (2L, t1), (3L, t2), (4L, t2), (9L, t3), (10L, t3))
+      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("sel_contrastive_pairs: in-batch negatives wrap; lone batches drop") {
+    val out = SparkEntry.queries("sel_contrastive_pairs")(spark, cpDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // batch 1 holds pairs (1,2) and (9,10): anchor 1 takes the next
+    // pair's positive 10, anchor 9 wraps to the first positive 2.
+    // batch 3 holds only (3,4): its wrapped negative is its own
+    // positive -> degenerate, dropped.
+    assert(out == Set((1L, 2L, 10L), (9L, 10L, 2L)))
+  }
+}
