@@ -369,6 +369,31 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"), plan)
   }
 
+  test("sel_dsir: model and top-K cut broadcast; corpus shuffles stay bounded") {
+    // the 100 TB-relevant property: the only shuffles touching corpus
+    // volume are the spread repartition and the per-doc aggregation —
+    // the 256-row model, the 1-row denominator and the K-row selection
+    // set all reach the corpus as broadcasts, never as shuffle joins
+    val plan = finalPlan("sel_dsir")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // count REAL exchanges only: a ReusedExchange line repeats the
+    // referenced exchange's description, so a plain substring count
+    // over the plan string double-counts every reuse
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(shuffles >= 1, s"sel_dsir pin went vacuous:\n$plan")
+    assert(shuffles <= 3, s"sel_dsir gained a corpus shuffle: $shuffles\n$plan")
+  }
+
+  test("sel_nb_langid: scoring joins the model by broadcast only") {
+    val plan = finalPlan("sel_nb_langid")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("s14: box predicate is pushed to the z-ordered parquet scan") {
     // the rendered PushedFilters list truncates ("LessThanOrEqual(l_sup…")
     // so assert the first pushed filter there and the second via the
