@@ -65,7 +65,7 @@ object Selection {
     * spreads the single-row-group local file (see tx_ngram_profile);
     * at corpus scale the scan's own splits parallelize and the
     * exchange ships (id, lang, text) once. */
-  private def hashedWords(s: SparkSession, dir: String): DataFrame =
+  private[graft] def hashedWords(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).documents
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), col("lang"),
@@ -94,24 +94,7 @@ object Selection {
       // one partial-agg groupBy per doc summing precomputed ints, and
       // a distributed TakeOrdered for the top-K cut joined back as a
       // flag — no window over the corpus, no driver-side data.
-      val words = hashedWords(s, dir)
-      val model = words.groupBy("b").agg(
-        count(lit(1)).as("n_r"),
-        sum(when(col("lang") === "en", 1).otherwise(0)).as("n_t"))
-        .withColumn("w_b", expr(
-          s"${FixedLog.spark("n_t + 1")} - ${FixedLog.spark("n_r + 1")}"))
-      val denom = words.agg(
-        count(lit(1)).as("r_tot"),
-        sum(when(col("lang") === "en", 1).otherwise(0)).as("t_tot"))
-        .withColumn("d_fp", expr(
-          s"${FixedLog.spark(s"r_tot + $Buckets")} - ${FixedLog.spark(s"t_tot + $Buckets")}"))
-        .select("d_fp")
-      val perDoc = words.join(broadcast(model.select("b", "w_b")), Seq("b"))
-        .groupBy("doc_id", "lang")
-        .agg(count(lit(1)).as("n_tokens"), sum(col("w_b")).as("_s"))
-        .crossJoin(broadcast(denom))
-        .withColumn("dsir_fp", col("_s") + col("n_tokens") * col("d_fp"))
-        .drop("_s", "d_fp")
+      val perDoc = dsirPerDoc(s, dir)
       val top = perDoc.orderBy(col("dsir_fp").desc, col("doc_id"))
         .limit(DsirK).select(col("doc_id"), lit(1).as("_sel"))
       perDoc.join(broadcast(top), Seq("doc_id"), "left")
@@ -203,6 +186,76 @@ object Selection {
           col("neg").as("negative_id"), col("jaccard"))
     }))
 
+  /** The DSIR model + per-doc scoring shared by `sel_dsir` and the
+    * streaming gate's threshold fit: bucket model (≤ Buckets rows,
+    * log lookups run here, broadcast), per-doc partial-agg sum of the
+    * precomputed integer weights, plus the constant smoothing-
+    * denominator term. */
+  private[graft] def dsirPerDoc(s: SparkSession, dir: String): DataFrame = {
+    val words = hashedWords(s, dir)
+    val model = words.groupBy("b").agg(
+      count(lit(1)).as("n_r"),
+      sum(when(col("lang") === "en", 1).otherwise(0)).as("n_t"))
+      .withColumn("w_b", expr(
+        s"${FixedLog.spark("n_t + 1")} - ${FixedLog.spark("n_r + 1")}"))
+    val denom = words.agg(
+      count(lit(1)).as("r_tot"),
+      sum(when(col("lang") === "en", 1).otherwise(0)).as("t_tot"))
+      .withColumn("d_fp", expr(
+        s"${FixedLog.spark(s"r_tot + $Buckets")} - ${FixedLog.spark(s"t_tot + $Buckets")}"))
+      .select("d_fp")
+    words.join(broadcast(model.select("b", "w_b")), Seq("b"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("w_b")).as("_s"))
+      .crossJoin(broadcast(denom))
+      .withColumn("dsir_fp", col("_s") + col("n_tokens") * col("d_fp"))
+      .drop("_s", "d_fp")
+  }
+
+  /** Compile the DSIR model for ONLINE serving: the per-bucket weight
+    * table as a dense 256-entry array (buckets the reference corpus
+    * never hashed into default to weight 0 = llog(1) - llog(1)), the
+    * constant denominator term, and the keep threshold (the weight of
+    * the DsirK-th ranked doc; the overall min when the corpus is
+    * smaller). The three collects are BOUNDED — ≤ Buckets rows, one
+    * row, one row — and run once at model-fit time, never per batch:
+    * this is the "train offline, bake the model into the serving
+    * plan" deployment shape, so the streaming gate scores rows with a
+    * pure expression and needs no state store and no join at all. */
+  private[graft] def dsirCompiled(s: SparkSession, dir: String)
+      : (IndexedSeq[Long], Long, Long) = {
+    val words = hashedWords(s, dir)
+    val model = words.groupBy("b").agg(
+      count(lit(1)).as("n_r"),
+      sum(when(col("lang") === "en", 1).otherwise(0)).as("n_t"))
+      .withColumn("w_b", expr(
+        s"${FixedLog.spark("n_t + 1")} - ${FixedLog.spark("n_r + 1")}"))
+      .select("b", "w_b")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    val weights = (0 until Buckets).map(b => model.getOrElse(b, 0).toLong)
+    val dFp = words.agg(
+      count(lit(1)).as("r_tot"),
+      sum(when(col("lang") === "en", 1).otherwise(0)).as("t_tot"))
+      .withColumn("d_fp", expr(
+        s"${FixedLog.spark(s"r_tot + $Buckets")} - ${FixedLog.spark(s"t_tot + $Buckets")}"))
+      .select("d_fp").collect().head.getInt(0).toLong
+    val thr = dsirPerDoc(s, dir)
+      .orderBy(col("dsir_fp").desc, col("doc_id")).limit(DsirK)
+      .agg(min(col("dsir_fp"))).collect().head.getLong(0)
+    (weights, dFp, thr)
+  }
+
+  /** Row-local scoring expression over a word-array column `ws`:
+    * Σ_w weights[bucket(w)] + size(ws) * dFp — the compiled form of
+    * dsirPerDoc's join+agg, usable inside a stateless stream. */
+  private[graft] def dsirScoreExpr(wsCol: String, weights: IndexedSeq[Long],
+                                   dFp: Long): String =
+    s"""aggregate(transform($wsCol, w ->
+       |    element_at(array(${weights.mkString(", ")}),
+       |      (instr('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 16
+       |      + instr('0123456789abcdef', substr(md5(w), 2, 1)))),
+       |  0L, (acc, x) -> acc + x) + size($wsCol) * ${dFp}L""".stripMargin
+
   /** Shared oracle CTE: one row per token with its hashed bucket. */
   private val hashedWordsSql =
     s"""w AS (
@@ -215,27 +268,42 @@ object Selection {
        |         + instr('0123456789abcdef', substr(m, 2, 1)) - 1 AS b
        |  FROM w)""".stripMargin
 
+  /** Oracle CTE chain ending in `per(doc_id, lang, n_tokens, dsir_fp)`
+    * — the DSIR model fit + per-doc scoring, shared by the sel_dsir
+    * oracle and the streaming gate's (st_sel_gate). */
+  private[queries] val dsirPerSql: String =
+    s"""$hashedWordsSql,
+       |model AS (
+       |  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_r,
+       |         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_t
+       |  FROM h GROUP BY 1),
+       |modelw AS (
+       |  SELECT b, ${FixedLog.duck("n_t + 1")} - ${FixedLog.duck("n_r + 1")} AS w_b
+       |  FROM model),
+       |denom AS (
+       |  SELECT ${FixedLog.duck(s"CAST(COUNT(*) AS BIGINT) + $Buckets")}
+       |         - ${FixedLog.duck(
+             s"CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) + $Buckets")}
+       |           AS d_fp
+       |  FROM h),
+       |per AS (
+       |  SELECT doc_id, lang, COUNT(*) AS n_tokens,
+       |         CAST(SUM(w_b) AS BIGINT) + COUNT(*) * d_fp AS dsir_fp
+       |  FROM h JOIN modelw USING (b) CROSS JOIN denom
+       |  GROUP BY doc_id, lang, d_fp)""".stripMargin
+
+  /** The streaming gate's keep threshold, as SQL over `per`: weight
+    * of the DsirK-th ranked doc, or the overall min on a smaller
+    * corpus (then every doc keeps). */
+  private[queries] val dsirThresholdSql: String =
+    s"""COALESCE(
+       |  (SELECT dsir_fp FROM per ORDER BY dsir_fp DESC, doc_id
+       |   LIMIT 1 OFFSET ${DsirK - 1}),
+       |  (SELECT MIN(dsir_fp) FROM per))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sel_dsir" ->
-      s"""WITH $hashedWordsSql,
-         |model AS (
-         |  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_r,
-         |         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_t
-         |  FROM h GROUP BY 1),
-         |modelw AS (
-         |  SELECT b, ${FixedLog.duck("n_t + 1")} - ${FixedLog.duck("n_r + 1")} AS w_b
-         |  FROM model),
-         |denom AS (
-         |  SELECT ${FixedLog.duck(s"CAST(COUNT(*) AS BIGINT) + $Buckets")}
-         |         - ${FixedLog.duck(
-               s"CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) + $Buckets")}
-         |           AS d_fp
-         |  FROM h),
-         |per AS (
-         |  SELECT doc_id, lang, COUNT(*) AS n_tokens,
-         |         CAST(SUM(w_b) AS BIGINT) + COUNT(*) * d_fp AS dsir_fp
-         |  FROM h JOIN modelw USING (b) CROSS JOIN denom
-         |  GROUP BY doc_id, lang, d_fp),
+      s"""WITH $dsirPerSql,
          |top AS (SELECT doc_id, 1 AS _sel FROM per
          |        ORDER BY dsir_fp DESC, doc_id LIMIT $DsirK)
          |SELECT per.doc_id, lang, n_tokens, dsir_fp,

@@ -24,7 +24,9 @@ object Streaming {
     "st_temporal_enrich" -> ((s, dir) => EventStream.temporalEnrich(s, dir)),
     "st_upsert_sink" -> ((s, dir) => EventStream.upsertSink(s, dir)),
     "st_corpus_ingest" -> ((s, dir) =>
-      graft.streaming.DocumentStream.corpusIngest(s, dir)))
+      graft.streaming.DocumentStream.corpusIngest(s, dir)),
+    "st_sel_gate" -> ((s, dir) =>
+      graft.streaming.DocumentStream.selGate(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "st_corpus_ingest" ->
@@ -224,6 +226,15 @@ object Streaming {
         |WHERE time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR
         |        <= (SELECT w FROM wmf)
         |GROUP BY 1, 2""".stripMargin,
+    // the streaming DSIR gate scores each arriving doc with the model
+    // compiled from the batch fit — same integer fixed-point weights,
+    // so the batch replay is exact; kept = "at least as target-like
+    // as the reference corpus' DsirK-th doc"
+    "st_sel_gate" ->
+      s"""WITH ${Selection.dsirPerSql},
+         |thr AS (SELECT ${Selection.dsirThresholdSql} AS t)
+         |SELECT doc_id, n_tokens, dsir_fp, dsir_fp >= t AS kept
+         |FROM per CROSS JOIN thr""".stripMargin,
     // the upsert target's final state = last event (by ts, event_id)
     // plus total count per user, independent of batch boundaries.
     "st_upsert_sink" ->

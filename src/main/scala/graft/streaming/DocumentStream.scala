@@ -100,4 +100,32 @@ object DocumentStream {
         }
         .toDF("doc_id", "is_novel", "dup_of")
     }
+
+  /** Online deployment of the DSIR selection model (sel_dsir): fit
+    * the bucket-weight model and keep-threshold on the reference
+    * corpus in batch (three BOUNDED collects — ≤256 rows + 1 + 1,
+    * once, before the stream starts), COMPILE them into a row-local
+    * scoring expression, and run the stream through it as a pure
+    * stateless projection — no state store, no stream-side join, no
+    * aggregation, so the gate admits unlimited parallelism and its
+    * per-batch cost is exactly one expression pass over the batch.
+    * This is the standard "train offline, serve online" split; the
+    * kept flag reproduces the batch selection rule "at least as
+    * target-like as the reference corpus' DsirK-th doc" bit-for-bit
+    * (same integer fixed-point weights), which the oracle pins. */
+  def selGate(spark: SparkSession, dir: String): DataFrame = {
+    val (weights, dFp, thr) =
+      graft.queries.Selection.dsirCompiled(spark, dir)
+    EventStream.runToTable(spark, s"st_sel_${dir.hashCode.abs}",
+      mode = "append") { ss =>
+      readDocuments(ss, dir)
+        .select(col("doc_id"),
+          split(graft.functions.TextFunctions.normText(col("text")), " ")
+            .as("ws"))
+        .select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+          expr(graft.queries.Selection.dsirScoreExpr("ws", weights, dFp))
+            .as("dsir_fp"))
+        .withColumn("kept", col("dsir_fp") >= thr)
+    }
+  }
 }

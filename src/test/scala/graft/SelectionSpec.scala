@@ -16,19 +16,34 @@ class SelectionSpec extends SparkSpec {
   private def doc(words: Seq[String], reps: Int): String =
     Seq.fill(reps)(words).flatten.mkString(" ")
 
+  /** Write the docs as a SINGLE FILE named documents.parquet — the
+    * streaming reader's pathGlobFilter matches leaf file names (the
+    * harness tables ship as single files), so a directory-shaped
+    * table would stream zero rows. */
+  private def writeDocsFile(d: String,
+                            rows: Seq[(Long, String, String)]): Unit = {
+    import java.nio.file.{Files, Paths}
+    rows.map { case (id, t, l) => (id, t, l, "web", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/_docs_tmp")
+    val part = Files.list(Paths.get(s"$d/_docs_tmp")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, Paths.get(s"$d/documents.parquet"))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$d/_docs_tmp"))
+  }
+
   /** Fixture: en docs use EnWords, de docs use DeWords, disjoint.
     * Even doc_ids train the NB model, odd doc_ids evaluate it; every
     * eval token appears in training, so NB must classify perfectly. */
   private lazy val dir: String = {
     val d = java.nio.file.Files.createTempDirectory("graft_sel_fix").toString
-    val rows = Seq(
+    writeDocsFile(d, Seq(
       (2L, doc(EnWords, 4), "en"), (4L, doc(EnWords.reverse, 4), "en"),
       (1L, doc(EnWords, 4), "en"), (3L, doc(EnWords.tail :+ "alpha", 4), "en"),
       (6L, doc(DeWords, 4), "de"), (8L, doc(DeWords.reverse, 4), "de"),
-      (5L, doc(DeWords, 4), "de"), (7L, doc(DeWords.tail :+ "zug", 4), "de"))
-    rows.map { case (id, t, l) => (id, t, l, "web", t.length.toLong) }
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      (5L, doc(DeWords, 4), "de"), (7L, doc(DeWords.tail :+ "zug", 4), "de")))
     d
   }
 
@@ -116,6 +131,23 @@ class SelectionSpec extends SparkSpec {
     out.values.foreach { case (_, _, sel) => assert(sel == 1) }
   }
 
+  test("st_sel_gate: the compiled online model reproduces the batch scores") {
+    val batch = SparkEntry.queries("sel_dsir")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getInt(4))))
+      .toMap
+    val gate = SparkEntry.queries("st_sel_gate")(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(gate.keySet == batch.keySet)
+    gate.foreach { case (id, (nTok, fp, kept)) =>
+      assert((nTok, fp) == ((batch(id)._1, batch(id)._2)),
+        s"doc $id: stream scored ($nTok, $fp), batch ${batch(id)}")
+      // 8 docs < DsirK: threshold falls to the min, everything keeps,
+      // matching the batch top-K cut covering the whole fixture
+      assert(kept && batch(id)._3 == 1)
+    }
+  }
+
   /** Contrastive fixture: three exact-dup pairs; ids chosen so two
     * pairs share batch id_a%8 == 1 and one sits alone in batch 3. */
   private lazy val cpDir: String = {
@@ -123,10 +155,8 @@ class SelectionSpec extends SparkSpec {
     val t1 = doc(Seq("red", "green", "blue", "cyan", "teal"), 3)
     val t2 = doc(Seq("one", "two", "three", "four", "five"), 3)
     val t3 = doc(Seq("ada", "curie", "noether", "hopper", "lovelace"), 3)
-    Seq((1L, t1), (2L, t1), (3L, t2), (4L, t2), (9L, t3), (10L, t3))
-      .map { case (id, t) => (id, t, "en", "web", t.length.toLong) }
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    writeDocsFile(d, Seq((1L, t1), (2L, t1), (3L, t2), (4L, t2),
+      (9L, t3), (10L, t3)).map { case (id, t) => (id, t, "en") })
     d
   }
 
