@@ -59,6 +59,8 @@ object Selection {
   /** Class labels for the NB classifier — the corpus' lang values,
     * alphabetical; CASE order below is the deterministic tie-break. */
   private val Langs = Seq("de", "en", "es", "fr", "zh")
+  /** Curriculum length: docs enter training over this many epochs. */
+  private val CurriculumEpochs = 3
 
   /** (doc_id, lang, b) — one row per token, b = hashed unigram bucket
     * from the two leading md5 hex chars (0..255). The repartition
@@ -158,6 +160,33 @@ object Selection {
           when(col("pred_lang") === col("labeled_lang"), 1).otherwise(0)
             .as("correct")) ++
           Langs.map(c => col(s"score_$c")): _*)
+    }),
+    "sel_curriculum" -> ((s, dir) => {
+      // quality-annealed curriculum schedule — the "start clean, end
+      // broad" training recipe: within each (lang, source) mixture
+      // cell, docs are quality-ranked and enter training at
+      //   first_epoch = 1 + floor(E * (rank-1) / cell_n)
+      // so the best docs train in every epoch and the noisiest join
+      // only in the last; epochs_seen falls out as E - first_epoch + 1.
+      // All integer arithmetic after the rank (both engines floor
+      // positive integer division identically), and the rank order
+      // (score desc, doc_id) is the tx_pref_pairs precedent. Scale
+      // shape: ONE shuffle — the per-cell window partition; no global
+      // window, no driver state.
+      import graft.functions.TextFunctions.qualityScore
+      val e = CurriculumEpochs
+      val w = Window.partitionBy(col("lang"), col("source"))
+        .orderBy(col("score").desc, col("doc_id"))
+      Tables(s, dir).documents
+        .select(col("doc_id"), col("lang"), col("source"),
+          qualityScore(col("text")).as("score"))
+        .withColumn("q_rank", row_number().over(w))
+        .withColumn("cell_n", count(lit(1)).over(
+          Window.partitionBy(col("lang"), col("source"))))
+        .select(col("doc_id"), col("lang"), col("source"), col("q_rank"),
+          col("cell_n"),
+          (expr(s"1 + ($e * (q_rank - 1)) div cell_n")).as("first_epoch"))
+        .withColumn("epochs_seen", lit(e) + 1 - col("first_epoch"))
     }),
     "sel_contrastive_pairs" -> ((s, dir) => {
       // (anchor, positive, negative) triplets for contrastive
@@ -356,6 +385,23 @@ object Selection {
          |            ELSE '${Langs.last}' END) = lang THEN 1 ELSE 0 END AS correct,
          |       ${Langs.map(c => s"score_$c").mkString(", ")}
          |FROM sc""".stripMargin,
+    "sel_curriculum" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id, lang, source,
+         |         ${Text.scoreDuck}
+         |           AS score
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, lang, source,
+         |         ROW_NUMBER() OVER (PARTITION BY lang, source
+         |                            ORDER BY score DESC, doc_id) AS q_rank,
+         |         COUNT(*) OVER (PARTITION BY lang, source) AS cell_n
+         |  FROM sc)
+         |SELECT doc_id, lang, source, q_rank, cell_n,
+         |       1 + ($CurriculumEpochs * (q_rank - 1)) // cell_n AS first_epoch,
+         |       $CurriculumEpochs - ($CurriculumEpochs * (q_rank - 1)) // cell_n
+         |         AS epochs_seen
+         |FROM r""".stripMargin,
     "sel_contrastive_pairs" ->
       s"""WITH pairs_j AS (${DedupQueries.minhashPairsSql()})
          |SELECT id_a AS anchor_id, id_b AS positive_id,

@@ -131,6 +131,21 @@ class SelectionSpec extends SparkSpec {
     out.values.foreach { case (_, _, sel) => assert(sel == 1) }
   }
 
+  test("sel_curriculum: epoch entry anneals from best to worst within a cell") {
+    val out = SparkEntry.queries("sel_curriculum")(spark, dir).collect()
+      .map(r => (r.getString(1), r.getInt(3)) ->
+        (r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    // two cells of 4 docs each, E = 3: ranks 1..4 enter at epochs
+    // 1 + floor(3*(rk-1)/4) = 1, 1, 2, 3 and are seen 3, 3, 2, 1 times
+    for (lang <- Seq("en", "de"); (rk, (fe, seen)) <-
+           Seq(1 -> (1L, 3L), 2 -> (1L, 3L), 3 -> (2L, 2L), 4 -> (3L, 1L))) {
+      val (cellN, gotFe, gotSeen) = out((lang, rk))
+      assert(cellN == 4L)
+      assert((gotFe, gotSeen) == ((fe, seen)),
+        s"cell $lang rank $rk: got ($gotFe, $gotSeen), want ($fe, $seen)")
+    }
+  }
+
   test("st_sel_gate: the compiled online model reproduces the batch scores") {
     val batch = SparkEntry.queries("sel_dsir")(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getInt(4))))
