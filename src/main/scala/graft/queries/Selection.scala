@@ -188,6 +188,31 @@ object Selection {
           (expr(s"1 + ($e * (q_rank - 1)) div cell_n")).as("first_epoch"))
         .withColumn("epochs_seen", lit(e) + 1 - col("first_epoch"))
     }),
+    "sel_datacard" -> ((s, dir) => {
+      // the corpus data card — the per-cell and rolled-up stats every
+      // released training set ships with: doc counts, token volume,
+      // character volume and mean quality for every (lang, source)
+      // cell, every lang, every source, and the whole corpus, in ONE
+      // cube shuffle (map-side partial aggs expand the grouping
+      // combinations; no second scan). Integer sums + one IEEE
+      // division each at the end; the quality mean goes through the
+      // decimal-exact davg (a raw double sum is addition-order-
+      // dependent and would hash-drift across engines).
+      import graft.functions.TextFunctions.qualityScore
+      import Relational.davg
+      Tables(s, dir).documents
+        .select(col("lang"), col("source"),
+          size(split(normText(col("text")), " ")).cast("long").as("n_toks"),
+          length(col("text")).cast("long").as("n_chars_m"),
+          qualityScore(col("text")).as("q"))
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(col("n_chars_m")).as("total_chars"),
+          davg(col("q")).as("mean_quality"),
+          (sum(col("n_toks")).cast("double") / count(lit(1)))
+            .as("avg_doc_tokens"))
+    }),
     "sel_contrastive_pairs" -> ((s, dir) => {
       // (anchor, positive, negative) triplets for contrastive
       // embedding training: positives are the verified MinHash
@@ -385,6 +410,21 @@ object Selection {
          |            ELSE '${Langs.last}' END) = lang THEN 1 ELSE 0 END AS correct,
          |       ${Langs.map(c => s"score_$c").mkString(", ")}
          |FROM sc""".stripMargin,
+    "sel_datacard" ->
+      s"""WITH d AS (
+         |  SELECT lang, source,
+         |         CAST(len(string_split(${Text.normDuck}, ' ')) AS BIGINT) AS n_toks,
+         |         CAST(length(text) AS BIGINT) AS n_chars_m,
+         |         ${Text.scoreDuck}
+         |           AS q
+         |  FROM documents)
+         |SELECT lang, source, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(n_chars_m) AS BIGINT) AS total_chars,
+         |       CAST(SUM(CAST(q AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+         |         AS mean_quality,
+         |       CAST(SUM(n_toks) AS DOUBLE) / COUNT(*) AS avg_doc_tokens
+         |FROM d GROUP BY CUBE (lang, source)""".stripMargin,
     "sel_curriculum" ->
       s"""WITH sc AS (
          |  SELECT doc_id, lang, source,

@@ -146,6 +146,20 @@ class SelectionSpec extends SparkSpec {
     }
   }
 
+  test("sel_datacard: cube rollups are consistent with the cell grid") {
+    val rows = SparkEntry.queries("sel_datacard")(spark, dir).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // fixture: 2 langs × 1 source, 4 docs each
+    assert(rows((Some("en"), Some("web")))._1 == 4L)
+    assert(rows((Some("de"), Some("web")))._1 == 4L)
+    // lang rollup = its single cell; grand total = sum of cells
+    assert(rows((Some("en"), None)) == rows((Some("en"), Some("web"))))
+    val (nEn, tEn) = rows((Some("en"), Some("web")))
+    val (nDe, tDe) = rows((Some("de"), Some("web")))
+    assert(rows((None, None)) == ((nEn + nDe, tEn + tDe)))
+  }
+
   test("st_sel_gate: the compiled online model reproduces the batch scores") {
     val batch = SparkEntry.queries("sel_dsir")(spark, dir).collect()
       .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getInt(4))))
