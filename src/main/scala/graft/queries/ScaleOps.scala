@@ -695,6 +695,75 @@ object ScaleOps {
           col("v1_rows"), col("v1_sum_bal"))
     }),
 
+    // ---- merge-on-read deletes (deletion vectors) --------------------------
+    "s23_deletion_vectors" -> ((s, dir) => {
+      // Delta deletion vectors / Iceberg position deletes on plain
+      // parquet: a DELETE writes a sidecar of deleted row POSITIONS
+      // (file_path + the parquet reader's stable per-file
+      // _metadata.row_index) instead of rewriting any data file —
+      // O(deleted) write cost however big the table is. Readers apply
+      // the union of the DV sidecars as an anti join on the position
+      // key; COMPACTION later folds the DVs into rewritten files and
+      // drops them. Two successive deletes (returned rows, then
+      // high-quantity rows among the still-live) and a compaction,
+      // each step audited as (live rows, exact qty sum, outstanding
+      // DV entries) — the oracle replays the SEMANTICS (predicate
+      // deletes on lineitem) in pure SQL, so a DV mechanism bug
+      // (wrong positions, missed file, double-applied entry) lands as
+      // a hash mismatch. Quantity sums ride DECIMAL so both engines
+      // agree exactly. Scale shape: DV application is one anti join
+      // keyed on (file, pos); compaction's touched-file list is
+      // O(files) driver metadata like every manifest op here.
+      val root = graft.core.GraftSession.scratchDir(s, "dvec", dir)
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val basePath = s"$root/base"
+      if (!fs.exists(new org.apache.hadoop.fs.Path(s"$basePath/_SUCCESS")))
+        Tables(s, dir).lineitem
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+            col("l_returnflag"))
+          .repartition(4, col("l_orderkey"))
+          .write.mode("overwrite").parquet(basePath)
+      def withPos = s.read.parquet(basePath)
+        .select(col("*"), col("_metadata.file_path").as("_f"),
+          col("_metadata.row_index").as("_p"))
+      val pred1 = col("l_returnflag") === "R"
+      val pred2 = col("l_quantity") >= 45
+      // DELETE 1: positions of returned rows — no data file touched
+      withPos.filter(pred1).select(col("_f"), col("_p"))
+        .write.mode("overwrite").parquet(s"$root/dv/d1")
+      // DELETE 2: high-quantity rows among rows still live under d1
+      withPos.join(s.read.parquet(s"$root/dv/d1"), Seq("_f", "_p"),
+          "left_anti")
+        .filter(pred2).select(col("_f"), col("_p"))
+        .write.mode("overwrite").parquet(s"$root/dv/d2")
+      // explicit paths: the dv/ children are snapshot dirs, not
+      // key=value partitions, so a parent-dir read would not recurse
+      def dvAll = s.read.parquet(s"$root/dv/d1", s"$root/dv/d2")
+      def live = withPos.join(dvAll, Seq("_f", "_p"), "left_anti")
+      // COMPACTION: rewrite only files carrying DV entries (touched
+      // list is O(files) metadata), then the DVs are obsolete
+      val touched = dvAll.select(col("_f")).distinct()
+        .collect().map(_.getString(0)).toSet
+      live.filter(col("_f").isin(touched.toSeq: _*))
+        .drop("_f", "_p")
+        .write.mode("overwrite").parquet(s"$root/compacted")
+      val compacted = s.read.parquet(s"$root/compacted")
+      def audit(step: String, df: DataFrame, dvEntries: DataFrame) = {
+        val d = df.agg(count(lit(1)).as("n_live"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        val n = dvEntries.agg(count(lit(1)).as("dv_entries"))
+        d.crossJoin(n).select(lit(step).as("step"), col("n_live"),
+          col("sum_qty"), col("dv_entries"))
+      }
+      val d1 = s.read.parquet(s"$root/dv/d1")
+      audit("base", withPos, s.emptyDataFrame)
+        .unionByName(audit("delete_returned",
+          withPos.join(d1, Seq("_f", "_p"), "left_anti"), d1))
+        .unionByName(audit("delete_highqty", live, dvAll))
+        .unionByName(audit("compacted", compacted, s.emptyDataFrame))
+    }),
+
     // ---- sketch heavy hitters ----------------------------------------------
     "a18_heavy_hitters" -> ((s, dir) => {
       // DataSketches frequent-items (approx_top_k): bounded-memory
@@ -1117,6 +1186,30 @@ object ScaleOps {
         |       TRUE AS manifest_pruned
         |FROM lineitem, r
         |WHERE l_orderkey BETWEEN lo AND hi""".stripMargin,
+    // DV semantics replayed as predicate deletes; a position-level
+    // mechanism bug in the engine (wrong row_index, double-applied
+    // entry, missed file) shows up as a count/sum mismatch here
+    "s23_deletion_vectors" ->
+      """WITH li AS (SELECT l_quantity AS q, l_returnflag AS rf FROM lineitem)
+        |SELECT 'base' AS step, COUNT(*) AS n_live,
+        |       CAST(SUM(CAST(q AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |       0 AS dv_entries
+        |FROM li
+        |UNION ALL
+        |SELECT 'delete_returned', COUNT(*),
+        |       CAST(SUM(CAST(q AS DECIMAL(18,4))) AS DOUBLE),
+        |       (SELECT COUNT(*) FROM li WHERE rf = 'R')
+        |FROM li WHERE rf <> 'R'
+        |UNION ALL
+        |SELECT 'delete_highqty', COUNT(*),
+        |       CAST(SUM(CAST(q AS DECIMAL(18,4))) AS DOUBLE),
+        |       (SELECT COUNT(*) FROM li WHERE rf = 'R' OR q >= 45)
+        |FROM li WHERE rf <> 'R' AND q < 45
+        |UNION ALL
+        |SELECT 'compacted', COUNT(*),
+        |       CAST(SUM(CAST(q AS DECIMAL(18,4))) AS DOUBLE),
+        |       0
+        |FROM li WHERE rf <> 'R' AND q < 45""".stripMargin,
     "a18_heavy_hitters" ->
       """SELECT event_type, COUNT(*) AS n, TRUE AS sketch_contains_all
         |FROM events GROUP BY event_type

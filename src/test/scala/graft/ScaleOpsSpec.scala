@@ -152,4 +152,34 @@ class ScaleOpsSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(root, "m1.txt"), false)
     assert(run() == first)
   }
+
+  test("s23: deletes are merge-on-read — base data files physically untouched") {
+    // the property the DuckDB oracle cannot see: DELETE writes only a
+    // position sidecar. Run once (builds base + DVs + compaction),
+    // fingerprint the base data files, run again (recomputes DVs and
+    // compaction over the SAME base), and require byte-identical base
+    // files — a DV implementation that rewrote or appended would
+    // change lengths or mtimes.
+    def result() = SparkEntry.queries("s23_deletion_vectors")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    val first = result()
+    // semantic shape: each delete strictly shrinks, compaction doesn't
+    assert(first("base")._1 > first("delete_returned")._1)
+    assert(first("delete_returned")._1 > first("delete_highqty")._1)
+    assert(first("compacted")._1 == first("delete_highqty")._1)
+    assert(first("compacted")._3 == 0 && first("base")._3 == 0)
+    val root = graft.core.GraftSession.scratchDir(spark, "dvec", dir)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def baseFiles() = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$root/base")).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .sortBy(_._1)
+    val before = baseFiles()
+    assert(before.size == 4, s"expected the 4-bucket layout: $before")
+    assert(result() == first)
+    assert(baseFiles() == before, "a delete touched a base data file")
+  }
 }
