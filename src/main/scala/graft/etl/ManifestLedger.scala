@@ -86,26 +86,37 @@ object ManifestLedger {
         java.nio.file.Files.write(tmp, bytes)
         // hard link = atomic publish of the already-complete content;
         // fails with FileAlreadyExistsException when another writer
-        // already holds this version — the CAS-lost signal
-        java.nio.file.Files.createLink(targetP, tmp)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-        case _: UnsupportedOperationException |
-             _: java.nio.file.FileSystemException =>
-          // filesystem without hard links (some NFS/FUSE/overlay
-          // mounts): fall back to CREATE_NEW — the claim is still
-          // atomic, but claim and content are two steps again (the
-          // pre-round-9 window), accepted only where the filesystem
-          // cannot do better; aborting the commit would be worse
-          try {
-            java.nio.file.Files.write(targetP, bytes,
-              java.nio.file.StandardOpenOption.CREATE_NEW,
-              java.nio.file.StandardOpenOption.WRITE)
-            true
-          } catch {
-            case _: java.nio.file.FileAlreadyExistsException => false
-          }
+        // already holds this version — the CAS-lost signal. The
+        // fallback wraps ONLY the link call: a failure writing the
+        // temp file must propagate, never degrade into the fallback.
+        try {
+          java.nio.file.Files.createLink(targetP, tmp)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+          case _: UnsupportedOperationException |
+               _: java.nio.file.FileSystemException =>
+            // filesystem without hard links (some NFS/FUSE/overlay
+            // mounts): fall back to CREATE_NEW — the claim is still
+            // atomic, but claim and content are two steps again (the
+            // pre-round-9 window), accepted only where the filesystem
+            // cannot do better; aborting the commit would be worse
+            try {
+              java.nio.file.Files.write(targetP, bytes,
+                java.nio.file.StandardOpenOption.CREATE_NEW,
+                java.nio.file.StandardOpenOption.WRITE)
+              true
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException => false
+              case e: java.io.IOException =>
+                // CREATE_NEW succeeded (the file is exclusively ours)
+                // but the content write aborted: a torn head must not
+                // stay visible — later writers would rebase on the
+                // truncated list and drop ledger entries
+                java.nio.file.Files.deleteIfExists(targetP)
+                throw e
+            }
+        }
       } finally {
         java.nio.file.Files.deleteIfExists(tmp)
         ()

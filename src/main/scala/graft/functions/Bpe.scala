@@ -120,9 +120,14 @@ object Bpe {
 
   /** Column: split a word into per-codepoint tokens — the same
     * `regexp_replace(word, '(.)', '\\1 ')` construction the oracle
-    * uses, so the two engines agree even off-ASCII. */
+    * uses. DOTALL on the Java side: plain Java '.' excludes the
+    * Unicode line terminators U+0085/U+2028/U+2029 (and \r) that
+    * RE2's '.' matches, which would fuse such a character with its
+    * neighbor here while the oracle splits it; with (?s) the only
+    * residual dialect gap is \n, which normText has already collapsed
+    * in both engines before any word reaches this function. */
   def charTokens(word: Column): Column =
-    split(trim(regexp_replace(word, "(.)", "$1 ")), " ")
+    split(trim(regexp_replace(word, "(?s)(.)", "$1 ")), " ")
 
   /** Column: apply the learned rules in rank order to a token array.
     * Each rule is one `aggregate` fold — greedy left-to-right by the

@@ -718,17 +718,23 @@ object ScaleOps {
       val fs = new org.apache.hadoop.fs.Path(root)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       val basePath = s"$root/base"
+      // data-aligned 4-bucket layout (bk = l_orderkey % 4 as partition
+      // dirs) and deletes scoped to bk <> 3, so bucket 3's file is
+      // provably untouched end to end — the compacted read must union
+      // it back in, which is the part of the merge-on-read contract a
+      // delete that happens to hit every file would never exercise
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$basePath/_SUCCESS")))
         Tables(s, dir).lineitem
           .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
             col("l_returnflag"))
-          .repartition(4, col("l_orderkey"))
-          .write.mode("overwrite").parquet(basePath)
+          .withColumn("bk", pmod(col("l_orderkey"), lit(4)))
+          .repartition(col("bk"))
+          .write.partitionBy("bk").mode("overwrite").parquet(basePath)
       def withPos = s.read.parquet(basePath)
         .select(col("*"), col("_metadata.file_path").as("_f"),
           col("_metadata.row_index").as("_p"))
-      val pred1 = col("l_returnflag") === "R"
-      val pred2 = col("l_quantity") >= 45
+      val pred1 = col("l_returnflag") === "R" && col("bk") =!= 3
+      val pred2 = col("l_quantity") >= 45 && col("bk") =!= 3
       // DELETE 1: positions of returned rows — no data file touched
       withPos.filter(pred1).select(col("_f"), col("_p"))
         .write.mode("overwrite").parquet(s"$root/dv/d1")
@@ -748,7 +754,14 @@ object ScaleOps {
       live.filter(col("_f").isin(touched.toSeq: _*))
         .drop("_f", "_p")
         .write.mode("overwrite").parquet(s"$root/compacted")
+      // the post-compaction table = rewritten files ∪ base files that
+      // carried no DV entry (those were never rewritten and keep all
+      // their rows) — reading the rewrite output alone would silently
+      // drop every untouched file's rows the moment a delete predicate
+      // stops hitting all files
       val compacted = s.read.parquet(s"$root/compacted")
+        .unionByName(withPos.filter(!col("_f").isin(touched.toSeq: _*))
+          .drop("_f", "_p"))
       def audit(step: String, df: DataFrame, dvEntries: DataFrame) = {
         val d = df.agg(count(lit(1)).as("n_live"),
           dsum(col("l_quantity")).as("sum_qty"))
@@ -1190,7 +1203,8 @@ object ScaleOps {
     // mechanism bug in the engine (wrong row_index, double-applied
     // entry, missed file) shows up as a count/sum mismatch here
     "s23_deletion_vectors" ->
-      """WITH li AS (SELECT l_quantity AS q, l_returnflag AS rf FROM lineitem)
+      """WITH li AS (SELECT l_quantity AS q, l_returnflag AS rf,
+        |                   l_orderkey % 4 AS bk FROM lineitem)
         |SELECT 'base' AS step, COUNT(*) AS n_live,
         |       CAST(SUM(CAST(q AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |       0 AS dv_entries
@@ -1198,18 +1212,18 @@ object ScaleOps {
         |UNION ALL
         |SELECT 'delete_returned', COUNT(*),
         |       CAST(SUM(CAST(q AS DECIMAL(18,4))) AS DOUBLE),
-        |       (SELECT COUNT(*) FROM li WHERE rf = 'R')
-        |FROM li WHERE rf <> 'R'
+        |       (SELECT COUNT(*) FROM li WHERE rf = 'R' AND bk <> 3)
+        |FROM li WHERE NOT (rf = 'R' AND bk <> 3)
         |UNION ALL
         |SELECT 'delete_highqty', COUNT(*),
         |       CAST(SUM(CAST(q AS DECIMAL(18,4))) AS DOUBLE),
-        |       (SELECT COUNT(*) FROM li WHERE rf = 'R' OR q >= 45)
-        |FROM li WHERE rf <> 'R' AND q < 45
+        |       (SELECT COUNT(*) FROM li WHERE bk <> 3 AND (rf = 'R' OR q >= 45))
+        |FROM li WHERE NOT (bk <> 3 AND (rf = 'R' OR q >= 45))
         |UNION ALL
         |SELECT 'compacted', COUNT(*),
         |       CAST(SUM(CAST(q AS DECIMAL(18,4))) AS DOUBLE),
         |       0
-        |FROM li WHERE rf <> 'R' AND q < 45""".stripMargin,
+        |FROM li WHERE NOT (bk <> 3 AND (rf = 'R' OR q >= 45))""".stripMargin,
     "a18_heavy_hitters" ->
       """SELECT event_type, COUNT(*) AS n, TRUE AS sketch_contains_all
         |FROM events GROUP BY event_type

@@ -245,23 +245,35 @@ object Selection {
     * log lookups run here, broadcast), per-doc partial-agg sum of the
     * precomputed integer weights, plus the constant smoothing-
     * denominator term. */
-  private[graft] def dsirPerDoc(s: SparkSession, dir: String): DataFrame = {
-    val words = hashedWords(s, dir)
-    val model = words.groupBy("b").agg(
+  /** The per-bucket weight model: (b, w_b) with
+    * w_b = llog(n_target(b)+1) - llog(n_raw(b)+1). ONE definition —
+    * dsirPerDoc (batch join) and dsirCompiled (online array) both
+    * read it, so a smoothing/target tweak cannot desynchronize the
+    * batch scores from the streaming gate. */
+  private def dsirModelDf(words: DataFrame): DataFrame =
+    words.groupBy("b").agg(
       count(lit(1)).as("n_r"),
       sum(when(col("lang") === "en", 1).otherwise(0)).as("n_t"))
       .withColumn("w_b", expr(
         s"${FixedLog.spark("n_t + 1")} - ${FixedLog.spark("n_r + 1")}"))
-    val denom = words.agg(
+      .select("b", "w_b")
+
+  /** The constant smoothing-denominator term, one row: d_fp =
+    * llog(R + Buckets) - llog(T + Buckets). */
+  private def dsirDenomDf(words: DataFrame): DataFrame =
+    words.agg(
       count(lit(1)).as("r_tot"),
       sum(when(col("lang") === "en", 1).otherwise(0)).as("t_tot"))
       .withColumn("d_fp", expr(
         s"${FixedLog.spark(s"r_tot + $Buckets")} - ${FixedLog.spark(s"t_tot + $Buckets")}"))
       .select("d_fp")
-    words.join(broadcast(model.select("b", "w_b")), Seq("b"))
+
+  private[graft] def dsirPerDoc(s: SparkSession, dir: String): DataFrame = {
+    val words = hashedWords(s, dir)
+    words.join(broadcast(dsirModelDf(words)), Seq("b"))
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_tokens"), sum(col("w_b")).as("_s"))
-      .crossJoin(broadcast(denom))
+      .crossJoin(broadcast(dsirDenomDf(words)))
       .withColumn("dsir_fp", col("_s") + col("n_tokens") * col("d_fp"))
       .drop("_s", "d_fp")
   }
@@ -279,20 +291,10 @@ object Selection {
   private[graft] def dsirCompiled(s: SparkSession, dir: String)
       : (IndexedSeq[Long], Long, Long) = {
     val words = hashedWords(s, dir)
-    val model = words.groupBy("b").agg(
-      count(lit(1)).as("n_r"),
-      sum(when(col("lang") === "en", 1).otherwise(0)).as("n_t"))
-      .withColumn("w_b", expr(
-        s"${FixedLog.spark("n_t + 1")} - ${FixedLog.spark("n_r + 1")}"))
-      .select("b", "w_b")
+    val model = dsirModelDf(words)
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
     val weights = (0 until Buckets).map(b => model.getOrElse(b, 0).toLong)
-    val dFp = words.agg(
-      count(lit(1)).as("r_tot"),
-      sum(when(col("lang") === "en", 1).otherwise(0)).as("t_tot"))
-      .withColumn("d_fp", expr(
-        s"${FixedLog.spark(s"r_tot + $Buckets")} - ${FixedLog.spark(s"t_tot + $Buckets")}"))
-      .select("d_fp").collect().head.getInt(0).toLong
+    val dFp = dsirDenomDf(words).collect().head.getInt(0).toLong
     val thr = dsirPerDoc(s, dir)
       .orderBy(col("dsir_fp").desc, col("doc_id")).limit(DsirK)
       .agg(min(col("dsir_fp"))).collect().head.getLong(0)

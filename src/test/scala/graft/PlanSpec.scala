@@ -293,8 +293,12 @@ class PlanSpec extends SparkSpec {
     // ShuffleExchangeExec renders as "Exchange" in plan strings, so
     // the original pin counted a string that never occurs and could
     // never fail (review finding, round 9)
+    // REAL exchanges only — a ReusedExchange line repeats the
+    // referenced exchange's description, so a raw substring count
+    // double-counts every reuse (same filter as the sel_dsir pin)
     val plan = finalPlan("q5_local_supplier")
-    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).length
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
     assert(shuffles >= 1, s"q5 plan shape changed unexpectedly:\n$plan")
     assert(shuffles <= 3, s"q5 gained a shuffle: $shuffles\n$plan")
   }

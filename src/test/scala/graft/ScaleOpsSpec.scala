@@ -172,13 +172,15 @@ class ScaleOpsSpec extends SparkSpec {
     val root = graft.core.GraftSession.scratchDir(spark, "dvec", dir)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def baseFiles() = fs.listStatus(
-      new org.apache.hadoop.fs.Path(s"$root/base")).toSeq
-      .filter(_.getPath.getName.endsWith(".parquet"))
-      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+    // base is a bk=0..3 partitioned layout: list the leaf data files
+    def baseFiles() = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$root/base/bk=*/*.parquet")).toSeq
+      .map(st => (st.getPath.getParent.getName + "/" + st.getPath.getName,
+        st.getLen, st.getModificationTime))
       .sortBy(_._1)
     val before = baseFiles()
-    assert(before.size == 4, s"expected the 4-bucket layout: $before")
+    assert(before.map(_._1.split("/").head).toSet ==
+      Set("bk=0", "bk=1", "bk=2", "bk=3"), s"expected 4 buckets: $before")
     assert(result() == first)
     assert(baseFiles() == before, "a delete touched a base data file")
   }
