@@ -41,7 +41,7 @@ object Bench {
     "w14_trend", "ss_knn_graph",
     "q5_local_supplier", "j10_interval_join", "reco_next_item",
     "llm_corpus_build", "g_label_propagation", "st_corpus_ingest",
-    "tx_bpe_encode", "sel_dsir")
+    "tx_bpe_encode", "sel_dsir", "s23_deletion_vectors")
 
   /** IO-heavy entries whose first sample is made explicitly COLD: the
     * app's scratch state (streaming checkpoints, staged tables, ledger
@@ -52,7 +52,8 @@ object Bench {
     * the 792d984/r8 lesson: a warm-biased baseline makes every honest
     * driver run read as a 2×+ "suspect" regression. */
   val coldExplicit: Set[String] = Set("etl_backfill", "etl_pipeline",
-    "llm_corpus_build", "st_corpus_ingest", "s13_compact")
+    "llm_corpus_build", "st_corpus_ingest", "s13_compact",
+    "s23_deletion_vectors")
 
   private def loadavg(): Double =
     scala.util.Try(
