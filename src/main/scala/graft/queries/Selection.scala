@@ -161,6 +161,28 @@ object Selection {
             .as("correct")) ++
           Langs.map(c => col(s"score_$c")): _*)
     }),
+    "sel_softdedup" -> ((s, dir) => {
+      // SOFT dedup — the reweighting alternative to hard removal
+      // (SemDeDup-style): every doc stays in the corpus, but its
+      // sampling weight is 1 / |near-dup cluster|, so each distinct
+      // content contributes ~one document of probability mass however
+      // many times it was crawled. Rides the existing banded-LSH
+      // pair generation and cluster machinery; docs outside any pair
+      // are their own singleton cluster. Scale shape: everything
+      // after the (already scale-audited) clustering is one left
+      // join + one groupBy + one join, all keyed on cluster_id; the
+      // weight is a single exact IEEE division.
+      val docs = Tables(s, dir).documents.select("doc_id")
+      val cl = Dedup.clusters(Dedup.minhashLshPairs(Tables(s, dir).documents))
+      val withCl = docs.join(cl, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      val sizes = withCl.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      withCl.join(sizes, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (lit(1.0) / col("cluster_size")).as("sample_weight"))
+    }),
     "sel_curriculum" -> ((s, dir) => {
       // quality-annealed curriculum schedule — the "start clean, end
       // broad" training recipe: within each (lang, source) mixture
@@ -427,6 +449,24 @@ object Selection {
          |         AS mean_quality,
          |       CAST(SUM(n_toks) AS DOUBLE) / COUNT(*) AS avg_doc_tokens
          |FROM d GROUP BY CUBE (lang, source)""".stripMargin,
+    "sel_softdedup" ->
+      s"""WITH RECURSIVE p AS (
+         |  SELECT id_a, id_b FROM (${DedupQueries.minhashPairsSql()}) q),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+         |          UNION ALL SELECT id_b, id_a FROM p),
+         |reach(id, label) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.id),
+         |cl AS (SELECT id AS doc_id, MIN(label) AS cluster_id
+         |       FROM reach GROUP BY id),
+         |wc AS (SELECT d.doc_id, COALESCE(cl.cluster_id, d.doc_id) AS cluster_id
+         |       FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+         |sz AS (SELECT cluster_id, COUNT(*) AS cluster_size
+         |       FROM wc GROUP BY 1)
+         |SELECT doc_id, cluster_id, cluster_size,
+         |       CAST(1 AS DOUBLE) / cluster_size AS sample_weight
+         |FROM wc JOIN sz USING (cluster_id)""".stripMargin,
     "sel_curriculum" ->
       s"""WITH sc AS (
          |  SELECT doc_id, lang, source,

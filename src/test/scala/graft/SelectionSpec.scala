@@ -184,9 +184,24 @@ class SelectionSpec extends SparkSpec {
     val t1 = doc(Seq("red", "green", "blue", "cyan", "teal"), 3)
     val t2 = doc(Seq("one", "two", "three", "four", "five"), 3)
     val t3 = doc(Seq("ada", "curie", "noether", "hopper", "lovelace"), 3)
+    val solo = doc(Seq("unique", "words", "nobody", "else", "uses"), 3)
     writeDocsFile(d, Seq((1L, t1), (2L, t1), (3L, t2), (4L, t2),
-      (9L, t3), (10L, t3)).map { case (id, t) => (id, t, "en") })
+      (9L, t3), (10L, t3), (20L, solo)).map { case (id, t) => (id, t, "en") })
     d
+  }
+
+  test("sel_softdedup: cluster members split one doc of mass; singletons keep theirs") {
+    val out = SparkEntry.queries("sel_softdedup")(spark, cpDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // three exact-dup pairs -> clusters keyed by their min id, size 2,
+    // weight 1/2 each; the solo doc is its own singleton at weight 1
+    for ((id, cid) <- Seq(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+                          9L -> 9L, 10L -> 9L))
+      assert(out(id) == ((cid, 2L, 0.5)), s"doc $id: ${out(id)}")
+    assert(out(20L) == ((20L, 1L, 1.0)))
+    // total sampling mass = number of distinct contents
+    assert(out.values.map(_._3).sum == 4.0)
   }
 
   test("sel_contrastive_pairs: in-batch negatives wrap; lone batches drop") {
