@@ -15,13 +15,20 @@ import graft.operators.Dedup
   *
   *  - `sel_dsir`: hashed-n-gram importance weighting (the DSIR
   *    recipe: score every raw doc by how target-domain-like its
-  *    hashed unigram distribution is, keep the top-K);
+  *    hashed unigram distribution is, keep the top-K) — also deployed
+  *    ONLINE as the stateless streaming gate `st_sel_gate`
+  *    (streaming/DocumentStream.scala) via [[dsirCompiled]];
   *  - `sel_nb_langid`: a multinomial Naive Bayes classifier trained
   *    on half the corpus and scored on the other half — the
   *    fasttext-style learned filter, reduced to count arithmetic;
   *  - `sel_contrastive_pairs`: (anchor, positive, in-batch negative)
   *    triplets for embedding-model training, positives mined from the
-  *    MinHash near-dup pairs.
+  *    MinHash near-dup pairs;
+  *  - `sel_softdedup`: near-dup clusters reweighted (1/|cluster|)
+  *    instead of removed;
+  *  - `sel_curriculum`: quality-annealed epoch entry per mixture cell;
+  *  - `sel_datacard`: the corpus data card — per-cell and rolled-up
+  *    stats in one cube shuffle.
   *
   * Cross-engine exactness: every log-probability is an exact integer
   * in 1/256-bit fixed point via [[FixedLog]] (`floor(256*log2 n)` from
