@@ -224,11 +224,15 @@ object Selection {
       // cell, every lang, every source, and the whole corpus, in ONE
       // cube shuffle (map-side partial aggs expand the grouping
       // combinations; no second scan). Integer sums + one IEEE
-      // division each at the end; the quality mean goes through the
-      // decimal-exact davg (a raw double sum is addition-order-
-      // dependent and would hash-drift across engines).
+      // division each at the end. The quality mean is averaged on a
+      // 2^-20 BINARY grid (floor(q * 2^20) summed as integers): a raw
+      // double sum is addition-order-dependent, and the decimal-cast
+      // davg rounds DECIMAL half-ties differently across engines —
+      // quality scores are binary fractions that land exactly on
+      // .xxxx5 (measured: one 33-doc cell at sf0.1 differed in the
+      // 5th decimal), where floor on the identical double is
+      // unambiguous in both.
       import graft.functions.TextFunctions.qualityScore
-      import Relational.davg
       Tables(s, dir).documents
         .select(col("lang"), col("source"),
           size(split(normText(col("text")), " ")).cast("long").as("n_toks"),
@@ -238,7 +242,8 @@ object Selection {
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_toks")).as("n_tokens"),
           sum(col("n_chars_m")).as("total_chars"),
-          davg(col("q")).as("mean_quality"),
+          (sum(floor(col("q") * 1048576)).cast("double") / lit(1048576.0) /
+            count(lit(1))).as("mean_quality"),
           (sum(col("n_toks")).cast("double") / count(lit(1)))
             .as("avg_doc_tokens"))
     }),
@@ -452,8 +457,8 @@ object Selection {
          |SELECT lang, source, COUNT(*) AS n_docs,
          |       CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
          |       CAST(SUM(n_chars_m) AS BIGINT) AS total_chars,
-         |       CAST(SUM(CAST(q AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
-         |         AS mean_quality,
+         |       CAST(SUM(CAST(floor(q * 1048576) AS BIGINT)) AS DOUBLE)
+         |         / 1048576.0 / COUNT(*) AS mean_quality,
          |       CAST(SUM(n_toks) AS DOUBLE) / COUNT(*) AS avg_doc_tokens
          |FROM d GROUP BY CUBE (lang, source)""".stripMargin,
     "sel_softdedup" ->
