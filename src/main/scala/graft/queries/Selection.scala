@@ -28,7 +28,11 @@ import graft.operators.Dedup
   *    instead of removed;
   *  - `sel_curriculum`: quality-annealed epoch entry per mixture cell;
   *  - `sel_datacard`: the corpus data card — per-cell and rolled-up
-  *    stats in one cube shuffle.
+  *    stats in one cube shuffle;
+  *  - `sel_source_cap`: domain-frequency capping — over-represented
+  *    sources hash-thinned to a corpus-share cap, deterministically;
+  *  - `sel_drift`: PSI-style drift monitor between two corpus
+  *    snapshots, integer-exact per hashed-unigram bucket.
   *
   * Cross-engine exactness: every log-probability is an exact integer
   * in 1/256-bit fixed point via [[FixedLog]] (`floor(256*log2 n)` from
@@ -68,6 +72,12 @@ object Selection {
   private val Langs = Seq("de", "en", "es", "fr", "zh")
   /** Curriculum length: docs enter training over this many epochs. */
   private val CurriculumEpochs = 3
+  /** No source may exceed 1/CapDenom of the corpus (sel_source_cap). */
+  private val CapDenom = 4
+  /** Hash-rate granularity for the source cap: thresholds live on a
+    * 16-bit grid (the doc hash is a 4-hex-digit md5 slice), so the
+    * per-source keep rate is exact to 1/65536. */
+  private val CapGrain = 65536
 
   /** (doc_id, lang, b) — one row per token, b = hashed unigram bucket
     * from the two leading md5 hex chars (0..255). The repartition
@@ -272,6 +282,80 @@ object Selection {
         .filter(col("neg") =!= col("id_b") && col("neg") =!= col("id_a"))
         .select(col("id_a").as("anchor_id"), col("id_b").as("positive_id"),
           col("neg").as("negative_id"), col("jaccard"))
+    }),
+    "sel_source_cap" -> ((s, dir) => {
+      // source/domain frequency capping — the Gopher/CCNet move
+      // against over-represented domains: no source may exceed
+      // 1/CapDenom of the corpus, and sources above the cap are
+      // downsampled DETERMINISTICALLY by hash rate (keep iff the
+      // doc's 16-bit md5 slice falls under the source's threshold
+      // floor(cap * CapGrain / n_source)), so the same doc survives
+      // on every engine, every cluster size, every rerun — and a
+      // re-crawl that only grows a source thins consistently (the
+      // threshold only moves down, so kept sets shrink monotonically).
+      // The cap is rate-exact (binomial in realized count), not
+      // rank-exact: the rank version needs a per-source window over
+      // the whole corpus (tx_shard's shape, with the skew landing on
+      // exactly the over-represented source being capped), while this
+      // is two tiny aggregates broadcast against one scan — the doc
+      // table itself never shuffles. Long arithmetic holds to ~2^47
+      // docs; past that the |sources|-row threshold table moves to
+      // DECIMAL with no plan change.
+      val docs = Tables(s, dir).documents.select(col("doc_id"), col("source"))
+      val total = docs.agg(count(lit(1)).as("n_total"))
+      val thr = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
+        .crossJoin(broadcast(total))
+        .withColumn("cap", expr(s"n_total div $CapDenom"))
+        .withColumn("thr_fp",
+          when(col("n_source") <= col("cap"), lit(CapGrain.toLong))
+            .otherwise(expr(s"(cap * $CapGrain) div n_source")))
+        .select("source", "n_source", "thr_fp")
+      docs
+        .withColumn("m",
+          md5(concat(lit("srccap:"), col("doc_id").cast("string"))))
+        .withColumn("hv",
+          expr("(instr('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096" +
+            " + (instr('0123456789abcdef', substr(m, 2, 1)) - 1) * 256" +
+            " + (instr('0123456789abcdef', substr(m, 3, 1)) - 1) * 16" +
+            " + instr('0123456789abcdef', substr(m, 4, 1)) - 1"))
+        .join(broadcast(thr), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_source"), col("thr_fp"),
+          when(col("hv") < col("thr_fp"), 1).otherwise(0).as("kept"))
+    }),
+    "sel_drift" -> ((s, dir) => {
+      // corpus drift monitor — PSI-style divergence between two
+      // corpus snapshots (the even-doc_id half as the shipped
+      // release, the odd half as the incoming batch; the parity
+      // split is the sel_nb_langid precedent). Per hashed-unigram
+      // bucket, with add-one smoothing over R/N total tokens:
+      //   contrib_fp = [(n_ref+1)(N+B) - (n_new+1)(R+B)] * lr_fp
+      // where lr_fp is the 1/256-bit fixed-point log2 of the smoothed
+      // ratio p_ref(b)/p_new(b). sign(first factor) = sign(p_ref -
+      // p_new), so each bucket's term mirrors the PSI integrand
+      // (p-q)·log(p/q) — non-negative up to the fixed-point floor —
+      // scaled by the constant (R+B)(N+B) to stay in INTEGER
+      // arithmetic end to end: drift monitoring compares scores
+      // ACROSS runs, so a shared positive scale cancels. Scale shape:
+      // one groupBy down to the ≤Buckets-row model table; the log
+      // lookups and products touch those rows only. Long-safe while
+      // slice-tokens² × lr_fp < 2^63 (~10^8 tokens per slice); past
+      // that the 256-row model table moves to DECIMAL.
+      val words = hashedWords(s, dir)
+      val agg = words.groupBy("b").agg(
+        sum(when(col("doc_id") % 2 === 0, 1).otherwise(0)).as("n_ref"),
+        sum(when(col("doc_id") % 2 === 1, 1).otherwise(0)).as("n_new"))
+      val tot = agg.agg(
+        sum(col("n_ref")).as("r_tot"), sum(col("n_new")).as("n_tot"))
+      agg.crossJoin(broadcast(tot))
+        .withColumn("lr_fp", expr(
+          s"CAST(${FixedLog.spark("n_ref + 1")}" +
+            s" - ${FixedLog.spark("n_new + 1")}" +
+            s" - (${FixedLog.spark(s"r_tot + $Buckets")}" +
+            s" - ${FixedLog.spark(s"n_tot + $Buckets")}) AS BIGINT)"))
+        .withColumn("contrib_fp",
+          ((col("n_ref") + 1) * (col("n_tot") + Buckets) -
+            (col("n_new") + 1) * (col("r_tot") + Buckets)) * col("lr_fp"))
+        .select("b", "n_ref", "n_new", "lr_fp", "contrib_fp")
     }))
 
   /** The DSIR model + per-doc scoring shared by `sel_dsir` and the
@@ -509,5 +593,55 @@ object Selection {
          |         winf AS (PARTITION BY id_a % $CpBatches ORDER BY id_a, id_b
          |                  ROWS BETWEEN UNBOUNDED PRECEDING
          |                           AND UNBOUNDED FOLLOWING))
-         |WHERE neg <> id_b AND neg <> id_a""".stripMargin)
+         |WHERE neg <> id_b AND neg <> id_a""".stripMargin,
+    "sel_source_cap" ->
+      s"""WITH t AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) // $CapDenom AS cap
+         |  FROM documents),
+         |srcs AS (
+         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_source
+         |  FROM documents GROUP BY 1),
+         |thr AS (
+         |  SELECT source, n_source,
+         |         CASE WHEN n_source <= cap THEN CAST($CapGrain AS BIGINT)
+         |              ELSE (cap * $CapGrain) // n_source END AS thr_fp
+         |  FROM srcs CROSS JOIN t),
+         |hh AS (
+         |  SELECT doc_id, source,
+         |         (instr('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096
+         |         + (instr('0123456789abcdef', substr(m, 2, 1)) - 1) * 256
+         |         + (instr('0123456789abcdef', substr(m, 3, 1)) - 1) * 16
+         |         + instr('0123456789abcdef', substr(m, 4, 1)) - 1 AS hv
+         |  FROM (SELECT doc_id, source,
+         |               md5('srccap:' || CAST(doc_id AS VARCHAR)) AS m
+         |        FROM documents))
+         |SELECT hh.doc_id, hh.source, thr.n_source, thr.thr_fp,
+         |       CASE WHEN hv < thr_fp THEN 1 ELSE 0 END AS kept
+         |FROM hh JOIN thr USING (source)""".stripMargin,
+    "sel_drift" ->
+      s"""WITH $hashedWordsSql,
+         |agg AS (
+         |  SELECT b,
+         |         CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_ref,
+         |         CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_new
+         |  FROM h GROUP BY 1),
+         |tot AS (
+         |  SELECT CAST(SUM(n_ref) AS BIGINT) AS r_tot,
+         |         CAST(SUM(n_new) AS BIGINT) AS n_tot
+         |  FROM agg),
+         |lr AS (
+         |  SELECT b, n_ref, n_new, r_tot, n_tot,
+         |         CAST(${FixedLog.duck("n_ref + 1")}
+         |           - ${FixedLog.duck("n_new + 1")}
+         |           - (${FixedLog.duck(s"r_tot + $Buckets")}
+         |              - ${FixedLog.duck(s"n_tot + $Buckets")})
+         |           AS BIGINT) AS lr_fp
+         |  FROM agg CROSS JOIN tot)
+         |SELECT CAST(b AS INTEGER) AS b, n_ref, n_new, lr_fp,
+         |       CAST(((n_ref + 1) * (n_tot + $Buckets)
+         |             - (n_new + 1) * (r_tot + $Buckets)) * lr_fp
+         |            AS BIGINT) AS contrib_fp
+         |FROM lr""".stripMargin)
 }

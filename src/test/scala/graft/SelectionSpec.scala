@@ -21,9 +21,13 @@ class SelectionSpec extends SparkSpec {
     * harness tables ship as single files), so a directory-shaped
     * table would stream zero rows. */
   private def writeDocsFile(d: String,
-                            rows: Seq[(Long, String, String)]): Unit = {
+                            rows: Seq[(Long, String, String)]): Unit =
+    writeDocsFile4(d, rows.map { case (id, t, l) => (id, t, l, "web") })
+
+  private def writeDocsFile4(
+      d: String, rows: Seq[(Long, String, String, String)]): Unit = {
     import java.nio.file.{Files, Paths}
-    rows.map { case (id, t, l) => (id, t, l, "web", t.length.toLong) }
+    rows.map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .coalesce(1).write.mode("overwrite").parquet(s"$d/_docs_tmp")
     val part = Files.list(Paths.get(s"$d/_docs_tmp")).toArray
@@ -212,5 +216,94 @@ class SelectionSpec extends SparkSpec {
     // batch 3 holds only (3,4): its wrapped negative is its own
     // positive -> degenerate, dropped.
     assert(out == Set((1L, 2L, 10L), (9L, 10L, 2L)))
+  }
+
+  /** Source-cap fixture: one over-represented source (40 docs) and a
+    * niche one (4 docs): N = 44, cap = 44 div 4 = 11 < 40. */
+  private lazy val capDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_selcap_fix").toString
+    writeDocsFile4(d,
+      (1L to 40L).map(i => (i, doc(EnWords, 2), "en", "mega")) ++
+        (101L to 104L).map(i => (i, doc(DeWords, 2), "de", "niche")))
+    d
+  }
+
+  /** The doc's 16-bit hash slice, recomputed independently. */
+  private def capHash(id: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"srccap:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def h(c: Char) = "0123456789abcdef".indexOf(c).toLong
+    ((h(hex(0)) * 16 + h(hex(1))) * 16 + h(hex(2))) * 16 + h(hex(3))
+  }
+
+  test("sel_source_cap: under-cap sources keep all; the mega source thins to the cap rate") {
+    val out = SparkEntry.queries("sel_source_cap")(spark, capDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(out.size == 44)
+    // niche sits under the cap: full-rate threshold, everything kept
+    (101L to 104L).foreach(id =>
+      assert(out(id) == (("niche", 4L, 65536L, 1)), s"doc $id: ${out(id)}"))
+    // mega is over: threshold floor(11 * 65536 / 40), and the kept
+    // set is EXACTLY the ids whose hash slice falls under it
+    val thr = 11L * 65536L / 40L
+    (1L to 40L).foreach { id =>
+      val (src, n, t, kept) = out(id)
+      assert(src == "mega" && n == 40L && t == thr, s"doc $id: ${out(id)}")
+      assert(kept == (if (capHash(id) < thr) 1 else 0), s"doc $id kept=$kept")
+    }
+    // rate-exact sampling: some but not all of the mega source remains
+    val k = (1L to 40L).count(id => out(id)._4 == 1)
+    assert(k > 0 && k < 40, s"kept $k of 40 at rate 11/40")
+  }
+
+  /** Drift fixture: the reference half (even ids) writes EnWords, the
+    * incoming half (odd ids) DeWords — disjoint vocabularies with
+    * equal token totals (R = N = 40), so the smoothing denominators
+    * cancel exactly and per-bucket signs are unambiguous. */
+  private lazy val driftDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_seldrift_fix")
+      .toString
+    writeDocsFile(d, Seq(
+      (2L, doc(EnWords, 4), "en"), (4L, doc(EnWords, 4), "en"),
+      (1L, doc(DeWords, 4), "de"), (3L, doc(DeWords, 4), "de")))
+    d
+  }
+
+  test("sel_drift: identically-distributed halves report zero drift everywhere") {
+    // the main fixture's halves carry the SAME word multisets (doc 3
+    // is a permutation of EnWords, doc 7 of DeWords), so every bucket
+    // has n_ref = n_new and the PSI integrand vanishes exactly
+    val rows = SparkEntry.queries("sel_drift")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"bucket ${r.getInt(0)}")
+      assert(r.getLong(3) == 0L && r.getLong(4) == 0L,
+        s"bucket ${r.getInt(0)}: ${r.toSeq}")
+    }
+  }
+
+  test("sel_drift: contributions match an independent fixed-point PSI reference") {
+    val refWords = Seq.fill(2)(Seq.fill(4)(EnWords).flatten).flatten
+    val newWords = Seq.fill(2)(Seq.fill(4)(DeWords).flatten).flatten
+    val nRef = refWords.groupBy(bucket).map { case (b, ws) => b -> ws.size.toLong }
+    val nNew = newWords.groupBy(bucket).map { case (b, ws) => b -> ws.size.toLong }
+    val (rTot, nTot) = (refWords.size.toLong, newWords.size.toLong)
+    val want = (nRef.keySet ++ nNew.keySet).map { b =>
+      val (r, n) = (nRef.getOrElse(b, 0L), nNew.getOrElse(b, 0L))
+      val lr = FixedLog(r + 1) - FixedLog(n + 1) -
+        (FixedLog(rTot + 256) - FixedLog(nTot + 256))
+      b -> ((r, n, lr, ((r + 1) * (nTot + 256) - (n + 1) * (rTot + 256)) * lr))
+    }.toMap
+    val got = SparkEntry.queries("sel_drift")(spark, driftDir).collect()
+      .map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == want)
+    // every bucket's term mirrors (p-q)·log(p/q) >= 0, and the
+    // disjoint single-sided buckets drift strictly
+    got.values.foreach { case (r, n, _, c) =>
+      assert(c >= 0L)
+      if (r == 0L || n == 0L) assert(c > 0L)
+    }
   }
 }
