@@ -398,6 +398,34 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("sel_source_cap: thresholds broadcast; the doc table never shuffles whole") {
+    // the cap's design claim: the only Exchange hashpartitioning is
+    // the per-source count's PARTIAL-agg exchange (|sources| rows per
+    // mapper, not corpus volume); the threshold table reaches the doc
+    // scan as a broadcast, so doc rows are never redistributed
+    val plan = finalPlan("sel_source_cap")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(shuffles >= 1, s"sel_source_cap pin went vacuous:\n$plan")
+    assert(shuffles <= 1, s"sel_source_cap gained a doc shuffle: $shuffles\n$plan")
+  }
+
+  test("sel_drift: one corpus spread + one bucket agg; totals broadcast back") {
+    // corpus-volume shuffles stay at two (the hashedWords spread
+    // repartition and the groupBy(b) partial-agg exchange); the 1-row
+    // totals rejoin the 256-row model as a broadcast, never a sort
+    val plan = finalPlan("sel_drift")
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
+    assert(shuffles >= 1, s"sel_drift pin went vacuous:\n$plan")
+    assert(shuffles <= 2, s"sel_drift gained a shuffle: $shuffles\n$plan")
+  }
+
   test("s14: box predicate is pushed to the z-ordered parquet scan") {
     // the rendered PushedFilters list truncates ("LessThanOrEqual(l_sup…")
     // so assert the first pushed filter there and the second via the
