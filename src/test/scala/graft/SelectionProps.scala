@@ -41,4 +41,51 @@ object SelectionProps extends Properties("selection") {
       def score(ns: Seq[Long]) = ns.map(FixedLog(_)).sum
       score(a ++ b) == score(a) + score(b)
     }
+
+  /** sel_source_cap's per-source keep threshold (independent of the
+    * Spark rendering): full rate at/under the cap, else the 16-bit
+    * floor of cap/n_source. */
+  private def capThr(cap: Long, n: Long): Long =
+    if (n <= cap) 65536L else cap * 65536L / n
+
+  /** Growing a source can only LOWER its threshold — so a doc dropped
+    * by the cap can never be re-admitted by more crawling (and a kept
+    * doc survives any shrink), the consistency claim sel_source_cap's
+    * comment makes for incremental re-crawls. */
+  property("source-cap threshold is monotone non-increasing in source size") =
+    forAll(Gen.chooseNum(1L, 1000000L),
+           Gen.chooseNum(1L, 1000000L), Gen.chooseNum(1L, 1000000L)) {
+      (cap, a, b) =>
+        capThr(cap, math.min(a, b)) >= capThr(cap, math.max(a, b))
+    }
+
+  /** The realized keep rate t/65536 sits in (cap/n - 1/65536, cap/n]:
+    * the cap is honored (never exceeded in rate) to hash granularity. */
+  property("source-cap rate is the exact 16-bit floor of cap/n_source") =
+    forAll(Gen.chooseNum(1L, 100000L), Gen.chooseNum(1L, 100000L)) {
+      (cap, extra) =>
+        val n = cap + extra // strictly over the cap
+        val t = capThr(cap, n)
+        t * n <= cap * 65536L && (t + 1) * n > cap * 65536L
+    }
+
+  /** sel_drift's per-bucket PSI integrand (independent recompute). */
+  private def driftC(r: Long, n: Long, rTot: Long, nTot: Long): Long = {
+    val lr = FixedLog(r + 1) - FixedLog(n + 1) -
+      (FixedLog(rTot + 256) - FixedLog(nTot + 256))
+    ((r + 1) * (nTot + 256) - (n + 1) * (rTot + 256)) * lr
+  }
+
+  private val genCnt = Gen.chooseNum(0L, 100000L)
+  private val genTot = Gen.chooseNum(1L, 1000000L)
+
+  property("drift contribution is symmetric in the two snapshots") =
+    forAll(genCnt, genCnt, genTot, genTot) { (r, n, rt, nt) =>
+      driftC(r, n, rt, nt) == driftC(n, r, nt, rt)
+    }
+
+  property("drift vanishes on identical counts, never negative at equal totals") =
+    forAll(genCnt, genCnt, genTot) { (r, n, tot) =>
+      driftC(r, r, tot, tot) == 0L && driftC(r, n, tot, tot) >= 0L
+    }
 }
