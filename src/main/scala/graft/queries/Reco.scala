@@ -197,7 +197,14 @@ object Reco {
       // degree is; the degree cap (≤1000 distinct items, no-op here,
       // load-bearing on power-law users) is the standard guard that
       // keeps the quadratic term linear-ish in practice. Pair agg and
-      // top-k window both shuffle on the item key.
+      // top-k window both shuffle on the item key. The self-join IS
+      // the fast form: a basket-array variant (collect_set per user +
+      // double explode, reco_next_item's shape) measured 2-3× slower
+      // here — chained Generate operators break whole-stage codegen
+      // and the per-user set buffers materialize, while the self-join
+      // streams through one sort-merge join; next_item wins with
+      // arrays only because its joins move one row per ORDER either
+      // way and the arrays spare a corpus-scale distinct.
       val t = Tables(s, dir)
       val ui = t.orders.select(col("o_orderkey"), col("o_custkey"))
         .join(t.lineitem.select(col("l_orderkey"), col("l_partkey")),
