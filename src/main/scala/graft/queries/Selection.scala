@@ -305,7 +305,9 @@ object Selection {
       val total = docs.agg(count(lit(1)).as("n_total"))
       val thr = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
         .crossJoin(broadcast(total))
-        .withColumn("cap", expr(s"n_total div $CapDenom"))
+        // a corpus smaller than CapDenom still admits one doc per
+        // source (cap 0 would silently empty it)
+        .withColumn("cap", expr(s"greatest(1L, n_total div $CapDenom)"))
         .withColumn("thr_fp",
           when(col("n_source") <= col("cap"), lit(CapGrain.toLong))
             .otherwise(expr(s"(cap * $CapGrain) div n_source")))
@@ -596,7 +598,7 @@ object Selection {
          |WHERE neg <> id_b AND neg <> id_a""".stripMargin,
     "sel_source_cap" ->
       s"""WITH t AS (
-         |  SELECT CAST(COUNT(*) AS BIGINT) // $CapDenom AS cap
+         |  SELECT greatest(1, CAST(COUNT(*) AS BIGINT) // $CapDenom) AS cap
          |  FROM documents),
          |srcs AS (
          |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_source
