@@ -301,26 +301,10 @@ object Selection {
       // table itself never shuffles. Long arithmetic holds to ~2^47
       // docs; past that the |sources|-row threshold table moves to
       // DECIMAL with no plan change.
-      val docs = Tables(s, dir).documents.select(col("doc_id"), col("source"))
-      val total = docs.agg(count(lit(1)).as("n_total"))
-      val thr = docs.groupBy("source").agg(count(lit(1)).as("n_source"))
-        .crossJoin(broadcast(total))
-        // a corpus smaller than CapDenom still admits one doc per
-        // source (cap 0 would silently empty it)
-        .withColumn("cap", expr(s"greatest(1L, n_total div $CapDenom)"))
-        .withColumn("thr_fp",
-          when(col("n_source") <= col("cap"), lit(CapGrain.toLong))
-            .otherwise(expr(s"(cap * $CapGrain) div n_source")))
-        .select("source", "n_source", "thr_fp")
-      docs
-        .withColumn("m",
-          md5(concat(lit("srccap:"), col("doc_id").cast("string"))))
-        .withColumn("hv",
-          expr("(instr('0123456789abcdef', substr(m, 1, 1)) - 1) * 4096" +
-            " + (instr('0123456789abcdef', substr(m, 2, 1)) - 1) * 256" +
-            " + (instr('0123456789abcdef', substr(m, 3, 1)) - 1) * 16" +
-            " + instr('0123456789abcdef', substr(m, 4, 1)) - 1"))
-        .join(broadcast(thr), Seq("source"))
+      Tables(s, dir).documents.select(col("doc_id"), col("source"))
+        .withColumn("m", capDigestCol(col("doc_id")))
+        .withColumn("hv", expr(capHashExpr("m")))
+        .join(broadcast(sourceCapThresholds(s, dir)), Seq("source"))
         .select(col("doc_id"), col("source"), col("n_source"), col("thr_fp"),
           when(col("hv") < col("thr_fp"), 1).otherwise(0).as("kept"))
     }),
@@ -420,6 +404,53 @@ object Selection {
       .agg(min(col("dsir_fp"))).collect().head.getLong(0)
     (weights, dFp, thr)
   }
+
+  /** The doc's 16-bit hash slice for the source cap, as SQL over a
+    * digest column holding md5("srccap:" + doc_id): 4 leading hex
+    * digits as an integer in [0, CapGrain). Shared by the batch query
+    * and the streaming gate so the keep decision is one definition. */
+  private[graft] def capHashExpr(mCol: String): String =
+    s"(instr('0123456789abcdef', substr($mCol, 1, 1)) - 1) * 4096" +
+      s" + (instr('0123456789abcdef', substr($mCol, 2, 1)) - 1) * 256" +
+      s" + (instr('0123456789abcdef', substr($mCol, 3, 1)) - 1) * 16" +
+      s" + instr('0123456789abcdef', substr($mCol, 4, 1)) - 1"
+
+  /** The digest column the hash slice reads. */
+  private[graft] def capDigestCol(docId: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    md5(concat(lit("srccap:"), docId.cast("string")))
+
+  /** (source, n_source, thr_fp) — ONE definition of the cap model,
+    * read by the batch `sel_source_cap` (broadcast join) and the
+    * streaming gate's compiled form, so a cap tweak cannot
+    * desynchronize offline selection from online serving. */
+  private[graft] def sourceCapThresholds(s: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = Tables(s, dir).documents.select(col("doc_id"), col("source"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_source"))
+      .crossJoin(broadcast(total))
+      // a corpus smaller than CapDenom still admits one doc per
+      // source (cap 0 would silently empty it)
+      .withColumn("cap", expr(s"greatest(1L, n_total div $CapDenom)"))
+      .withColumn("thr_fp",
+        when(col("n_source") <= col("cap"), lit(CapGrain.toLong))
+          .otherwise(expr(s"(cap * $CapGrain) div n_source")))
+      .select("source", "n_source", "thr_fp")
+  }
+
+  /** Compile the cap model for ONLINE serving: one bounded collect of
+    * the per-source threshold table. Bounded because the capping unit
+    * is the corpus' mixture-cell source taxonomy (≤ thousands), the
+    * same cardinality every mixing/datacard operator assumes; an
+    * open-web domain cap (millions of keys) would instead broadcast-
+    * join the threshold TABLE inside foreachBatch rather than bake
+    * literals into the expression. */
+  private[graft] def sourceCapCompiled(s: SparkSession, dir: String)
+      : Seq[(String, Long, Long)] =
+    sourceCapThresholds(s, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
 
   /** Row-local scoring expression over a word-array column `ws`:
     * Σ_w weights[bucket(w)] + size(ws) * dFp — the compiled form of

@@ -26,7 +26,9 @@ object Streaming {
     "st_corpus_ingest" -> ((s, dir) =>
       graft.streaming.DocumentStream.corpusIngest(s, dir)),
     "st_sel_gate" -> ((s, dir) =>
-      graft.streaming.DocumentStream.selGate(s, dir)))
+      graft.streaming.DocumentStream.selGate(s, dir)),
+    "st_source_cap_gate" -> ((s, dir) =>
+      graft.streaming.DocumentStream.sourceCapGate(s, dir)))
 
   val oracles: Map[String, String] = Map(
     "st_corpus_ingest" ->
@@ -235,6 +237,10 @@ object Streaming {
          |thr AS (SELECT ${Selection.dsirThresholdSql} AS t)
          |SELECT doc_id, n_tokens, dsir_fp, dsir_fp >= t AS kept
          |FROM per CROSS JOIN thr""".stripMargin,
+    // the streaming cap gate replays the batch decision bit-for-bit
+    // (same thresholds, same hash slice), so its oracle IS the batch
+    // operator's oracle
+    "st_source_cap_gate" -> Selection.oracles("sel_source_cap"),
     // the upsert target's final state = last event (by ts, event_id)
     // plus total count per user, independent of batch boundaries.
     "st_upsert_sink" ->

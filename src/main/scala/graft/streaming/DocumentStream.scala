@@ -128,4 +128,35 @@ object DocumentStream {
         .withColumn("kept", col("dsir_fp") >= thr)
     }
   }
+
+  /** Online deployment of the source cap (sel_source_cap), the same
+    * train-offline/serve-online split as [[selGate]]: the per-source
+    * threshold table is fit in batch (one bounded collect — the
+    * source taxonomy, ≤ thousands of rows like every mixing/datacard
+    * cell key), baked into two literal maps, and each arriving doc
+    * keeps iff its 16-bit hash slice falls under its source's
+    * threshold — a pure stateless projection, bit-identical to the
+    * batch decision. A source never seen at fit time admits at full
+    * rate (no history → nothing to cap) with n_source = 0. */
+  def sourceCapGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.queries.Selection
+    val model = Selection.sourceCapCompiled(spark, dir)
+    val nMap = map(model.flatMap { case (src, n, _) =>
+      Seq(lit(src), lit(n)) }: _*)
+    val tMap = map(model.flatMap { case (src, _, t) =>
+      Seq(lit(src), lit(t)) }: _*)
+    EventStream.runToTable(spark, s"st_srccap_${dir.hashCode.abs}",
+      mode = "append") { ss =>
+      readDocuments(ss, dir)
+        .select(col("doc_id"), col("source"))
+        .withColumn("m", Selection.capDigestCol(col("doc_id")))
+        .withColumn("hv", expr(Selection.capHashExpr("m")))
+        .select(col("doc_id"), col("source"),
+          coalesce(element_at(nMap, col("source")), lit(0L)).as("n_source"),
+          coalesce(element_at(tMap, col("source")), lit(65536L)).as("thr_fp"),
+          when(col("hv") <
+            coalesce(element_at(tMap, col("source")), lit(65536L)), 1)
+            .otherwise(0).as("kept"))
+    }
+  }
 }

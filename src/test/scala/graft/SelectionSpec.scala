@@ -257,6 +257,16 @@ class SelectionSpec extends SparkSpec {
     assert(k > 0 && k < 40, s"kept $k of 40 at rate 11/40")
   }
 
+  test("st_source_cap_gate: the compiled online gate replays the batch cap decisions") {
+    val batch = SparkEntry.queries("sel_source_cap")(spark, capDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    val gate = SparkEntry.queries("st_source_cap_gate")(spark, capDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(gate == batch)
+  }
+
   /** Drift fixture: the reference half (even ids) writes EnWords, the
     * incoming half (odd ids) DeWords — disjoint vocabularies with
     * equal token totals (R = N = 40), so the smoothing denominators
