@@ -76,8 +76,9 @@ object Selection {
   private val CapDenom = 4
   /** Hash-rate granularity for the source cap: thresholds live on a
     * 16-bit grid (the doc hash is a 4-hex-digit md5 slice), so the
-    * per-source keep rate is exact to 1/65536. */
-  private val CapGrain = 65536
+    * per-source keep rate is exact to 1/65536. private[graft]: the
+    * streaming gate's full-rate default must sit on the SAME grid. */
+  private[graft] val CapGrain = 65536
 
   /** (doc_id, lang, b) — one row per token, b = hashed unigram bucket
     * from the two leading md5 hex chars (0..255). The repartition
@@ -290,9 +291,11 @@ object Selection {
       // downsampled DETERMINISTICALLY by hash rate (keep iff the
       // doc's 16-bit md5 slice falls under the source's threshold
       // floor(cap * CapGrain / n_source)), so the same doc survives
-      // on every engine, every cluster size, every rerun — and a
-      // re-crawl that only grows a source thins consistently (the
-      // threshold only moves down, so kept sets shrink monotonically).
+      // on every engine, every cluster size, every rerun. At a FIXED
+      // cap, growing a source only lowers its threshold (kept sets
+      // shrink monotonically — SelectionProps pins this); corpus-wide
+      // growth raises the cap itself and can re-admit docs, which is
+      // the point: the cap constrains corpus SHARE, not volume.
       // The cap is rate-exact (binomial in realized count), not
       // rank-exact: the rank version needs a per-source window over
       // the whole corpus (tx_shard's shape, with the skew landing on

@@ -137,26 +137,28 @@ object DocumentStream {
     * keeps iff its 16-bit hash slice falls under its source's
     * threshold — a pure stateless projection, bit-identical to the
     * batch decision. A source never seen at fit time admits at full
-    * rate (no history → nothing to cap) with n_source = 0. */
+    * rate (no history → nothing to cap) with n_source = 0; a NULL
+    * source is dropped, matching the batch operator's inner join. */
   def sourceCapGate(spark: SparkSession, dir: String): DataFrame = {
     import graft.queries.Selection
     val model = Selection.sourceCapCompiled(spark, dir)
+    val fullRate = lit(Selection.CapGrain.toLong)
     val nMap = map(model.flatMap { case (src, n, _) =>
       Seq(lit(src), lit(n)) }: _*)
     val tMap = map(model.flatMap { case (src, _, t) =>
       Seq(lit(src), lit(t)) }: _*)
     EventStream.runToTable(spark, s"st_srccap_${dir.hashCode.abs}",
       mode = "append") { ss =>
+      val thr = coalesce(element_at(tMap, col("source")), fullRate)
       readDocuments(ss, dir)
         .select(col("doc_id"), col("source"))
+        .filter(col("source").isNotNull)
         .withColumn("m", Selection.capDigestCol(col("doc_id")))
         .withColumn("hv", expr(Selection.capHashExpr("m")))
         .select(col("doc_id"), col("source"),
           coalesce(element_at(nMap, col("source")), lit(0L)).as("n_source"),
-          coalesce(element_at(tMap, col("source")), lit(65536L)).as("thr_fp"),
-          when(col("hv") <
-            coalesce(element_at(tMap, col("source")), lit(65536L)), 1)
-            .otherwise(0).as("kept"))
+          thr.as("thr_fp"),
+          when(col("hv") < thr, 1).otherwise(0).as("kept"))
     }
   }
 }

@@ -48,10 +48,11 @@ object SelectionProps extends Properties("selection") {
   private def capThr(cap: Long, n: Long): Long =
     if (n <= cap) 65536L else cap * 65536L / n
 
-  /** Growing a source can only LOWER its threshold — so a doc dropped
-    * by the cap can never be re-admitted by more crawling (and a kept
-    * doc survives any shrink), the consistency claim sel_source_cap's
-    * comment makes for incremental re-crawls. */
+  /** At a FIXED cap, growing a source can only LOWER its threshold —
+    * so re-crawling one source (rest of the corpus pinned) never
+    * re-admits a dropped doc. Corpus-wide growth raises the cap
+    * itself and CAN re-admit: the cap constrains share, not volume,
+    * which is why cap and n vary independently here. */
   property("source-cap threshold is monotone non-increasing in source size") =
     forAll(Gen.chooseNum(1L, 1000000L),
            Gen.chooseNum(1L, 1000000L), Gen.chooseNum(1L, 1000000L)) {
