@@ -112,8 +112,11 @@ object ManifestLedger {
                 // CREATE_NEW succeeded (the file is exclusively ours)
                 // but the content write aborted: a torn head must not
                 // stay visible — later writers would rebase on the
-                // truncated list and drop ledger entries
-                java.nio.file.Files.deleteIfExists(targetP)
+                // truncated list and drop ledger entries. The cleanup
+                // itself can fail transiently; never let that replace
+                // the root cause — attach it as suppressed instead.
+                try java.nio.file.Files.deleteIfExists(targetP)
+                catch { case c: Throwable => e.addSuppressed(c) }
                 throw e
             }
         }

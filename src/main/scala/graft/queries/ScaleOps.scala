@@ -751,17 +751,24 @@ object ScaleOps {
       // list is O(files) metadata), then the DVs are obsolete
       val touched = dvAll.select(col("_f")).distinct()
         .collect().map(_.getString(0)).toSet
-      live.filter(col("_f").isin(touched.toSeq: _*))
-        .drop("_f", "_p")
-        .write.mode("overwrite").parquet(s"$root/compacted")
       // the post-compaction table = rewritten files ∪ base files that
       // carried no DV entry (those were never rewritten and keep all
       // their rows) — reading the rewrite output alone would silently
       // drop every untouched file's rows the moment a delete predicate
-      // stops hitting all files
-      val compacted = s.read.parquet(s"$root/compacted")
-        .unionByName(withPos.filter(!col("_f").isin(touched.toSeq: _*))
-          .drop("_f", "_p"))
+      // stops hitting all files. Degenerate corpus guard: if NO file
+      // carried a DV entry there is nothing to rewrite — skip the
+      // write (zero part files would make the read-back fail schema
+      // inference) and the table is just the untouched base.
+      val compacted =
+        if (touched.isEmpty) withPos.drop("_f", "_p")
+        else {
+          live.filter(col("_f").isin(touched.toSeq: _*))
+            .drop("_f", "_p")
+            .write.mode("overwrite").parquet(s"$root/compacted")
+          s.read.parquet(s"$root/compacted")
+            .unionByName(withPos.filter(!col("_f").isin(touched.toSeq: _*))
+              .drop("_f", "_p"))
+        }
       def audit(step: String, df: DataFrame, dvEntries: DataFrame) = {
         val d = df.agg(count(lit(1)).as("n_live"),
           dsum(col("l_quantity")).as("sum_qty"))

@@ -429,7 +429,14 @@ object Selection {
     * desynchronize offline selection from online serving. */
   private[graft] def sourceCapThresholds(s: SparkSession, dir: String)
       : DataFrame = {
-    val docs = Tables(s, dir).documents.select(col("doc_id"), col("source"))
+    // NULL-source docs are dropped by both the batch query and the
+    // streaming gate's keep predicate; drop them on the FIT side too,
+    // else groupBy keeps a null key that the compiled gate's sortBy /
+    // map-literal cannot represent (and the model would count docs the
+    // serve side never admits)
+    val docs = Tables(s, dir).documents
+      .filter(col("source").isNotNull)
+      .select(col("doc_id"), col("source"))
     val total = docs.agg(count(lit(1)).as("n_total"))
     docs.groupBy("source").agg(count(lit(1)).as("n_source"))
       .crossJoin(broadcast(total))
