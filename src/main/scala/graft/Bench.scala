@@ -107,6 +107,18 @@ object Bench {
         }
         (ok, (System.nanoTime() - t0) / 1e9, cold)
       }
+      // one UNTIMED warmup execution: heavy generated-code queries
+      // (tx_ngram_profile's n-gram folds, g_pagerank's 5-deep join
+      // chain) need 2-4 executions before C2 JIT tiering settles —
+      // r8/r9 showed their first timed samples 3-6× steady state,
+      // firing the steal-retry on every healthy run. The min (the
+      // reported statistic, and what baselines are built from) is a
+      // steady-state number either way; the warmup only stops warmup
+      // tail samples from masquerading as steal spread. Cold entries
+      // still drop scratch+cache before their timed cold sample, so
+      // the warmup leaves them JIT-warm but IO-cold — cold measures
+      // first-build IO, not janino compilation.
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
       var timings = (1 to runs).map(i => once(coldQ && i == 1))
       // steal retry: a >2× spread among successful runs is the steal
       // signature (one blown-up run among normal ones), and the min
@@ -122,25 +134,13 @@ object Bench {
       def goodWarm = timings.filter(t => t._1 && !t._3).map(_._2)
       // basis: cold samples are EXCLUDED outright for coldExplicit
       // entries (cold legitimately exceeds 2× warm — first-build IO —
-      // and would fire the spread retry on every healthy run); for
-      // everything else run 1 is dropped when ≥3 samples exist (it
-      // carries codegen warmup)
-      val basis = {
-        val b = if (coldQ) goodWarm else good
-        if (!coldQ && b.size >= 3) b.tail else b
-      }
-      val spreadRetry = basis.nonEmpty && basis.max / basis.min > 2.0
-      // uniform-steal shape (round 5's st_user_journey phantom:
-      // [2.14, 7.61, 6.57]): run 1 — which CARRIES codegen warmup —
-      // is the minimum and every post-warmup run is ≥2× it.
-      // Steady-state can't be slower than warmup, so that shape means
-      // every steady-state sample was contaminated AND the reported
-      // min is a warmup-laden outlier of an earlier, milder wave.
-      // (Not meaningful for coldExplicit entries, whose run 1 is the
-      // deliberately-slow cold sample.)
-      val uniformRetry = !coldQ && good.size >= 3 && good.head <= good.min &&
-        basis.min / good.head > 2.0
-      val retried = spreadRetry || uniformRetry
+      // and would fire the spread retry on every healthy run). With
+      // the untimed warmup above, every timed sample is steady-state,
+      // so a >2× spread among them IS the steal signature — the old
+      // drop-run-1 and warmup-shaped-minimum special cases are gone
+      // with the warmup tail that motivated them.
+      val basis = if (coldQ) goodWarm else good
+      val retried = basis.nonEmpty && basis.max / basis.min > 2.0
       if (retried) timings ++= (1 to 2).map(_ => once(false))
       // suite-long contamination defense: min-of-3 within one pass
       // can't see pressure that spans the whole suite (page cache,
@@ -168,8 +168,23 @@ object Bench {
         (if (retried) "  (retried)" else "") +
         (if (suspect) f"  (SUSPECT: baseline ${base.get}%.2f)" else ""))
       // release per-query persisted intermediates so one query's cache
-      // doesn't squeeze the next query's execution memory
+      // doesn't squeeze the next query's execution memory. Three
+      // layers, because clearCache alone left the suite accumulating
+      // pressure (r9: reco_item_item — entry ~36 of 53 — rose
+      // monotonically 7.2→9.5→11.7 s within its own runs, while flat
+      // in isolation): (1) catalog cache; (2) RDD-level blocks —
+      // localCheckpoint output (g_reachability, ss_knn_graph,
+      // llm_corpus_build) registers in the block manager but NOT the
+      // catalog cache, so clearCache never dropped it; (3) a driver GC
+      // nudge so the ContextCleaner reclaims shuffle files and
+      // broadcast blocks of the just-finished query — with a 100+ GiB
+      // heap the JVM may otherwise not GC for the whole suite, and
+      // dozens of queries' shuffle spill stays on disk squeezing the
+      // page cache the next query's scans need.
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
       (name, sec, timings, retried, suspect, cold, warm)
     }
     val loadAfter = loadavg()

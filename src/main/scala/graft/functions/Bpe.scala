@@ -129,18 +129,44 @@ object Bpe {
   def charTokens(word: Column): Column =
     split(trim(regexp_replace(word, "(?s)(.)", "$1 ")), " ")
 
+  /** Hard ceiling on the number of merge rules `applyMergesCol` will
+    * inline. The expression tree is one `aggregate` fold PER RULE —
+    * plan size linear in k (~35 expression nodes per rule) — and, the
+    * binding constraint, Catalyst's Resolution batch spends one
+    * iteration resolving each nested higher-order-function lambda:
+    * with `spark.sql.analyzer.maxIterations` defaulting to 100, the
+    * chain ANALYZES at k=96 and throws "Max iterations (100) reached"
+    * at k=99 (measured on Spark 4.1). Measured cost inside the
+    * working range (2048-word column, analyze+execute): k=12 ≈ 0.3 s,
+    * k=64 ≈ 0.6 s, k=96 ≈ 0.6 s per pass — flat, because runtime is
+    * k·|word| regardless of inlining. So 96 is the ceiling, set by
+    * the analyzer, not the executor. A production tokenizer with a
+    * 32k-merge vocabulary must NOT inline: the scale form broadcasts
+    * the rule TABLE and loops a compact merge kernel to fixpoint per
+    * word inside one mapPartitions pass (rules indexed by left token,
+    * each word re-scanned until no rule fires) — constant plan size,
+    * same greedy-by-rank semantics, no per-rule analysis cost. */
+  val MaxInlineRules: Int = 96
+
   /** Column: apply the learned rules in rank order to a token array.
     * Each rule is one `aggregate` fold — greedy left-to-right by the
     * same argument as `applyRule` (a just-merged token can never equal
     * the rule's left side, since merged is strictly longer). `get` not
-    * `element_at`: null-safe on the empty accumulator under ANSI. */
-  def applyMergesCol(tokens: Column, rules: Seq[MergeRule]): Column =
+    * `element_at`: null-safe on the empty accumulator under ANSI.
+    * Refuses rule sets past [[MaxInlineRules]] — see its doc for the
+    * measured plan-cost curve and the 32k-merge production form. */
+  def applyMergesCol(tokens: Column, rules: Seq[MergeRule]): Column = {
+    require(rules.size <= MaxInlineRules,
+      s"applyMergesCol inlines one fold per rule (plan size linear in k); " +
+        s"${rules.size} rules > MaxInlineRules=$MaxInlineRules — use the " +
+        "broadcast-rule-table fixpoint form for production vocabularies")
     rules.foldLeft(tokens) { (acc, rule) =>
       aggregate(acc, typedLit(Seq.empty[String]), (a: Column, t: Column) =>
         when(get(a, size(a) - 1) === lit(rule.lft) && t === lit(rule.rgt),
           concat(slice(a, lit(1), size(a) - 1), array(lit(rule.merged))))
           .otherwise(concat(a, array(t))))
     }
+  }
 
   // ---------------------------------------------------------------
   // DuckDB oracle generation — the same learn loop, unrolled: per

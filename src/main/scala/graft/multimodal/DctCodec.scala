@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions.udf
 
 /** A REAL perceptual codec on the [[MediaCodec]] seam: the textbook
   * DCT pHash pipeline — gray raster → 2-D DCT-II → low-frequency 8×8
-  * block → median threshold → bit string — with only the byte→raster
-  * decode step synthesized (payload bytes tiled as pixels), because
-  * no image library ships in this build. It demonstrates the seam
+  * block → median threshold → bit string. The byte→raster decode is
+  * real for uncompressed BMP containers (header parsed by pure byte
+  * arithmetic — see parseBmp: dimensions and pixels flow from
+  * actual payload structure) and synthesized for everything else
+  * (payload bytes tiled as pixels), because no image library ships
+  * in this build. It demonstrates the seam
   * carries a real algorithm end-to-end with the properties the banded
   * near-dup join in `mm_phash_neardup` relies on: byte-identical
   * payloads hash equal, small payload edits move few bits, unrelated
@@ -29,20 +32,105 @@ object DctCodec extends MediaCodec {
   private val cosT: Array[Array[Double]] =
     Array.tabulate(K, N)((u, x) => math.cos((2 * x + 1) * u * math.Pi / (2.0 * N)))
 
-  /** Synthesized decode: tile payload bytes into an N×N gray raster,
-    * reading from `offset` (frame index × raster size for videos —
-    * the stand-in for seeking to a frame). */
-  private def raster(payload: Array[Byte], offset: Long): Array[Double] = {
-    val out = new Array[Double](N * N)
-    if (payload.nonEmpty) {
-      val len = payload.length
-      var i = 0
-      while (i < N * N) {
-        out(i) = (payload(((offset + i) % len).toInt) & 0xff).toDouble
-        i += 1
+  /** A decoded uncompressed BMP: dimensions from the real container
+    * header, gray pixels row-major TOP-DOWN. */
+  private[graft] final case class Bmp(
+    width: Int, height: Int, gray: Array[Double])
+
+  private def le16(p: Array[Byte], o: Int): Int =
+    (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+  private def le32(p: Array[Byte], o: Int): Int =
+    (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
+      ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
+
+  /** REAL container decode, pure byte arithmetic: Windows BMP with a
+    * BITMAPINFOHEADER-or-larger DIB, 24-bpp, BI_RGB (uncompressed).
+    * Layout per the public format: 'BM' magic, pixel-array offset at
+    * byte 10, DIB size at 14, little-endian signed width/height at
+    * 18/22 (negative height = top-down), planes at 26, bpp at 28,
+    * compression at 30; each pixel row is BGR triples padded to a
+    * 4-byte boundary, rows stored bottom-up unless top-down. Any
+    * malformed/foreign payload → None (tiled-raster fallback), with
+    * the declared pixel array bounds-checked against the actual
+    * payload so a lying header can never read out of bounds. */
+  private[graft] def parseBmp(p: Array[Byte]): Option[Bmp] = {
+    if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) return None
+    val dataOff = le32(p, 10)
+    if (le32(p, 14) < 40) return None
+    val w = le32(p, 18)
+    val hRaw = le32(p, 22)
+    if (w <= 0 || hRaw == 0 || le16(p, 26) != 1 ||
+      le16(p, 28) != 24 || le32(p, 30) != 0) return None
+    val h = math.abs(hRaw)
+    val topDown = hRaw < 0
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    // bound the decode (a header can declare anything) and verify the
+    // declared pixel array actually fits inside the payload
+    if (w.toLong * h > (1L << 24)) return None
+    if (dataOff < 54 || dataOff.toLong + rowBytes.toLong * h > p.length)
+      return None
+    val gray = new Array[Double](w * h)
+    var y = 0
+    while (y < h) {
+      val ro = dataOff + (if (topDown) y else h - 1 - y) * rowBytes
+      var x = 0
+      while (x < w) {
+        val b = p(ro + 3 * x) & 0xff
+        val g = p(ro + 3 * x + 1) & 0xff
+        val r = p(ro + 3 * x + 2) & 0xff
+        // ITU-R BT.601 integer luma, the same weighting every
+        // real gray conversion uses
+        gray(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000.0
+        x += 1
       }
+      y += 1
     }
-    out
+    Some(Bmp(w, h, gray))
+  }
+
+  /** Dimensions as decoded from a real container header, if the
+    * payload is one (spec/diagnostic hook: proves width/height flow
+    * from payload STRUCTURE, not metadata columns). */
+  def decodedDims(payload: Array[Byte]): Option[(Int, Int)] =
+    parseBmp(payload).map(b => (b.width, b.height))
+
+  /** Decode to the N×N analysis raster. Payloads carrying a real BMP
+    * container are decoded through their header — dimensions and
+    * pixels from actual payload structure, nearest-neighbor resampled
+    * to N×N, `offset` (the frame stand-in) shifting the source pixel
+    * index modulo the image. Anything else falls back to tiling the
+    * raw bytes as pixels from `offset` (no image libs ship in this
+    * build, so arbitrary payloads still raster deterministically). */
+  private def raster(payload: Array[Byte], offset: Long): Array[Double] = {
+    parseBmp(payload) match {
+      case Some(bmp) =>
+        val out = new Array[Double](N * N)
+        val np = bmp.width.toLong * bmp.height
+        var j = 0
+        while (j < N) {
+          var i = 0
+          while (i < N) {
+            val sy = j * bmp.height / N
+            val sx = i * bmp.width / N
+            out(j * N + i) = bmp.gray(
+              ((sy.toLong * bmp.width + sx + offset) % np).toInt)
+            i += 1
+          }
+          j += 1
+        }
+        out
+      case None =>
+        val out = new Array[Double](N * N)
+        if (payload.nonEmpty) {
+          val len = payload.length
+          var i = 0
+          while (i < N * N) {
+            out(i) = (payload(((offset + i) % len).toInt) & 0xff).toDouble
+            i += 1
+          }
+        }
+        out
+    }
   }
 
   /** Low-frequency K×K block of the 2-D DCT-II of the raster,

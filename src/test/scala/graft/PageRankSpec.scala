@@ -59,6 +59,45 @@ class PageRankSpec extends SparkSpec {
     assert(total <= Scale && total >= Scale - 200L * got.size,
       s"total=$total")
   }
+
+  test("g_pagerank shuffled-scale path is bit-identical to the broadcast path") {
+    // fixed-point arithmetic is order-independent by construction, so
+    // the post-broadcast-scale path (co-partitioned shuffled joins)
+    // must reproduce the broadcast path's ranks EXACTLY — and both
+    // must equal the independent reference
+    def run(): Map[(String, Long), Long] =
+      graft.queries.Graph.queries("g_pagerank")(spark, fixtureDir)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val viaBroadcast = run()
+    spark.conf.set("graft.pagerank.broadcastNodeLimit", "0")
+    try {
+      val q = graft.queries.Graph.queries("g_pagerank")(spark, fixtureDir)
+      val viaShuffle = q.collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(viaShuffle == viaBroadcast)
+      assert(viaShuffle == reference)
+      // the scale path really took the shuffled form: walk the FINAL
+      // physical tree (a tree walk, unlike the plan string, does not
+      // descend into InMemoryRelation's cached edge-build lineage —
+      // where the orders⋈lineitem broadcast legitimately lives) and
+      // require every iteration join to be sort-merge, none broadcast
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+      def unwrap(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+        case st: QueryStageExec => unwrap(st.plan)
+        case other => other +: other.children.flatMap(unwrap)
+      }
+      val ops = unwrap(q.queryExecution.executedPlan)
+      val smj = ops.count(_.isInstanceOf[SortMergeJoinExec])
+      val bhj = ops.count(_.isInstanceOf[BroadcastHashJoinExec])
+      // 2 joins × Iters iterations, all shuffled
+      assert(smj == 2 * graft.queries.Graph.Iters, s"smj=$smj")
+      assert(bhj == 0, s"broadcast join leaked into the scale path: $bhj")
+    } finally spark.conf.unset("graft.pagerank.broadcastNodeLimit")
+  }
 }
 
 /** Pins g_label_propagation against an independent in-memory
