@@ -82,13 +82,21 @@ object Bench {
     // codegen paths so the first timed query isn't charged for them
     spark.read.parquet(s"$sfDir/region.parquet")
       .repartition(4).groupBy("r_name").count().count()
+    // the arg accepts comma-separated prefixes (exact names included)
+    // for subset runs like the sf1 rehearsal
+    val prefixes = prefix.split(",").filter(_.nonEmpty).toSeq
     val names =
-      if (all) SparkEntry.queries.keys.toSeq.sorted.filter(_.startsWith(prefix))
+      if (all) SparkEntry.queries.keys.toSeq.sorted
+        .filter(n => prefixes.isEmpty || prefixes.exists(n.startsWith))
       else headline.filter(SparkEntry.queries.contains)
     // default best-of-3: the min of 3 runs reports steady-state
     // throughput instead of scheduler luck (see steal note above)
     val runs = sys.env.get("GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
-    val baseline = baselines()
+    // baselines are sf0.1 suite-context numbers — applying them to any
+    // other data dir (the sf1 rehearsal) would flag every honest run
+    // as suspect and double-sample it
+    val baseline =
+      if (sfDir.contains("sf0.1")) baselines() else Map.empty[String, Double]
     System.err.println(s"[bench] baseline entries loaded: ${baseline.size}")
     val loadBefore = loadavg()
     val results = names.map { name =>

@@ -93,6 +93,49 @@ object Bpe {
   def encodeWord(word: String, rules: Seq[MergeRule]): Array[String] =
     rules.foldLeft(codepointTokens(word)) { (t, m) => applyRule(t, m.lft, m.rgt) }
 
+  /** Executor-side full encode with the inapplicable-rule skip: a rule
+    * can only fire if BOTH its sides are currently tokens of the word,
+    * so a token set turns the pass over a 32k-rule vocabulary into
+    * O(k) hash probes + O(len) work for the few rules that apply.
+    * Semantics identical to [[encodeWord]] (the set is refreshed after
+    * every applied rule). */
+  private def encodeWordBulk(word: String, rules: Array[MergeRule]): Array[String] = {
+    var toks = codepointTokens(word)
+    val present = mutable.HashSet.empty[String]
+    present ++= toks
+    var i = 0
+    while (i < rules.length) {
+      val m = rules(i)
+      if (present.contains(m.lft) && present.contains(m.rgt)) {
+        val applied = applyRule(toks, m.lft, m.rgt)
+        if (applied.length != toks.length) {
+          toks = applied
+          present.clear()
+          present ++= toks
+        }
+      }
+      i += 1
+    }
+    toks
+  }
+
+  /** The PRODUCTION-SCALE apply form promised by [[MaxInlineRules]]:
+    * rules ship once per executor as a broadcast TABLE and each word
+    * is encoded by a compact JVM kernel — plan size O(1) in k, no
+    * per-rule analysis or codegen, any vocabulary size (32k merges is
+    * ~2 MB broadcast). Still a narrow projection: no shuffle, the
+    * plan shape every 100 TB tokenization pass needs. Trade-off vs
+    * [[applyMergesCol]]: the kernel is a Scala UDF (opaque to
+    * whole-stage codegen), so below the inline ceiling the fold chain
+    * wins on per-row cost; past it, this is the only form that
+    * analyzes at all. Semantics are pinned identical (BpeProps). */
+  def applyMergesBulkCol(spark: org.apache.spark.sql.SparkSession,
+                         word: Column, rules: Seq[MergeRule]): Column = {
+    val bc = spark.sparkContext.broadcast(rules.sortBy(_.merge_rank).toArray)
+    udf((w: String) => if (w == null) null else encodeWordBulk(w, bc.value))
+      .apply(word)
+  }
+
   private def codepointTokens(w: String): Array[String] =
     w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
 
@@ -141,11 +184,9 @@ object Bpe {
     * k=64 ≈ 0.6 s, k=96 ≈ 0.6 s per pass — flat, because runtime is
     * k·|word| regardless of inlining. So 96 is the ceiling, set by
     * the analyzer, not the executor. A production tokenizer with a
-    * 32k-merge vocabulary must NOT inline: the scale form broadcasts
-    * the rule TABLE and loops a compact merge kernel to fixpoint per
-    * word inside one mapPartitions pass (rules indexed by left token,
-    * each word re-scanned until no rule fires) — constant plan size,
-    * same greedy-by-rank semantics, no per-rule analysis cost. */
+    * 32k-merge vocabulary must NOT inline — use [[applyMergesBulkCol]]
+    * (the broadcast-rule-table kernel: constant plan size, same
+    * greedy-by-rank semantics, no per-rule analysis cost). */
   val MaxInlineRules: Int = 96
 
   /** Column: apply the learned rules in rank order to a token array.

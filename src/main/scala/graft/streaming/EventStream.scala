@@ -550,8 +550,12 @@ object EventStream {
             .select(col("user_id"), col("_m.ts").as("last_ts"),
               col("_m.event_id").as("last_event_id"),
               col("_m.event_type").as("last_type"), col("n_events"))
-          // the _SUCCESS this write drops is the delta's commit marker
-          delta.write.mode("overwrite").parquet(s"$genRoot/b$batchId")
+          // the _SUCCESS this write drops is the delta's commit marker.
+          // ONE file per delta: the frame is O(batch) and pre-
+          // aggregated, so fan-out only multiplies commit-protocol and
+          // downstream-listing overhead (measured ~0.3 s off the
+          // 4-batch run vs 8 shuffle-partition files per delta)
+          delta.coalesce(1).write.mode("overwrite").parquet(s"$genRoot/b$batchId")
           lastCommitted = batchId
           if (batchId % UpsertCompactEvery == UpsertCompactEvery - 1)
             compact(batchId)
@@ -560,6 +564,19 @@ object EventStream {
             throw new RuntimeException("graft-injected-crash")
         }
       }
+      // Per-batch progress cost note (r9→r10 floor audit): a NO-OP
+      // foreachBatch stream over the same 4-file split measures
+      // ~0.9 s — offset/commit-log fsyncs plus micro-batch planning —
+      // so the query's ~2.4 s is ~0.9 s machinery + ~1.5 s of real
+      // merge work (4 delta aggs+writes, one 16-bucket compaction
+      // rewrite, the final scan). Async progress tracking would hide
+      // the log fsyncs but the engine REFUSES it under AvailableNow
+      // ("Async progress tracking cannot be used with AvailableNow
+      // trigger" — and the one-shot replay contract here needs
+      // AvailableNow), so the machinery floor stands; on a long-lived
+      // ProcessingTime stream the same foreachBatch body qualifies
+      // (it is idempotent through its own _SUCCESS-marked batch log,
+      // exactly what async checkpointing requires).
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

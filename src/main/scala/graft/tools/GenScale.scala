@@ -1,0 +1,105 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scale-up of a harness data directory: replicate every
+  * table `factor`× with per-replica key offsets — the "database
+  * scaling" construction that preserves every per-replica distribution,
+  * join fan-out and selectivity exactly, so a 10× run isolates the
+  * ENGINE's scaling behavior from data-shape drift. Used for the sf1
+  * rehearsal recorded in BASELINE.md.
+  *
+  * Faithfulness details beyond plain replication:
+  *  - `documents.text` is word-SHUFFLED per replica (Fisher–Yates,
+  *    seeded by (replica, doc_id)): length, vocabulary and term
+  *    frequencies are preserved exactly, but shingles are destroyed —
+  *    plain copies would hand the dedup family an artificial corpus
+  *    where EVERY doc has factor−1 exact/near duplicates and pair
+  *    counts explode quadratically, which is a worst case, not a
+  *    scale-up. Replica 0 stays byte-identical to the source.
+  *  - `embeddings.embedding` gets per-replica deterministic jitter
+  *    (±0.1% of unit scale) so the ANN family doesn't see every
+  *    vector with factor−1 zero-distance twins.
+  *  - `region`/`nation` stay fixed — constant-size dimensions at
+  *    every TPC-H scale factor.
+  *  - key domains are read from the data (max+1), not hard-coded.
+  */
+object GenScale {
+
+  private def keySpan(df: DataFrame, key: String): Long =
+    df.agg(max(col(key))).first().getLong(0) + 1L
+
+  private val shuffleWords = udf((text: String, seed: Long) =>
+    if (seed == 0L || text == null) text
+    else {
+      val words = text.split(" ")
+      val rnd = new java.util.Random(seed)
+      var k = words.length - 1
+      while (k > 0) {
+        val j = rnd.nextInt(k + 1)
+        val t = words(k); words(k) = words(j); words(j) = t
+        k -= 1
+      }
+      words.mkString(" ")
+    })
+
+  private val jitter = udf((v: Seq[Float], seed: Long) =>
+    if (seed == 0L || v == null) v
+    else {
+      val rnd = new java.util.Random(seed)
+      v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.002f)
+    })
+
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse(
+      s"${System.getProperty("java.io.tmpdir")}/graft_sf_scaled")
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = graft.core.GraftSession.local("graft-genscale")
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+
+    def replicate(t: String, shifts: Map[String, Long],
+                  tweak: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
+      val base = read(t)
+      val reps = (0 until factor).map { i =>
+        val shifted = shifts.foldLeft(base) { case (d, (k, span)) =>
+          d.withColumn(k, col(k) + lit(i * span))
+        }
+        tweak(shifted, i)
+      }
+      reps.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      println(s"[genscale] $t x$factor done")
+    }
+
+    for (t <- Seq("region", "nation"))
+      read(t).write.mode("overwrite").parquet(s"$out/$t.parquet")
+
+    val custSpan = keySpan(read("customer"), "c_custkey")
+    val suppSpan = keySpan(read("supplier"), "s_suppkey")
+    val partSpan = keySpan(read("part"), "p_partkey")
+    val orderSpan = keySpan(read("orders"), "o_orderkey")
+    val eventSpan = keySpan(read("events"), "event_id")
+    val userSpan = keySpan(read("events"), "user_id")
+    val docSpan = keySpan(read("documents"), "doc_id")
+    val vecSpan = keySpan(read("embeddings"), "vec_id")
+
+    replicate("customer", Map("c_custkey" -> custSpan))
+    replicate("supplier", Map("s_suppkey" -> suppSpan))
+    replicate("part", Map("p_partkey" -> partSpan))
+    replicate("orders", Map("o_orderkey" -> orderSpan, "o_custkey" -> custSpan))
+    replicate("lineitem", Map("l_orderkey" -> orderSpan,
+      "l_partkey" -> partSpan, "l_suppkey" -> suppSpan))
+    replicate("events", Map("event_id" -> eventSpan, "user_id" -> userSpan))
+    replicate("documents", Map("doc_id" -> docSpan), (d, i) =>
+      d.withColumn("text", shuffleWords(col("text"),
+          if (i == 0) lit(0L) else lit(i * 1000003L) + col("doc_id")))
+        .withColumn("n_chars", length(col("text")).cast("long")))
+    replicate("embeddings", Map("vec_id" -> vecSpan), (d, i) =>
+      d.withColumn("embedding", jitter(col("embedding"),
+        if (i == 0) lit(0L) else lit(i * 999983L) + col("vec_id"))))
+
+    spark.stop()
+  }
+}

@@ -46,4 +46,24 @@ class BpeCurveSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("MaxInlineRules"))
   }
+
+  test("bulk (broadcast-table) form: any k, identical semantics") {
+    // 300 rules — far past the inline analyzer ceiling — through the
+    // production form, cross-checked against the driver reference on
+    // real corpus words at k=64 too (where both forms are available)
+    val docs = graft.core.Tables(spark, "/root/testdata/sf0.001").documents
+    val words = Bpe.topWords(docs, normText, 512, 20)
+    val df = words.map(_._1).toDF("word")
+    for (k <- Seq(64, 300)) {
+      val rules = rulesOf(k)
+      val got = df
+        .withColumn("toks", Bpe.applyMergesBulkCol(spark, col("word"), rules))
+        .select($"word", array_join($"toks", "|"))
+        .as[(String, String)].collect().toMap
+      words.foreach { case (w, _) =>
+        assert(got(w) == Bpe.encodeWord(w, rules).mkString("|"),
+          s"bulk/driver divergence on '$w' at k=$k")
+      }
+    }
+  }
 }
