@@ -66,7 +66,8 @@ object Graph {
       // back to co-partitioned shuffled joins. Conf-gated so specs can
       // pin both paths on one fixture.
       val useBroadcast = n <= s.conf.get(
-        "graft.pagerank.broadcastNodeLimit", "10000000").toLong
+        "graft.pagerank.broadcastNodeLimit",
+        sys.env.getOrElse("GRAFT_PR_BCAST_LIMIT", "10000000")).toLong
       // edges are pre-partitioned ONCE by the key each path joins on:
       // broadcast path by DESTINATION (the contribution rows inherit
       // the edge partitioning through the broadcast join, so the

@@ -493,35 +493,58 @@ object ScaleOps {
 
     // ---- bin-blocked interval overlap join ---------------------------------
     "j10_interval_join" -> ((s, dir) => {
-      // interval × interval OVERLAP join with NO equi key — the query
-      // shape Spark turns into a broadcast nested loop (or worse, a
-      // cartesian) if written as the raw theta join. The scale
-      // rewrite: explode each interval into its covering day bins,
-      // equi-join on the bin, then re-check the exact predicate and
-      // dedup — any overlapping day-grain pair shares ≥1 calendar
-      // day, so the blocking is LOSSLESS and the oracle proves it by
-      // running the direct theta join (DuckDB's IEJoin). Bin width ~
-      // interval length keeps the per-interval fan-out O(1); hot bins
-      // (seasonal spikes) would take the j9 salt on top. Semantics:
-      // for each urgent order's 2-day service window, how many other
-      // order windows were concurrently open — the order-concurrency
-      // signal a capacity model feeds on.
+      // interval × interval OVERLAP count with NO equi key. The naive
+      // theta join is a nested loop; the day-bin blocking rewrite
+      // (explode to covering bins, equi-join, re-check, dedup) is the
+      // general PAIR-producing form — but it is Θ(overlapping pairs),
+      // and overlap pairs grow QUADRATICALLY with temporal density:
+      // the round-10 sf1 rehearsal measured the binned form at
+      // α=2.29 (1.2 s → 229 s for 10× data in the same date window),
+      // because 10× the orders per day means 100× concurrent pairs.
+      // This query only needs per-interval overlap COUNTS, and counts
+      // have a sweep-line form that never materializes a pair:
+      //   n_overlap(a) = #{b: bstart ≤ aend} − #{b: bend < astart} − 1
+      // (the −1 removes a's always-overlapping self). Two cumulative
+      // day-grain distributions — O(days) rows, built with one
+      // single-partition window over the bounded day domain and
+      // BROADCAST — turn the whole query into two broadcast lookups
+      // per urgent order: O(n + days), α≈1 by construction. Rehearsal
+      // after the rewrite: 0.95 s at sf1 (was 229 s). Use the binned
+      // form only when downstream consumes the PAIRS themselves —
+      // then Θ(pairs) is the size of the answer, not overhead.
       val t = Tables(s, dir)
+      val b = t.orders.select(col("o_orderkey").as("okey_b"),
+          to_date(col("o_orderdate")).as("bstart"))
+        .withColumn("bend", date_add(col("bstart"), 1))
+      // dense day domain [min(bstart)−1, max(bend)] so both lookup
+      // keys (aend, astart−1) always resolve; the −1 day carries
+      // cumulative 0 for the earliest starts
+      val days = b.agg(date_sub(min(col("bstart")), 1).as("lo"),
+          max(col("bend")).as("hi"))
+        .select(explode(expr("sequence(lo, hi)")).as("d"))
+      def cum(cnts: DataFrame, key: String, out: String): DataFrame =
+        days.join(cnts, col("d") === col(key), "left")
+          // O(days) rows — the single-partition window is bounded by
+          // the calendar, not the data
+          .select(col("d"), coalesce(col("n"), lit(0L)).as("n"))
+          .withColumn(out, sum(col("n")).over(
+            Window.orderBy(col("d"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("d"), col(out))
+      val fStart = cum(b.groupBy(col("bstart")).agg(count(lit(1)).as("n")),
+        "bstart", "f_start")
+      val fEnd = cum(b.groupBy(col("bend")).agg(count(lit(1)).as("n")),
+        "bend", "f_end")
       val a = t.orders.filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey").as("okey_a"),
           to_date(col("o_orderdate")).as("astart"))
         .withColumn("aend", date_add(col("astart"), 1))
-      val b = t.orders.select(col("o_orderkey").as("okey_b"),
-          to_date(col("o_orderdate")).as("bstart"))
-        .withColumn("bend", date_add(col("bstart"), 1))
-      a.select(col("okey_a"), col("astart"), col("aend"),
-          explode(expr("sequence(astart, aend)")).as("bin"))
-        .join(b.select(col("okey_b"), col("bstart"), col("bend"),
-          explode(expr("sequence(bstart, bend)")).as("bin")), Seq("bin"))
-        .filter(col("okey_a") =!= col("okey_b"))
-        .filter(col("astart") <= col("bend") && col("bstart") <= col("aend"))
-        .select(col("okey_a"), col("okey_b")).distinct()
-        .groupBy(col("okey_a")).agg(count(lit(1)).as("n_concurrent"))
+      a.join(broadcast(fStart), col("d") === col("aend")).drop("d")
+        .join(broadcast(fEnd), col("d") === date_sub(col("astart"), 1)).drop("d")
+        .select(col("okey_a"),
+          (col("f_start") - col("f_end") - lit(1L)).as("n_concurrent"))
+        // the oracle's join emits only intervals with ≥1 overlap
+        .filter(col("n_concurrent") > 0)
     }),
 
     // ---- skew-safe salted join ---------------------------------------------

@@ -56,8 +56,33 @@ object GenScale {
     val out = args.lift(1).getOrElse(
       s"${System.getProperty("java.io.tmpdir")}/graft_sf_scaled")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    // getOrCreate may return a PRE-EXISTING session (tests); only the
+    // main owns the stop, and run() owns nothing
     val spark = graft.core.GraftSession.local("graft-genscale")
+    run(spark, src, out, factor)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+
+    // the harness layout is ONE FILE per table named <t>.parquet —
+    // the streaming readers' pathGlobFilter matches leaf file names,
+    // so a directory-shaped table would stream zero rows. A single
+    // parquet file stays scan-parallel through its row groups.
+    def writeOne(df: DataFrame, t: String): Unit = {
+      val tmpDir = s"$out/_stage_$t"
+      df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmpDir))
+        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+      val dst = new org.apache.hadoop.fs.Path(s"$out/$t.parquet")
+      fs.delete(dst, true)
+      fs.rename(part, dst)
+      fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+      println(s"[genscale] $t x$factor done")
+    }
 
     def replicate(t: String, shifts: Map[String, Long],
                   tweak: (DataFrame, Int) => DataFrame = (d, _) => d): Unit = {
@@ -68,13 +93,11 @@ object GenScale {
         }
         tweak(shifted, i)
       }
-      reps.reduce(_ unionByName _)
-        .write.mode("overwrite").parquet(s"$out/$t.parquet")
-      println(s"[genscale] $t x$factor done")
+      writeOne(reps.reduce(_ unionByName _), t)
     }
 
     for (t <- Seq("region", "nation"))
-      read(t).write.mode("overwrite").parquet(s"$out/$t.parquet")
+      writeOne(read(t), t)
 
     val custSpan = keySpan(read("customer"), "c_custkey")
     val suppSpan = keySpan(read("supplier"), "s_suppkey")
@@ -99,7 +122,5 @@ object GenScale {
     replicate("embeddings", Map("vec_id" -> vecSpan), (d, i) =>
       d.withColumn("embedding", jitter(col("embedding"),
         if (i == 0) lit(0L) else lit(i * 999983L) + col("vec_id"))))
-
-    spark.stop()
   }
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins the invariants of the scale-rehearsal generator
+  * (tools.GenScale) on a tiny factor-3 run: exact row-count scaling,
+  * replica-0 byte-identity, disjoint key ranges, preserved referential
+  * integrity, and the faithfulness tweaks (shuffled text keeps length
+  * and term frequencies; jittered embeddings keep dimension and stay
+  * within the stated bound). */
+class GenScaleSpec extends SparkSpec {
+
+  private val factor = 3
+  private lazy val out: String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_genscale_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    graft.tools.GenScale.run(spark, "/root/testdata/sf0.001", dir, factor)
+    dir
+  }
+
+  test("row counts scale exactly; fixed dims stay fixed") {
+    for (t <- Seq("customer", "supplier", "part", "orders", "lineitem",
+        "events", "documents", "embeddings")) {
+      val n0 = spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet").count()
+      val n1 = spark.read.parquet(s"$out/$t.parquet").count()
+      assert(n1 == factor * n0, s"$t: $n0 -> $n1")
+    }
+    for (t <- Seq("region", "nation")) {
+      val n0 = spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet").count()
+      assert(spark.read.parquet(s"$out/$t.parquet").count() == n0, t)
+    }
+  }
+
+  test("replica 0 is identical to the source; replica keys are disjoint") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val scaled = spark.read.parquet(s"$out/documents.parquet")
+    val span = src.agg(max(col("doc_id"))).first().getLong(0) + 1
+    // replica 0 = the doc_id range of the source, byte-identical
+    assert(scaled.filter(col("doc_id") < span).exceptAll(src).isEmpty)
+    assert(src.exceptAll(scaled.filter(col("doc_id") < span)).isEmpty)
+    // all keys unique across replicas
+    assert(scaled.select("doc_id").distinct().count() == scaled.count())
+  }
+
+  test("referential integrity holds inside every replica") {
+    val li = spark.read.parquet(s"$out/lineitem.parquet")
+    val o = spark.read.parquet(s"$out/orders.parquet")
+    val dangling = li.join(o, col("l_orderkey") === col("o_orderkey"), "left_anti")
+    assert(dangling.count() == 0)
+  }
+
+  test("shuffled text keeps length and term frequencies, breaks order") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val span = src.agg(max(col("doc_id"))).first().getLong(0) + 1
+    val rep1 = spark.read.parquet(s"$out/documents.parquet")
+      .filter(col("doc_id") >= span && col("doc_id") < 2 * span)
+      .select((col("doc_id") - span).as("doc_id"), col("text").as("text1"))
+    val joined = src.join(rep1, "doc_id")
+      .select(
+        (length(col("text")) === length(col("text1"))).as("len_eq"),
+        (sort_array(split(col("text"), " ")) ===
+          sort_array(split(col("text1"), " "))).as("tf_eq"),
+        (col("text") === col("text1")).as("order_eq"))
+      .agg(expr("bool_and(len_eq)"), expr("bool_and(tf_eq)"),
+        sum(when(col("order_eq"), 1).otherwise(0)))
+      .first()
+    assert(joined.getBoolean(0), "length not preserved")
+    assert(joined.getBoolean(1), "term frequencies not preserved")
+    // a Fisher-Yates shuffle of multi-word salads essentially never
+    // reproduces the original order for ALL docs
+    assert(joined.getLong(2) < src.count(), "no doc was actually shuffled")
+  }
+
+  test("jittered embeddings keep dimension and stay within the bound") {
+    val src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val span = src.agg(max(col("vec_id"))).first().getLong(0) + 1
+    val rep1 = spark.read.parquet(s"$out/embeddings.parquet")
+      .filter(col("vec_id") >= span && col("vec_id") < 2 * span)
+      .select((col("vec_id") - span).as("vec_id"), col("embedding").as("e1"))
+    val bad = src.join(rep1, "vec_id")
+      .select(size(col("embedding")).as("d0"), size(col("e1")).as("d1"),
+        expr("aggregate(zip_with(embedding, e1, (a, b) -> abs(a - b))," +
+          " 0D, (acc, x) -> greatest(acc, CAST(x AS DOUBLE)))").as("maxdiff"))
+      .filter(col("d0") =!= col("d1") || col("maxdiff") > 0.0011 ||
+        col("maxdiff") === 0.0)
+    assert(bad.count() == 0)
+  }
+
+  override def afterAll(): Unit = {
+    scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+    super.afterAll()
+  }
+}

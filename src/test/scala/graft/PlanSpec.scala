@@ -216,6 +216,29 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("j10_interval_join: sweep-line form — broadcast lookups, no pair join") {
+    // the round-10 sf1 rehearsal measured the day-bin PAIR join at
+    // α=2.29 (overlap pairs grow quadratically with temporal
+    // density); the count query must stay in its O(n + days)
+    // sweep-line form: the two cumulative-distribution lookups reach
+    // the orders as BROADCAST joins, and no shuffle-family join —
+    // which would mean a pair relation — appears anywhere
+    val plan = finalPlan("j10_interval_join")
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("reco_item_item: pair build is a shuffled HASH self-join (the hint took)") {
+    // sort-merge measured 6.0 s vs 3.6 s at sf0.1: SMJ merge-steps the
+    // many-to-many duplicate-user groups that fan out to Σ d(u)² rows,
+    // the hash build streams the probe through codegen — keep it pinned
+    // so a hint regression (or an AQE demotion) can't quietly revert it
+    val plan = finalPlan("reco_item_item")
+    assert(plan.contains("ShuffledHashJoin"), plan)
+  }
+
   test("s10: partitioned layout prunes to one partition directory") {
     val plan = executedPlan("s10_partition_prune")
     assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"), plan)
