@@ -99,7 +99,7 @@ object Bpe {
     * O(k) hash probes + O(len) work for the few rules that apply.
     * Semantics identical to [[encodeWord]] (the set is refreshed after
     * every applied rule). */
-  private def encodeWordBulk(word: String, rules: Array[MergeRule]): Array[String] = {
+  private[graft] def encodeWordBulk(word: String, rules: Array[MergeRule]): Array[String] = {
     var toks = codepointTokens(word)
     val present = mutable.HashSet.empty[String]
     present ++= toks

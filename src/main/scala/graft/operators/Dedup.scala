@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.normText
 
@@ -332,14 +332,40 @@ object Dedup {
   def charGramPairs(docs: DataFrame, n: Int = 4, k: Int = 16, bands: Int = 4,
                     minJaccard: Double = 0.8): DataFrame = {
     val r = k / bands
+    // t and the gram array are bound ONCE per row as single-element-
+    // transform lambda VALUES (the DocumentStream lesson). As a
+    // withColumn chain this site happened to be safe — CollapseProject
+    // refuses to inline a non-cheap alias referenced more than once —
+    // but that protection is one optimizer cost-model decision away
+    // from gone, and it does NOT extend to predicate pushdown: a
+    // filter landing above the chain gets the aliases SUBSTITUTED into
+    // its condition unconditionally, which is exactly how the
+    // streaming gate re-ran the normText chain O(words) per row
+    // (DocumentStream.scala, measured 38 s vs <1 s at sf1). Binding as
+    // lambda values makes single evaluation a property of the
+    // EXPRESSION, not of which optimizer rules fire around it; A/B'd
+    // perf-neutral here (1.2 s sf0.1 / ~24 s sf1 both forms). The
+    // persisted frame carries the packed struct so the cache build
+    // evaluates it once.
+    val sigOf = (arr: Column) => flatten(transform(
+      transform(sequence(lit(0), lit(k / 4 - 1)),
+        p => transform(arr, g => md5(concat(p.cast("string"), lit(":"), g)))),
+      hp => transform(sequence(lit(0), lit(3)),
+        s => array_min(transform(hp, h => h.substr(s * 8 + 1, lit(8)))))))
+    val packed = element_at(transform(array(normText(col("text"))), t =>
+      element_at(transform(array(array_distinct(
+          transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
+            i => t.substr(i, lit(n))))), gs =>
+        struct(gs.as("grams"),
+          // length div 64; exact as floor(x/64.0) — 64 is a power of
+          // two, the division is lossless in double
+          floor(length(t) / lit(64)).cast("long").as("lb"),
+          sigOf(gs).as("sig"))), lit(1))), lit(1))
     val grams = spread(docs)
-      .withColumn("t", normText(col("text")))
-      .withColumn("grams", array_distinct(expr(
-        s"transform(sequence(1, greatest(length(t) - ${n - 1}, 1)), i -> substr(t, i, $n))")))
-      .withColumn("lb", expr("length(t) div 64"))
-      .withColumn("sig", expr(sigExpr("grams", k)))
-      .select(col("doc_id"), col("grams"), col("lb"), col("sig"))
+      .select(col("doc_id"), packed.as("s"))
       .persist()
+      .select(col("doc_id"), col("s.grams").as("grams"),
+        col("s.lb").as("lb"), col("s.sig").as("sig"))
     // candidate generation joins only (id, set-size, band key) — the
     // gram arrays are fetched AFTER the cheap filters, so wide rows
     // never shuffle for pairs that can't pass the threshold.

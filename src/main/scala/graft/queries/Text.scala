@@ -647,12 +647,27 @@ object Text {
   private[graft] val GateMaxDupFrac = 0.65
   private[graft] val GateMaxTopBigramFrac = 0.08
 
+  /** The gate decision over arbitrary input EXPRESSIONS — the one
+    * definition of the quality rule. Callers with plain columns use
+    * [[gatePredicate]]; the streaming front-door calls this directly
+    * with lambda-bound values (DocumentStream binds nrm/ws once per
+    * row, so the gate inputs must be expressions over those bound
+    * variables, not column names). */
+  private[graft] def gateKeep(nWords: org.apache.spark.sql.Column,
+                              nDistinct: org.apache.spark.sql.Column,
+                              top2: org.apache.spark.sql.Column,
+                              lang: org.apache.spark.sql.Column,
+                              stopHits: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    nWords >= GateMinWords &&
+      lit(1.0) - nDistinct.cast("double") / nWords <= GateMaxDupFrac &&
+      coalesce(top2.cast("double") / (nWords - 1), lit(0.0)) <= GateMaxTopBigramFrac &&
+      (lang =!= "en" || stopHits >= 1)
+
   /** The gate over (n_words, n_distinct, top2, lang, stop_hits). */
   private[graft] def gatePredicate: org.apache.spark.sql.Column =
-    col("n_words") >= GateMinWords &&
-      lit(1.0) - col("n_distinct").cast("double") / col("n_words") <= GateMaxDupFrac &&
-      coalesce(col("top2").cast("double") / (col("n_words") - 1), lit(0.0)) <= GateMaxTopBigramFrac &&
-      (col("lang") =!= "en" || col("stop_hits") >= 1)
+    gateKeep(col("n_words"), col("n_distinct"), col("top2"),
+      col("lang"), col("stop_hits"))
 
   /** DuckDB rendering of gatePredicate, same column names in scope. */
   private[queries] val gateWhereSql: String =

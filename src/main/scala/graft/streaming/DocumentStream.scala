@@ -57,28 +57,56 @@ object DocumentStream {
       import ss.implicits._
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
       val normCol = graft.functions.TextFunctions.normText(col("text"))
-      // row-local top-bigram count; the outer single-element transform
-      // binds the bigram array once so it is not recomputed per lambda
-      val top2Expr = expr(
-        """element_at(transform(array(
-          |    transform(sequence(1, size(ws) - 1),
-          |      i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))),
-          |  bgs -> array_max(transform(array_distinct(bgs),
-          |    g -> size(filter(bgs, x -> x = g))))), 1)""".stripMargin)
+      // row-local top-bigram count as the max run length of the SORTED
+      // bigram array — O(w log w) per doc over a BOUND ws value
+      def top2On(ws: org.apache.spark.sql.Column) = {
+        val bgs = sort_array(transform(sequence(lit(1), size(ws) - 1),
+          i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1))))
+        aggregate(bgs,
+          struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+          (a, x) => struct(x.as("prev"),
+            when(x === a.getField("prev"), a.getField("run") + 1)
+              .otherwise(lit(1)).as("run"),
+            greatest(a.getField("best"),
+              when(x === a.getField("prev"), a.getField("run") + 1)
+                .otherwise(lit(1))).as("best")),
+          a => a.getField("best"))
+      }
+      // (h, keep) computed with nrm and ws bound ONCE per row as
+      // single-element-transform lambda VALUES. This is load-bearing:
+      // written as a withColumn chain + gate FILTER, predicate
+      // pushdown substitutes the alias definitions into the filter
+      // condition unconditionally — including INSIDE the per-element
+      // bigram lambda, where higher-order functions run interpreted
+      // with no subexpression elimination — so the whole normText
+      // regex chain re-ran O(words) times per row (measured: each
+      // gate input <1 s alone at sf1, the assembled gate 38 s). A
+      // lambda variable is a bound VALUE: nrm and ws evaluate once,
+      // and the packed struct is referenced exactly twice downstream
+      // (the keep filter and the h projection).
+      val packed = element_at(transform(array(normCol), nrm =>
+        element_at(transform(array(split(nrm, " ")), ws =>
+          struct(
+            md5(nrm).as("h"),
+            graft.queries.Text.gateKeep(
+              nWords = size(ws),
+              nDistinct = size(array_distinct(ws)),
+              top2 = when(size(ws) >= 2, top2On(ws)),
+              lang = col("lang"),
+              stopHits = graft.functions.TextFunctions.stopwordHits(col("text")))
+              .as("keep"))), lit(1))), lit(1))
       val gated = readDocuments(ss, dir)
-        // materialize the normalization ONCE per row — md5 and the
-        // word split both consume it, and the regex chain is the
-        // per-row cost that matters on a corpus scan
-        .select(col("doc_id"), col("lang"),
-          graft.functions.TextFunctions.stopwordHits(col("text")).as("stop_hits"),
-          normCol.as("nrm"))
-        .select(col("doc_id"), col("lang"), col("stop_hits"),
-          md5(col("nrm")).as("h"), split(col("nrm"), " ").as("ws"))
-        .withColumn("n_words", size(col("ws")))
-        .withColumn("n_distinct", size(array_distinct(col("ws"))))
-        .withColumn("top2", when(col("n_words") >= 2, top2Expr))
-        .filter(graft.queries.Text.gatePredicate)
-        .select(col("h"), col("doc_id"))
+        // decouple gate parallelism from FILE layout (the
+        // decodeFeatures lesson): the expensive projection below runs
+        // on the source partitioning, and a file stream source plans
+        // one partition per arriving file — a fat file would bottleneck
+        // the whole regex/digest gate on one core. One O(batch)
+        // round-robin exchange first, then the gate cost rides the
+        // stream's shuffle-partition sizing.
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), packed.as("s"))
+        .filter(col("s.keep"))
+        .select(col("s.h").as("h"), col("doc_id"))
         .as[(String, Long)]
       gated.groupByKey(_._1)
         .flatMapGroupsWithState[KeeperState, (Long, Boolean, Option[Long])](

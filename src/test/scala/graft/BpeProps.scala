@@ -79,4 +79,20 @@ object BpeProps extends Properties("bpe") {
       val rules = Bpe.learn(words, 6)
       Bpe.encodeWord(w, rules).mkString == w
     }
+
+  // arbitrary (not just learned) rule chains, including interacting
+  // multi-char rules — the bulk kernel's skip-set must never change
+  // the sequential greedy semantics
+  private val genRule: Gen[(String, String)] = for {
+    l <- Gen.oneOf("a", "b", "c", "ab", "bc", "aa", "abc")
+    r <- Gen.oneOf("a", "b", "c", "ab", "bc", "aa", "cab")
+  } yield (l, r)
+
+  property("bulk (skip-set) encode == sequential encode for any rule chain") =
+    forAll(genWord, Gen.listOfN(12, genRule)) { (w, rs) =>
+      val rules = rs.zipWithIndex.map { case ((l, r), i) =>
+        Bpe.MergeRule(i + 1, l, r, l + r, 1L) }
+      Bpe.encodeWordBulk(w, rules.toArray).toSeq ==
+        Bpe.encodeWord(w, rules).toSeq
+    }
 }
