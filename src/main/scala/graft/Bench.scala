@@ -133,8 +133,8 @@ object Bench {
       // itself may still be contaminated when the wave spanned all
       // runs — take two extra samples before reporting, and mark the
       // query as retried so the reader knows the box was unstable.
-      // Run 1 is excluded from the spread test (it carries per-query
-      // codegen warmup, which looks like a blown run but isn't steal).
+      // (With the untimed warmup above, run 1 is steady-state and
+      // participates in the spread test like every other sample.)
       def good = timings.filter(_._1).map(_._2)
       // cold/warm split: a cold sample (scratch + cache dropped first)
       // is legitimately slower and must not feed the steal heuristics

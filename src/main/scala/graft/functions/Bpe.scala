@@ -131,10 +131,27 @@ object Bpe {
     * analyzes at all. Semantics are pinned identical (BpeProps). */
   def applyMergesBulkCol(spark: org.apache.spark.sql.SparkSession,
                          word: Column, rules: Seq[MergeRule]): Column = {
-    val bc = spark.sparkContext.broadcast(rules.sortBy(_.merge_rank).toArray)
+    // rules apply in CALLER order, exactly like applyMergesCol — the
+    // two forms are pinned identical on the same input (BpeProps), so
+    // neither may silently reorder. learnMerges emits rank order.
+    //
+    // broadcasts are memoized per (application, rules): a fresh
+    // broadcast PER CALL would accumulate on every executor across a
+    // bench/test session (a 32k-merge table is ~2 MB each). Entries
+    // from stopped contexts are dropped on the next call; live
+    // broadcasts are never destroyed here (a lazily-executed plan may
+    // still hold one).
+    val sc = spark.sparkContext
+    val key = (sc.applicationId, rules)
+    bcCache.keySet.removeIf(_._1 != sc.applicationId)
+    val bc = bcCache.computeIfAbsent(key, _ => sc.broadcast(rules.toArray))
     udf((w: String) => if (w == null) null else encodeWordBulk(w, bc.value))
       .apply(word)
   }
+
+  private val bcCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Seq[MergeRule]),
+    org.apache.spark.broadcast.Broadcast[Array[MergeRule]]]()
 
   private def codepointTokens(w: String): Array[String] =
     w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))

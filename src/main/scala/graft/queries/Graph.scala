@@ -100,48 +100,34 @@ object Graph {
       val teleport = (15L * base) / 100L
       var ranks = nodes.select(col("node_type"), col("node_id"), col("outdeg"),
         lit(base).as("rank"))
-      if (useBroadcast) {
-        for (_ <- 1 to Iters) {
-          val contribs = edges
-            .join(broadcast(ranks), col("src_t") === col("node_type") &&
-              col("src") === col("node_id"))
-            .select(col("dst_t"), col("dst"),
-              expr("rank div outdeg").as("c"))
-            .groupBy(col("dst_t"), col("dst"))
-            .agg(sum(col("c")).as("csum"))
-          ranks = contribs
-            .join(broadcast(nodes), col("node_type") === col("dst_t") &&
-              col("node_id") === col("dst"))
-            .select(col("node_type"), col("node_id"), col("outdeg"),
-              (lit(teleport) + expr("(85 * csum) div 100")).as("rank"))
-        }
-      } else {
-        // post-broadcast scale: per iteration, the O(n) rank frame is
-        // shuffled onto the edges' (src_t, src) layout (the edge side
-        // satisfies the join distribution from its persist — no O(E)
-        // exchange), contributions aggregate by dst (map-side
-        // combined, the one corpus-shaped shuffle a non-broadcastable
-        // vertex state forces), and the new-rank join against nodes
-        // runs on two already-hash-partitioned O(n) frames. merge
-        // hints pin the shuffled form so small-stats fixtures (and
-        // AQE) cannot silently demote the path under test back to
-        // broadcast.
-        for (_ <- 1 to Iters) {
-          val contribs = edges
-            .join(ranks.hint("shuffle_merge"),
-              col("src_t") === col("node_type") &&
-                col("src") === col("node_id"))
-            .select(col("dst_t"), col("dst"),
-              expr("rank div outdeg").as("c"))
-            .groupBy(col("dst_t"), col("dst"))
-            .agg(sum(col("c")).as("csum"))
-          ranks = contribs
-            .join(nodes.hint("shuffle_merge"),
-              col("node_type") === col("dst_t") &&
-                col("node_id") === col("dst"))
-            .select(col("node_type"), col("node_id"), col("outdeg"),
-              (lit(teleport) + expr("(85 * csum) div 100")).as("rank"))
-        }
+      // ONE copy of the iteration arithmetic (PageRankSpec pins the two
+      // paths bit-identical — duplicated loops would let a future
+      // fixed-point change silently diverge them): the scale paths
+      // differ only in how the O(n) vertex frames meet the edges.
+      // Broadcast below the node ceiling = zero shuffles per iteration.
+      // Past it, the rank frame is shuffled onto the edges' persisted
+      // (src_t, src) layout (no O(E) exchange), contributions aggregate
+      // by dst (map-side combined — the one corpus-shaped shuffle a
+      // non-broadcastable vertex state forces), and the new-rank join
+      // against nodes runs on two already-hash-partitioned O(n) frames;
+      // the merge hint pins the shuffled form so small-stats fixtures
+      // (and AQE) cannot silently demote the path under test back to
+      // broadcast.
+      val meet: DataFrame => DataFrame =
+        if (useBroadcast) broadcast(_) else _.hint("shuffle_merge")
+      for (_ <- 1 to Iters) {
+        val contribs = edges
+          .join(meet(ranks), col("src_t") === col("node_type") &&
+            col("src") === col("node_id"))
+          .select(col("dst_t"), col("dst"),
+            expr("rank div outdeg").as("c"))
+          .groupBy(col("dst_t"), col("dst"))
+          .agg(sum(col("c")).as("csum"))
+        ranks = contribs
+          .join(meet(nodes), col("node_type") === col("dst_t") &&
+            col("node_id") === col("dst"))
+          .select(col("node_type"), col("node_id"), col("outdeg"),
+            (lit(teleport) + expr("(85 * csum) div 100")).as("rank"))
       }
       ranks.select(col("node_type"), col("node_id"),
         col("rank").as("rank_scaled"))

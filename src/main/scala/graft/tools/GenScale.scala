@@ -79,7 +79,11 @@ object GenScale {
         .map(_.getPath).find(_.getName.endsWith(".parquet")).get
       val dst = new org.apache.hadoop.fs.Path(s"$out/$t.parquet")
       fs.delete(dst, true)
-      fs.rename(part, dst)
+      // rename signals failure by RETURN VALUE, not exception — and the
+      // old dst is already gone, so a silent false would leave the table
+      // missing and only surface as a confusing read error mid-rehearsal
+      if (!fs.rename(part, dst))
+        sys.error(s"[genscale] rename $part -> $dst failed")
       fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
       println(s"[genscale] $t x$factor done")
     }
@@ -104,9 +108,7 @@ object GenScale {
     val partSpan = keySpan(read("part"), "p_partkey")
     val orderSpan = keySpan(read("orders"), "o_orderkey")
     val eventSpan = keySpan(read("events"), "event_id")
-    val userSpan = keySpan(read("events"), "user_id")
     val docSpan = keySpan(read("documents"), "doc_id")
-    val vecSpan = keySpan(read("embeddings"), "vec_id")
 
     // key-derived names must follow their shifted keys ("Customer#%09d"
     // per the TPC-H convention the harness data uses): copied verbatim,
@@ -123,12 +125,21 @@ object GenScale {
     replicate("orders", Map("o_orderkey" -> orderSpan, "o_custkey" -> custSpan))
     replicate("lineitem", Map("l_orderkey" -> orderSpan,
       "l_partkey" -> partSpan, "l_suppkey" -> suppSpan))
-    replicate("events", Map("event_id" -> eventSpan, "user_id" -> userSpan))
+    // FOREIGN-key columns shift by the REFERENCED table's span, even
+    // when their own value range is narrower: events.user_id joins
+    // c_custkey/o_custkey (user_id ⊂ custkey domain — max 1499 vs
+    // 14999 at sf0.1), and embeddings.vec_id is a doc_id subset
+    // (2000 of 5000 docs embedded). Shifting them by their OWN span
+    // would land every replica's events/vectors inside replica 0's
+    // customer/document block — zero cross-modal overlap for replicas
+    // ≥1 and 10× fan-in on replica 0, distorting exactly the join
+    // structure this tool promises to hold fixed.
+    replicate("events", Map("event_id" -> eventSpan, "user_id" -> custSpan))
     replicate("documents", Map("doc_id" -> docSpan), (d, i) =>
       d.withColumn("text", shuffleWords(col("text"),
           if (i == 0) lit(0L) else lit(i * 1000003L) + col("doc_id")))
         .withColumn("n_chars", length(col("text")).cast("long")))
-    replicate("embeddings", Map("vec_id" -> vecSpan), (d, i) =>
+    replicate("embeddings", Map("vec_id" -> docSpan), (d, i) =>
       d.withColumn("embedding", jitter(col("embedding"),
         if (i == 0) lit(0L) else lit(i * 999983L) + col("vec_id"))))
   }

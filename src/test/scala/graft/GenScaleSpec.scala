@@ -74,17 +74,43 @@ class GenScaleSpec extends SparkSpec {
 
   test("jittered embeddings keep dimension and stay within the bound") {
     val src = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val span = src.agg(max(col("vec_id"))).first().getLong(0) + 1
+    // vec_id is a doc_id subset, so replicas shift by the DOCUMENT span
+    val span = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .agg(max(col("doc_id"))).first().getLong(0) + 1
     val rep1 = spark.read.parquet(s"$out/embeddings.parquet")
       .filter(col("vec_id") >= span && col("vec_id") < 2 * span)
       .select((col("vec_id") - span).as("vec_id"), col("embedding").as("e1"))
-    val bad = src.join(rep1, "vec_id")
+    val joined = src.join(rep1, "vec_id")
+    // guard against a silently-empty join (wrong replica window)
+    assert(joined.count() == src.count())
+    val bad = joined
       .select(size(col("embedding")).as("d0"), size(col("e1")).as("d1"),
         expr("aggregate(zip_with(embedding, e1, (a, b) -> abs(a - b))," +
           " 0D, (acc, x) -> greatest(acc, CAST(x AS DOUBLE)))").as("maxdiff"))
       .filter(col("d0") =!= col("d1") || col("maxdiff") > 0.0011 ||
         col("maxdiff") === 0.0)
     assert(bad.count() == 0)
+  }
+
+  test("foreign keys shift by the REFERENCED table's span (join fidelity)") {
+    // events.user_id joins c_custkey/o_custkey; embeddings.vec_id is a
+    // doc_id subset. A same-span shift would still equi-join (customer/
+    // doc keys are dense across all replicas) — but every replica's rows
+    // would land in replica 0's block, 10×ing its fan-in while replicas
+    // ≥1 get nothing. The discriminating invariant is the number of
+    // DISTINCT referenced keys matched: it scales ×factor only when
+    // foreign keys shift by the referenced table's span.
+    def matched(dir: String, f: Int) = {
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      val cust = spark.read.parquet(s"$dir/customer.parquet")
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      (ev.join(cust, col("user_id") === col("c_custkey"))
+          .select("c_custkey").distinct().count() / f,
+        emb.join(docs, col("vec_id") === col("doc_id"))
+          .select("doc_id").distinct().count() / f)
+    }
+    assert(matched(out, factor) == matched("/root/testdata/sf0.001", 1))
   }
 
   override def afterAll(): Unit = {
