@@ -15,14 +15,31 @@ object Verify {
       only.forall(_.exists(name.startsWith))
     }
     selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      // repartition(1), NOT coalesce(1): both give the single output
+      // file the compare wants, but coalesce collapses the final
+      // narrow stage onto one task — a query whose expensive work sits
+      // AFTER its last exchange (dd_chargram_pairs' intersection
+      // verify) ran 300 s single-threaded at sf1 vs ~25 s parallel.
+      // repartition inserts a shuffle boundary so upstream keeps full
+      // parallelism; the extra exchange moves only the final result.
+      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         e.printStackTrace()
       }
-      // release per-query persisted intermediates between queries
+      // release per-query persisted intermediates between queries —
+      // the same three layers as Bench (see its comment): catalog
+      // cache, RDD-level blocks (localCheckpoint output registers in
+      // the block manager but NOT the catalog cache), and a driver GC
+      // nudge so the ContextCleaner reclaims the finished query's
+      // shuffle/broadcast blocks. clearCache alone let a 217-query
+      // sweep accumulate block-manager pressure (measured: the late
+      // dedup entries ran 10×+ their isolated time at sf1).
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
