@@ -1,0 +1,66 @@
+#!/usr/bin/env python3
+"""Scale-sized variant of check.py: exact MULTISET equality computed
+inside DuckDB (EXCEPT ALL both directions over name-ordered columns)
+instead of fetching every row into Python. check.py's row loop is the
+right gate at sf0.01 (it also reports near-miss diagnostics), but at
+sf1 a single 5M-row query costs it ~20 min of pure-Python canon; this
+runs the same comparison as SQL in seconds.
+
+Usage: python3 tools/check_fast.py <sfdir> <verify_outdir> [name ...]
+(driver-side tooling only — not part of the Scala library)
+"""
+import sys, json, os
+import duckdb
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    ok = bad = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        pdir = f"{outdir}/{name}"
+        if not os.path.isdir(pdir):
+            print(f"✗ {name}: MISSING_SPARK_OUTPUT"); bad += 1; continue
+        try:
+            sp = con.sql(f"SELECT * FROM '{pdir}/*.parquet'")
+            cols = ", ".join(f'"{c}"' for c in sorted(sp.columns))
+            con.sql(f"CREATE OR REPLACE TEMP VIEW _sp AS "
+                    f"SELECT {cols} FROM '{pdir}/*.parquet'")
+            con.sql(f"CREATE OR REPLACE TEMP VIEW _du AS "
+                    f"SELECT {cols} FROM ({sql})")
+            n_sp = con.sql("SELECT count(*) FROM _sp").fetchone()[0]
+            n_du = con.sql("SELECT count(*) FROM _du").fetchone()[0]
+            if n_sp != n_du:
+                print(f"✗ {name}: ROWS spark={n_sp} oracle={n_du}")
+                bad += 1; continue
+            # two one-sided EXCEPT ALLs = exact multiset equality
+            # (row counts already matched, so one empty side implies
+            # the other, but both are cheap and the symmetry is free
+            # insurance against NULL-handling surprises)
+            d1 = con.sql("SELECT count(*) FROM "
+                         "(SELECT * FROM _sp EXCEPT ALL SELECT * FROM _du)"
+                         ).fetchone()[0]
+            d2 = con.sql("SELECT count(*) FROM "
+                         "(SELECT * FROM _du EXCEPT ALL SELECT * FROM _sp)"
+                         ).fetchone()[0]
+        except Exception as e:
+            print(f"✗ {name}: ERR {str(e)[:200]}"); bad += 1; continue
+        if d1 == 0 and d2 == 0:
+            print(f"✓ {name}: OK ({n_sp} rows)"); ok += 1
+        else:
+            print(f"✗ {name}: DIFF spark-only={d1} oracle-only={d2} of {n_sp}")
+            bad += 1
+    print(f"\n{ok}/{ok + bad} multiset-exact")
+    sys.exit(0 if bad == 0 else 1)
+
+
+main()
