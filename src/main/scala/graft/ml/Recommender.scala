@@ -42,6 +42,22 @@ object Recommender {
   // one trained model per sf dir per JVM — the reco_* queries share it.
   private val cache = TrieMap[String, ALSModel]()
 
+  // ALS rejects an empty ratings frame outright, and an empty slice is
+  // a routine production input (a tenant with no orders yet, a fully
+  // filtered backfill window) — the model-backed operators answer it
+  // with an empty result instead of a solver crash. Memoized per dir
+  // like the model cache, so the probe costs one limit(1) job per
+  // JVM+dir, not one per query.
+  private val nonEmptyCache = TrieMap[String, Boolean]()
+  def hasInteractions(spark: SparkSession, dir: String): Boolean =
+    nonEmptyCache.getOrElseUpdate(dir, !interactions(Tables(spark, dir)).isEmpty)
+
+  /** Empty frame with the given DDL schema — the shape of a
+    * model-backed result when there is no data to train on. */
+  def emptyOf(spark: SparkSession, ddl: String): DataFrame =
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(ddl))
+
   /** M2: ALS implicit-MF, seeded (mf_knn_recommender.py:23 defaults →
     * rank/reg; ALS maxIter replaces SGD epochs). */
   def train(spark: SparkSession, dir: String): ALSModel =
@@ -210,6 +226,9 @@ object Recommender {
   private val evalCache = TrieMap[String, ALSModel]()
 
   def evaluate(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    if (!hasInteractions(spark, dir))
+      return emptyOf(spark,
+        "precision double, recall double, f1_score double, num_evaluated_users bigint")
     // engine-independent 80/20 holdout: fold = first md5 hex digit of
     // "user:item" mod 5 (NOT Spark's murmur hash — md5 is computable
     // bit-for-bit by any engine, so the holdout population and hence
@@ -223,6 +242,12 @@ object Recommender {
     val fold = col("_fold")
     val train = inter.filter(fold =!= 0).select("user", "item")
     val test = inter.filter(fold === 0).select("user", "item")
+    // a tiny-but-nonempty interaction set can still leave the 80%
+    // training fold empty (every row hashed into fold 0) — no model
+    // is fittable, so no users are evaluable
+    if (!evalCache.contains(dir) && train.isEmpty)
+      return emptyOf(spark,
+        "precision double, recall double, f1_score double, num_evaluated_users bigint")
     val model = evalCache.getOrElseUpdate(dir,
       als().fit(train.withColumn("rating", lit(1.0f))))
     // common users, deterministically capped at 1000 (reference samples)
@@ -256,6 +281,9 @@ object Recommender {
     * first-100-users sample replaces the seeded shuffle). */
   def coverage(spark: SparkSession, dir: String, k: Int = 5,
                sampleSize: Int = 100): DataFrame = {
+    if (!hasInteractions(spark, dir))
+      return emptyOf(spark,
+        "items_recommended bigint, items_total bigint, coverage double")
     val model = train(spark, dir)
     val users = model.userFactors.select(col("id").as("user"))
       .orderBy("user").limit(sampleSize)
@@ -284,6 +312,8 @@ object Recommender {
 
   /** M10: model persistence round-trip + get_model_info equivalent. */
   def modelInfo(spark: SparkSession, dir: String): DataFrame = {
+    if (!hasInteractions(spark, dir))
+      return emptyOf(spark, "rank int, n_users bigint, n_items bigint")
     val model = train(spark, dir)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_als_model"
     model.write.overwrite().save(path)

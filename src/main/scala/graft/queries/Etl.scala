@@ -150,7 +150,11 @@ object Etl {
         .write.partitionBy("yr").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(s"$root/agg")
-      s.read.parquet(s"$root/agg")
+      // read back with the build's own schema: no footer inference at
+      // plan time, and an empty source (no orders at all → zero
+      // partition dirs written) reads as an empty backfill state
+      // instead of an unable-to-infer error
+      s.read.schema(build(src(0), gen = 0).schema).parquet(s"$root/agg")
         .select(col("yr").cast("int").as("yr"), col("n_orders"),
           col("sum_total"), col("build_version"))
     }))

@@ -96,7 +96,12 @@ object Graph {
       // the iterations must never recompute the base
       edges.count()
       pairs.unpersist(blocking = false)
-      val base = Scale / n
+      // empty graph (no orders↔lineitem pairs — an empty partition or
+      // a fully-filtered slice in production): rank mass is 1/n per
+      // node, undefined at n=0. Every frame below is already empty, so
+      // any base value yields the correct empty result — guard only
+      // the driver-side division.
+      val base = if (n == 0) 0L else Scale / n
       val teleport = (15L * base) / 100L
       var ranks = nodes.select(col("node_type"), col("node_id"), col("outdeg"),
         lit(base).as("rank"))

@@ -70,17 +70,27 @@ object Reco {
     // gets exactly K dense-ranked, distinct, score-monotone rows with
     // cosine in [-1, 1]. (Bit-exactness vs brute force: RecommenderSpec.)
     "reco_topk_cosine" -> ((s, dir) => {
-      val topk = Recommender.cosineTopK(Recommender.train(s, dir), sampleUsers(s, dir), K)
+      // no interactions → no model: an empty ranking satisfies the
+      // contract vacuously (the contract math runs on the empty frame)
+      val topk =
+        if (!Recommender.hasInteractions(s, dir))
+          Recommender.emptyOf(s, "user int, item int, score double, rank int")
+        else Recommender.cosineTopK(Recommender.train(s, dir), sampleUsers(s, dir), K)
       rankingContract(topk, abs(col("score")) <= lit(1.0 + 1e-9), monotone = true)
     }),
     // M4: MLlib-native blocked ranking (raw inner product — unbounded
     // scores, so the contract checks finiteness instead of [-1,1]).
     "reco_topk_als" -> ((s, dir) => {
-      val model = Recommender.train(s, dir)
-      val topk = model.recommendForUserSubset(sampleUsers(s, dir), K)
-        .select(col("user"), posexplode(col("recommendations")))
-        .select(col("user"), (col("pos") + 1).as("rank"),
-          col("col.item").as("item"), col("col.rating").as("score"))
+      val topk =
+        if (!Recommender.hasInteractions(s, dir))
+          Recommender.emptyOf(s, "user int, rank int, item int, score float")
+        else {
+          val model = Recommender.train(s, dir)
+          model.recommendForUserSubset(sampleUsers(s, dir), K)
+            .select(col("user"), posexplode(col("recommendations")))
+            .select(col("user"), (col("pos") + 1).as("rank"),
+              col("col.item").as("item"), col("col.rating").as("score"))
+        }
       rankingContract(topk, col("score").isNotNull && !isnan(col("score")),
         monotone = true)
     }),
@@ -88,6 +98,10 @@ object Reco {
     // picks per user, and the first pick equals the top-1 relevance
     // item (the greedy loop's documented anchor).
     "reco_mmr" -> ((s, dir) => {
+      if (!Recommender.hasInteractions(s, dir))
+        Recommender.emptyOf(s, "user int, k_rows bigint, ranks_dense boolean, " +
+          "scores_valid boolean, items_distinct boolean, first_is_top_relevance boolean")
+      else {
       val model = Recommender.train(s, dir)
       val users = sampleUsers(s, dir)
       val mmr = Recommender.diversify(model, users, K)
@@ -101,6 +115,7 @@ object Reco {
         .withColumn("first_is_top_relevance", col("item") === col("_t1"))
         .select("user", "k_rows", "ranks_dense", "scores_valid",
           "items_distinct", "first_is_top_relevance")
+      }
     }),
     // M7: P/R/F1@k. num_evaluated_users is a pure function of the
     // md5 holdout split (oracle re-derives it); the metric values are
@@ -134,7 +149,9 @@ object Reco {
     // factor row per trained item); the coordinates are solver-
     // dependent → finiteness contract.
     "reco_item_pca" -> ((s, dir) =>
-      Recommender.itemPca(Recommender.train(s, dir))
+      if (!Recommender.hasInteractions(s, dir))
+        Recommender.emptyOf(s, "item int, coords_finite boolean")
+      else Recommender.itemPca(Recommender.train(s, dir))
         .select(col("item"),
           (col("x").isNotNull && !isnan(col("x")) &&
             col("y").isNotNull && !isnan(col("y"))).as("coords_finite"))),

@@ -81,6 +81,28 @@ object ScaleOps {
     (readManifest(0), readManifest(1))
   }
 
+  /** Schema of the copy-on-write snapshot DATA files: the bucket
+    * column `bk` lives in directory names, not in the files, so a
+    * manifest read (individual part files) sees exactly these two
+    * columns. Derived from the same projection the writer uses. */
+  private def cowDataSchema(s: SparkSession, dir: String) =
+    Tables(s, dir).customer.select(col("c_custkey"),
+      col("c_acctbal").cast(org.apache.spark.sql.types.DecimalType(18, 4))
+        .as("bal")).schema
+
+  /** Read a manifest's data-file list with its KNOWN schema: explicit
+    * schema skips footer inference at planning time (pure metadata
+    * win at 100 TB file counts), and an empty manifest — a committed
+    * version of an empty table — reads as an empty relation instead
+    * of parquet's unable-to-infer-schema error. */
+  private def readSnapshot(s: SparkSession, dir: String,
+                           files: Seq[String]): DataFrame = {
+    val sch = cowDataSchema(s, dir)
+    if (files.isEmpty)
+      s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), sch)
+    else s.read.schema(sch).parquet(files: _*)
+  }
+
   val queries: Map[String, Q] = Map(
     // ---- exact order statistics without a global sort --------------------
     "t9_exact_median" -> ((s, dir) => {
@@ -106,6 +128,14 @@ object ScaleOps {
         .select(col("l_extendedprice").cast("double").as("x"))
       val h0 = v.agg(count(lit(1)).as("n"), min(col("x")), max(col("x"))).head()
       val n = h0.getLong(0)
+      // empty input: min/max above are NULL — mirror SQL's
+      // aggregate-over-empty shape (count 0, NULL order statistics)
+      // instead of crashing on the typed get.
+      if (n == 0) {
+        val nd = lit(null).cast("double")
+        s.range(1).select(lit(0L).as("n"), nd.as("med_lo"),
+          nd.as("med_hi"), nd.as("median"))
+      } else {
       val (gLo, gHi) = (h0.getDouble(1), h0.getDouble(2))
       val B = 4096
       def orderStat(k: Long): Double = {
@@ -158,6 +188,7 @@ object ScaleOps {
       s.range(1).select(lit(n).as("n"),
         lit(medLo).as("med_lo"), lit(medHi).as("med_hi"),
         lit((medLo + medHi) / 2).as("median"))
+      }
     }),
 
     // ---- one-pass multi-level aggregation --------------------------------
@@ -281,8 +312,13 @@ object ScaleOps {
           col("o_orderkey"), col("o_orderpriority"))
       // cutoff = max order date - 180 days (1-row bounded collect —
       // stand-in for the load watermark a production run would carry)
-      val cutoff = ord.agg(max(col("valid_from"))).head.getDate(0)
-        .toLocalDate.minusDays(180)
+      val cutRow = ord.agg(max(col("valid_from"))).head
+      // empty orders: no watermark exists — any cutoff partitions the
+      // (empty) history and delta identically, so pick a fixed epoch
+      // instead of crashing on the typed get
+      val cutoff =
+        (if (cutRow.isNullAt(0)) java.time.LocalDate.ofEpochDay(0)
+         else cutRow.getDate(0).toLocalDate).minusDays(180)
       val cutLit = lit(java.sql.Date.valueOf(cutoff))
       val byKey = Window.partitionBy(col("o_custkey"))
         .orderBy(col("valid_from"), col("o_orderkey"))
@@ -332,10 +368,14 @@ object ScaleOps {
       // it. (The write is part of the measured operator: layout is a
       // cost you pay once to prune forever.)
       val out = graft.core.GraftSession.scratchDir(s, "part", dir)
-      Tables(s, dir).lineitem
+      val src = Tables(s, dir).lineitem
         .select("l_orderkey", "l_extendedprice", "l_returnflag")
-        .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
-      s.read.parquet(out)
+      src.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+      // read back with the schema we just wrote: skips footer
+      // inference (a listing-only planning step at 100 TB) and keeps
+      // the read well-defined when the source — and therefore the
+      // layout — is empty (zero partition dirs to infer from)
+      s.read.schema(src.schema).parquet(out)
         .filter(col("l_returnflag") === "R")
         .agg(count(lit(1)).as("n_rows"),
              dsum(col("l_extendedprice")).as("sum_price"))
@@ -473,6 +513,12 @@ object ScaleOps {
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
       val b = li.agg(min("l_partkey"), max("l_partkey"),
                      min("l_suppkey"), max("l_suppkey")).head()
+      // empty fact: no bounds to lay out by — the box probe over an
+      // empty layout is the plain aggregate-over-empty row
+      if (b.isNullAt(0))
+        li.agg(count(lit(1)).as("n_rows"),
+               dsum(col("l_extendedprice")).as("sum_price"))
+      else {
       val (pMn, pMx, sMn, sMx) =
         (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
       li.withColumn("_z", ZOrder.morton2(
@@ -489,6 +535,7 @@ object ScaleOps {
         .filter(col("l_partkey") <= pHi && col("l_suppkey") <= sHi)
         .agg(count(lit(1)).as("n_rows"),
              dsum(col("l_extendedprice")).as("sum_price"))
+      }
     }),
 
     // ---- bin-blocked interval overlap join ---------------------------------
@@ -594,6 +641,13 @@ object ScaleOps {
         .agg(min("l_orderkey").as("kmin"), max("l_orderkey").as("kmax"))
         .collect()
       val b = li.agg(min("l_orderkey"), max("l_orderkey")).head()
+      // empty fact: no key domain to probe — aggregate-over-empty row,
+      // and nothing was pruned because nothing existed
+      if (b.isNullAt(0))
+        li.agg(count(lit(1)).as("n_rows"),
+               dsum(col("l_extendedprice")).as("sum_price"))
+          .withColumn("manifest_pruned", lit(false))
+      else {
       val (kMn, kMx) = (b.getLong(0), b.getLong(1))
       // probe the middle eighth of the key space — same FLOOR
       // arithmetic as the oracle
@@ -615,6 +669,7 @@ object ScaleOps {
         .agg(count(lit(1)).as("n_rows"),
              dsum(col("l_extendedprice")).as("sum_price"))
         .withColumn("manifest_pruned", lit(prunedSomething))
+      }
     }),
 
     // ---- snapshot isolation / time travel --------------------------------
@@ -635,7 +690,7 @@ object ScaleOps {
       val root = graft.core.GraftSession.scratchDir(s, "ttr", dir)
       val (m0, m1) = buildCowSnapshots(s, dir, root)
       def snapshot(v: Int, m: Seq[String], shared: Int): DataFrame =
-        s.read.parquet(m: _*)
+        readSnapshot(s, dir, m)
           .agg(count(lit(1)).as("n_rows"),
             sum(col("bal")).cast("double").as("sum_bal"))
           .select(lit(v).as("version"), col("n_rows"), col("sum_bal"),
@@ -669,9 +724,9 @@ object ScaleOps {
       val m1 = readManifest(1)
       val only0 = m0.filterNot(m1.contains)
       val only1 = m1.filterNot(m0.contains)
-      val before = s.read.parquet(only0: _*)
+      val before = readSnapshot(s, dir, only0)
         .select(col("c_custkey"), col("bal").as("old_bal"))
-      val after = s.read.parquet(only1: _*)
+      val after = readSnapshot(s, dir, only1)
         .select(col("c_custkey"), col("bal").as("new_bal"))
       before.join(after, Seq("c_custkey"), "full_outer")
         .select(col("c_custkey"),
@@ -708,7 +763,7 @@ object ScaleOps {
         fs.delete(new org.apache.hadoop.fs.Path(f), false))
       fs.delete(new org.apache.hadoop.fs.Path(root, "m0.txt"), false)
       val gone = expired.count(f => !fs.exists(new org.apache.hadoop.fs.Path(f)))
-      s.read.parquet(m1: _*)
+      readSnapshot(s, dir, m1)
         .agg(count(lit(1)).as("v1_rows"),
           sum(col("bal")).cast("double").as("v1_sum_bal"))
         .select(
@@ -746,14 +801,23 @@ object ScaleOps {
       // provably untouched end to end — the compacted read must union
       // it back in, which is the part of the merge-on-read contract a
       // delete that happens to hit every file would never exercise
+      val baseSrc = Tables(s, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_returnflag"))
+        .withColumn("bk", pmod(col("l_orderkey"), lit(4)))
       if (!fs.exists(new org.apache.hadoop.fs.Path(s"$basePath/_SUCCESS")))
-        Tables(s, dir).lineitem
-          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
-            col("l_returnflag"))
-          .withColumn("bk", pmod(col("l_orderkey"), lit(4)))
-          .repartition(col("bk"))
+        baseSrc.repartition(col("bk"))
           .write.partitionBy("bk").mode("overwrite").parquet(basePath)
-      def withPos = s.read.parquet(basePath)
+      // explicit schemas on every layout read-back: skips footer
+      // inference at plan time and keeps the reads well-defined on an
+      // EMPTY table (a committed write of zero rows leaves no part
+      // files to infer from — only _SUCCESS)
+      val dvSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_f",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_p",
+          org.apache.spark.sql.types.LongType)))
+      def withPos = s.read.schema(baseSrc.schema).parquet(basePath)
         .select(col("*"), col("_metadata.file_path").as("_f"),
           col("_metadata.row_index").as("_p"))
       val pred1 = col("l_returnflag") === "R" && col("bk") =!= 3
@@ -762,13 +826,13 @@ object ScaleOps {
       withPos.filter(pred1).select(col("_f"), col("_p"))
         .write.mode("overwrite").parquet(s"$root/dv/d1")
       // DELETE 2: high-quantity rows among rows still live under d1
-      withPos.join(s.read.parquet(s"$root/dv/d1"), Seq("_f", "_p"),
-          "left_anti")
+      withPos.join(s.read.schema(dvSchema).parquet(s"$root/dv/d1"),
+          Seq("_f", "_p"), "left_anti")
         .filter(pred2).select(col("_f"), col("_p"))
         .write.mode("overwrite").parquet(s"$root/dv/d2")
       // explicit paths: the dv/ children are snapshot dirs, not
       // key=value partitions, so a parent-dir read would not recurse
-      def dvAll = s.read.parquet(s"$root/dv/d1", s"$root/dv/d2")
+      def dvAll = s.read.schema(dvSchema).parquet(s"$root/dv/d1", s"$root/dv/d2")
       def live = withPos.join(dvAll, Seq("_f", "_p"), "left_anti")
       // COMPACTION: rewrite only files carrying DV entries (touched
       // list is O(files) metadata), then the DVs are obsolete
@@ -788,7 +852,7 @@ object ScaleOps {
           live.filter(col("_f").isin(touched.toSeq: _*))
             .drop("_f", "_p")
             .write.mode("overwrite").parquet(s"$root/compacted")
-          s.read.parquet(s"$root/compacted")
+          s.read.schema(baseSrc.schema).parquet(s"$root/compacted")
             .unionByName(withPos.filter(!col("_f").isin(touched.toSeq: _*))
               .drop("_f", "_p"))
         }
@@ -799,7 +863,7 @@ object ScaleOps {
         d.crossJoin(n).select(lit(step).as("step"), col("n_live"),
           col("sum_qty"), col("dv_entries"))
       }
-      val d1 = s.read.parquet(s"$root/dv/d1")
+      val d1 = s.read.schema(dvSchema).parquet(s"$root/dv/d1")
       audit("base", withPos, s.emptyDataFrame)
         .unionByName(audit("delete_returned",
           withPos.join(d1, Seq("_f", "_p"), "left_anti"), d1))
@@ -825,7 +889,10 @@ object ScaleOps {
       // STRICTLY above the 3rd-place count: on an exact tie at the
       // boundary the sketch may legitimately return either tied type,
       // so boundary-tied types are interchangeable, not required
-      val cutoff = exact.agg(min(col("n"))).head().getLong(0)
+      val cRow = exact.agg(min(col("n"))).head()
+      // empty events: min over zero rows is NULL; the contract then
+      // holds vacuously (no type is strictly above the cutoff)
+      val cutoff = if (cRow.isNullAt(0)) Long.MaxValue else cRow.getLong(0)
       val agree = counts.filter(col("n") > cutoff)
         .join(sketch, Seq("event_type"), "left_anti").isEmpty
       exact.withColumn("sketch_contains_all", lit(agree))

@@ -401,10 +401,16 @@ object Selection {
     val model = dsirModelDf(words)
       .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
     val weights = (0 until Buckets).map(b => model.getOrElse(b, 0).toLong)
-    val dFp = dsirDenomDf(words).collect().head.getInt(0).toLong
-    val thr = dsirPerDoc(s, dir)
+    // empty reference corpus: t_tot's sum over zero rows is NULL (so
+    // d_fp is NULL) and no DsirK-th doc exists — there is no selection
+    // signal, so the gate admits everything (threshold at Long.MinValue),
+    // the same no-history rule as the source-cap gate's unseen source
+    val dRow = dsirDenomDf(words).collect().head
+    val dFp = if (dRow.isNullAt(0)) 0L else dRow.getInt(0).toLong
+    val thrRow = dsirPerDoc(s, dir)
       .orderBy(col("dsir_fp").desc, col("doc_id")).limit(DsirK)
-      .agg(min(col("dsir_fp"))).collect().head.getLong(0)
+      .agg(min(col("dsir_fp"))).collect().head
+    val thr = if (thrRow.isNullAt(0)) Long.MinValue else thrRow.getLong(0)
     (weights, dFp, thr)
   }
 

@@ -253,13 +253,18 @@ object Similarity {
       System.err.println(f"[recall-debug] hits=$h recall=${h.toDouble / (K * nQueries)}%.3f " +
         f"scanFrac=${candRows.toDouble / (corpusN * nQueries)}%.3f")
     }
+    // zero queries (empty corpus / fully-filtered slice): recall over
+    // an empty query set holds vacuously — and ANSI mode makes even
+    // the DOUBLE division by zero an error, so guard, don't divide
+    val recallOk =
+      if (nQueries == 0) lit(true)
+      else col("_hits").cast("double") / lit(K.toDouble * nQueries) >= lit(minRecall)
     ann.select("qid", "vec_id")
       .join(brute.select("qid", "vec_id"), Seq("qid", "vec_id"), "left_semi")
       .agg(count(lit(1)).as("_hits"))
       .select(
         lit(nQueries).as("n_queries"),
-        (col("_hits").cast("double") / lit(K.toDouble * nQueries) >= lit(minRecall))
-          .as("recall_ok"),
+        recallOk.as("recall_ok"),
         lit(candRows <= (maxScanFrac * corpusN * nQueries).toLong).as("scan_bounded"))
   }
 
@@ -336,8 +341,11 @@ object Similarity {
       val e = Tables(s, dir).embeddings
       val n = e.count()
       val nQ = e.filter(col("vec_id") % 100 === 0).count()
-      val m2 = spread(e)
-        .agg(max(expr(dotSql("embedding", "embedding", DIM)))).head().getDouble(0)
+      val m2Row = spread(e)
+        .agg(max(expr(dotSql("embedding", "embedding", DIM)))).head()
+      // empty corpus: no max norm exists; 0 keeps the augmentation
+      // sqrt well-defined and every frame below is empty anyway
+      val m2 = if (m2Row.isNullAt(0)) 0.0 else m2Row.getDouble(0)
       val nP = adaptivePlanes(n)
       // greatest(…, 0): the max-norm vector itself can go ε-negative
       // under float re-association; its augmented coordinate is 0
@@ -495,17 +503,19 @@ object Similarity {
       val cents = e.filter(col("vec_id") % 125 === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
       val wa = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-      spread(e).crossJoin(broadcast(cents))
+      val assignedDf = spread(e).crossJoin(broadcast(cents))
         .select(col("vec_id"), col("embedding"), col("cid"),
           expr(cosineSql("embedding", "ce", DIM)).as("csim"))
         .withColumn("arn", row_number().over(wa)).filter(col("arn") === 1)
         .select(col("cid"), col("vec_id"), col("embedding"))
-        .write.mode("overwrite").partitionBy("cid")
+      assignedDf.write.mode("overwrite").partitionBy("cid")
         .parquet(s"$idx/assigned")
       cents.write.mode("overwrite").parquet(s"$idx/centroids")
-      // ---- serve path: INDEX tables only ----
-      val ic = s.read.parquet(s"$idx/centroids")
-      val ia = s.read.parquet(s"$idx/assigned")
+      // ---- serve path: INDEX tables only (read with the writer's
+      // schemas — no footer inference, and an empty corpus leaves no
+      // part files to infer from) ----
+      val ic = s.read.schema(cents.schema).parquet(s"$idx/centroids")
+      val ia = s.read.schema(assignedDf.schema).parquet(s"$idx/assigned")
       val wq = Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("cid"))
       val probes = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
@@ -534,12 +544,22 @@ object Similarity {
       val n = e.count()
       val nQ = e.filter(col("vec_id") % 100 === 0).count()
       val nCells = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
-      val km = new KMeans().setK(nCells).setSeed(42).setMaxIter(10)
-        .fit(e.select(array_to_vector(col("embedding")).as("features")))
       val s2 = e.sparkSession
-      val cents = s2.createDataFrame(
-        km.clusterCenters.toSeq.zipWithIndex.map { case (v, i) => (i, v.toArray) })
-        .toDF("cid", "ce")
+      // a corpus smaller than the cell count can't fit k centers (the
+      // solver rejects empty input and over-k fits): every vector is
+      // then its own cell — the same deterministic quantizer shape as
+      // ss_knn_ivf, degrading IVF to exact search on a tiny slice
+      val cents =
+        if (n < nCells)
+          e.select(col("vec_id").cast("int").as("cid"),
+            col("embedding").cast("array<double>").as("ce"))
+        else {
+          val km = new KMeans().setK(nCells).setSeed(42).setMaxIter(10)
+            .fit(e.select(array_to_vector(col("embedding")).as("features")))
+          s2.createDataFrame(
+            km.clusterCenters.toSeq.zipWithIndex.map { case (v, i) => (i, v.toArray) })
+            .toDF("cid", "ce")
+        }
       val wa = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
       val assigned = spread(e).crossJoin(broadcast(cents))
         .select(col("vec_id"), col("embedding"), col("cid"),
@@ -655,14 +675,18 @@ object Similarity {
       // The 0.3 pin trips on a broken encode/ADC/rerank (which scores
       // ≈ random, K/n ≈ 0.0025–0.01), not on data difficulty (this
       // isotropic corpus is PQ's worst case).
+      // zero queries: recall holds vacuously (and ANSI errors on the
+      // double division) — same guard as recallContract
+      val recallOk =
+        if (nQ == 0) lit(true)
+        else col("_hits").cast("double") / lit(K.toDouble * nQ) >= lit(0.3)
       ann.select("qid", "vec_id")
         .join(bruteTopK(e).persist().select("qid", "vec_id"),
           Seq("qid", "vec_id"), "left_semi")
         .agg(count(lit(1)).as("_hits"))
         .select(
           lit(nQ).as("n_queries"),
-          (col("_hits").cast("double") / lit(K.toDouble * nQ) >= lit(0.3))
-            .as("recall_ok"),
+          recallOk.as("recall_ok"),
           lit(32).as("compression_x"))
     }),
     // IVF + PQ + exact rerank — the composed billion-scale serving
@@ -752,6 +776,16 @@ object Similarity {
       // same contract shape as the other ANN entries.
       val e = Tables(s, dir).embeddings
       val n = e.count()
+      // empty corpus: no graph to build — and AQE's empty-relation
+      // propagation can elide the CollectMetrics nodes the candidate
+      // audit reads, so exit before the observed jobs, not after
+      if (n == 0) {
+        val s2e = e.sparkSession
+        import s2e.implicits._
+        Seq((0L, true, true, true, true))
+          .toDF("n_nodes", "degree_bounded", "coverage_ok", "recall_ok",
+            "cands_linear_in_n")
+      } else {
       val p = neardupPlanes(n)
       val nBands = 12 // more seed chances than the near-dup join: top-K
                       // targets sit at lower cosine than τ-near-dups
@@ -843,6 +877,7 @@ object Similarity {
         candRows <= 512L * n))
         .toDF("n_nodes", "degree_bounded", "coverage_ok", "recall_ok",
           "cands_linear_in_n")
+      }
     }),
     // incremental k-NN-graph MAINTENANCE — ss_knn_graph without the
     // rebuild: the new crawl batch (vec_id % 5 == 4, the same

@@ -638,15 +638,31 @@ object EventStream {
         val ev = graft.core.Tables(ss, dir).events
           .select(col("event_id"), col("user_id"), col("event_type"),
             col("value"), col("ts"))
-        val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0).getTime
+        // empty events: no watermark epoch exists — any cut splits the
+        // empty stream into three empty chunks, so epoch 0 serves
+        val maxRow = ev.agg(max(col("ts"))).head
+        val maxTs = if (maxRow.isNullAt(0)) 0L else maxRow.getTimestamp(0).getTime
         val cut1 = new java.sql.Timestamp(maxTs - 12L * 3600 * 1000)
         val cut2 = new java.sql.Timestamp(maxTs - 6L * 3600 * 1000)
         val straggler = pmod(col("event_id"), lit(20)) === 0
         def writeChunk(df: DataFrame, target: Path, mtime: Long): Unit = {
           val tmp = new Path(srcDir, s"_tmp_${target.getName}")
           df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-          val part = fs.listStatus(tmp).map(_.getPath)
-            .filter(_.getName.startsWith("part-")).head
+          val parts = fs.listStatus(tmp).map(_.getPath)
+            .filter(_.getName.startsWith("part-"))
+          val part =
+            if (parts.nonEmpty) parts.head
+            else {
+              // a zero-row chunk (empty source) schedules no write task
+              // and leaves no file — force ONE empty task (parallelize
+              // with 1 slice) so the chunk is still a schema-carrying
+              // parquet file the streaming source can read
+              ss.createDataFrame(ss.sparkContext.parallelize(
+                  Seq.empty[org.apache.spark.sql.Row], 1), df.schema)
+                .write.mode("overwrite").parquet(tmp.toString)
+              fs.listStatus(tmp).map(_.getPath)
+                .filter(_.getName.startsWith("part-")).head
+            }
           fs.delete(target, false) // rename won't clobber a half-built run
           fs.rename(part, target)
           fs.delete(tmp, true)
