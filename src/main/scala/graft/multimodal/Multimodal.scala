@@ -68,6 +68,9 @@ object Multimodal {
     media
       .repartition(nParts, col("media_id"))
       .select(col("media_id"), col("kind"), col("payload"))
+      // a record without bytes has nothing to decode — drop it here
+      // (the catalog keeps it; only the feature path needs a payload)
+      .filter(col("payload").isNotNull)
       .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
         it.grouped(64).flatMap { batch =>

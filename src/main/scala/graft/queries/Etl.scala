@@ -122,8 +122,12 @@ object Etl {
       fs.delete(new org.apache.hadoop.fs.Path(root), true)
       def src(version: Int): DataFrame = {
         val o = Tables(s, dir).orders
+          // NULL order dates land in an explicit default partition
+          // (yr = -1), the warehouse convention — a NULL partition key
+          // would otherwise crash the driver-side fingerprint map and
+          // be unaddressable by the dynamic-overwrite rebuild
           .select(col("o_orderkey"), col("o_totalprice"),
-            year(to_date(col("o_orderdate"))).as("yr"))
+            coalesce(year(to_date(col("o_orderdate"))), lit(-1)).as("yr"))
         // v1 = late-arriving corrections land for fiscal 1997
         if (version == 0) o
         else o.withColumn("o_totalprice",

@@ -81,7 +81,9 @@ object Similarity {
     * PQ path, constant-size by construction. */
   private def pqCodebook(e: DataFrame, n: Long): Seq[Seq[Seq[Float]]] = {
     val step = math.max(1L, n / 2048)
-    val sample = e.filter(pmod(col("vec_id"), lit(step)) === 0)
+    // null embeddings (partial records) carry no geometry to fit on
+    val sample = e.filter(pmod(col("vec_id"), lit(step)) === 0 &&
+        col("embedding").isNotNull)
       .orderBy("vec_id").limit(2048)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
@@ -541,21 +543,29 @@ object Similarity {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.functions.array_to_vector
       val e = Tables(s, dir).embeddings
-      val n = e.count()
+      // count(embedding) skips nulls — both counts ride one job; only
+      // rows WITH geometry can seed or fit centers
+      val cntRow = e.agg(count(lit(1)), count(col("embedding"))).head()
+      val n = cntRow.getLong(0)
+      val nFit = cntRow.getLong(1)
       val nQ = e.filter(col("vec_id") % 100 === 0).count()
       val nCells = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
       val s2 = e.sparkSession
-      // a corpus smaller than the cell count can't fit k centers (the
-      // solver rejects empty input and over-k fits): every vector is
-      // then its own cell — the same deterministic quantizer shape as
-      // ss_knn_ivf, degrading IVF to exact search on a tiny slice
+      // fewer fittable vectors than the cell count: the solver rejects
+      // empty input and over-k fits — every vector is then its own
+      // cell, the same deterministic quantizer shape as ss_knn_ivf,
+      // degrading IVF to exact search on a tiny slice
       val cents =
-        if (n < nCells)
-          e.select(col("vec_id").cast("int").as("cid"),
-            col("embedding").cast("array<double>").as("ce"))
+        if (nFit < nCells)
+          e.filter(col("embedding").isNotNull)
+            .select(col("vec_id").cast("int").as("cid"),
+              col("embedding").cast("array<double>").as("ce"))
         else {
+          // null embeddings carry no geometry — array_to_vector's
+          // lambda rejects them, and a center fit on them is undefined
           val km = new KMeans().setK(nCells).setSeed(42).setMaxIter(10)
-            .fit(e.select(array_to_vector(col("embedding")).as("features")))
+            .fit(e.filter(col("embedding").isNotNull)
+              .select(array_to_vector(col("embedding")).as("features")))
           s2.createDataFrame(
             km.clusterCenters.toSeq.zipWithIndex.map { case (v, i) => (i, v.toArray) })
             .toDF("cid", "ce")

@@ -692,8 +692,12 @@ object Text {
       .sortWithinPartitions("doc_id")
     val tokIdx = ordered.schema.fieldIndex("n_tokens")
     val rdd = ordered.rdd
+    // a NULL token count (null-text doc) packs as width 0 — the row
+    // keeps its place in the layout without advancing the cursor
+    def tok(r: org.apache.spark.sql.Row): Long =
+      if (r.isNullAt(tokIdx)) 0L else r.getLong(tokIdx)
     val partSums = rdd.mapPartitionsWithIndex { case (i, it) =>
-      Iterator.single(i -> it.map(_.getLong(tokIdx)).sum)
+      Iterator.single(i -> it.map(tok).sum)
     }.collect().toMap
     val offsets = (0 until rdd.getNumPartitions).scanLeft(0L)((acc, i) =>
       acc + partSums.getOrElse(i, 0L))
@@ -701,7 +705,7 @@ object Text {
       var cum = offsets(i)
       it.map { r =>
         val start = cum
-        cum += r.getLong(tokIdx)
+        cum += tok(r)
         Row.fromSeq(r.toSeq ++ Seq(start, start / PackTokens, start % PackTokens))
       }
     }

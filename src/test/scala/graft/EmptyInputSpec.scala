@@ -37,6 +37,26 @@ class EmptyInputSpec extends SparkSpec {
     dir
   }
 
+  /** Partial-record variant: every non-key column NULLed on half the
+    * rows (EdgeProbe's `nulls` mode, 200 rows per table for speed). */
+  private lazy val nullsDir: String = {
+    import org.apache.spark.sql.functions._
+    val keyCols = Set("r_regionkey", "n_nationkey", "c_custkey", "s_suppkey",
+      "p_partkey", "o_orderkey", "l_orderkey", "event_id", "doc_id", "vec_id")
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_spec_nulls"
+    tables.foreach { t =>
+      val full = spark.read.parquet(s"$srcDir/$t.parquet").limit(200)
+      val keyed = full.schema.fieldNames.find(keyCols.contains)
+        .map(k => pmod(xxhash64(col(k)), lit(2)) === 0).getOrElse(lit(false))
+      full.select(full.schema.fields.map { f =>
+        if (keyCols.contains(f.name)) col(f.name)
+        else when(keyed, lit(null).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+      }.toIndexedSeq: _*)
+        .repartition(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/$t.parquet")
+    }
+    dir
+  }
+
   /** collect() evaluates every projected column (unlike count(), which
     * lets Catalyst prune the expressions under probe). */
   private def run(name: String, dir: String): Array[org.apache.spark.sql.Row] =
@@ -98,5 +118,17 @@ class EmptyInputSpec extends SparkSpec {
   test("streaming gates survive an empty corpus") {
     assert(run("st_sel_gate", emptyDir).isEmpty)
     assert(run("st_late_data", emptyDir).isEmpty)
+  }
+
+  test("partial records (NULL non-key columns) survive the null-heavy sweep") {
+    // the six nulls-mode crash sites: NULL partition key in the
+    // backfill fingerprint map, NULL payloads/embeddings reaching
+    // typed lambdas and solver fits, NULL token counts in the packer
+    assert(run("etl_backfill", nullsDir).nonEmpty)
+    assert(run("mm_features", nullsDir).nonEmpty)
+    assert(run("tx_pack", nullsDir).nonEmpty)
+    Seq("ss_knn_pq", "ss_knn_ivfpq", "ss_knn_ivf_kmeans").foreach { q =>
+      assert(run(q, nullsDir).length == 1, s"$q contract row")
+    }
   }
 }
