@@ -73,6 +73,12 @@ object EdgeProbe {
               else when(keyed, lit(null).cast(f.dataType))
                 .otherwise(col(f.name)).as(f.name)
             }.toIndexedSeq: _*)
+          case "dup" =>
+            // ingest-replay shape: every row delivered twice (at-least-
+            // once sources, retried batches) — keys collide with
+            // IDENTICAL attributes, probing map-literal builds, pivot
+            // keys, and grain assumptions
+            full.unionAll(full)
           case other => sys.error(s"unknown probe mode: $other")
         }
         variant.repartition(1).write.mode(SaveMode.Overwrite)
