@@ -142,8 +142,11 @@ object Etl {
         df.groupBy(col("yr"))
           .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_total"))
           .withColumn("build_version", lit(gen))
-      // initial build: all partitions at generation 0
-      build(src(0), gen = 0).repartition(col("yr"))
+      // initial build: all partitions at generation 0 (bound once —
+      // the read-back below reuses its schema, so writer and reader
+      // stay coupled by construction)
+      val built0 = build(src(0), gen = 0)
+      built0.repartition(col("yr"))
         .write.partitionBy("yr").mode("overwrite").parquet(s"$root/agg")
       val fp0 = fingerprints(src(0))
       // backfill: diff fingerprints, rebuild ONLY the moved partitions
@@ -158,7 +161,7 @@ object Etl {
       // plan time, and an empty source (no orders at all → zero
       // partition dirs written) reads as an empty backfill state
       // instead of an unable-to-infer error
-      s.read.schema(build(src(0), gen = 0).schema).parquet(s"$root/agg")
+      s.read.schema(built0.schema).parquet(s"$root/agg")
         .select(col("yr").cast("int").as("yr"), col("n_orders"),
           col("sum_total"), col("build_version"))
     }))

@@ -124,8 +124,13 @@ object ScaleOps {
       // boundaries under IEEE rounding, which would silently shift the
       // selected order statistic; reusing the bucketing expression
       // itself makes bookkeeping and filtering agree by construction.
+      // SQL median semantics: NULL values carry no rank — excluded
+      // from both the count and the selection (a NULL row would
+      // otherwise crash the histogram's typed gets AND shift the
+      // selected order statistic on partial-record data)
       val v = Tables(s, dir).lineitem
         .select(col("l_extendedprice").cast("double").as("x"))
+        .filter(col("x").isNotNull)
       val h0 = v.agg(count(lit(1)).as("n"), min(col("x")), max(col("x"))).head()
       val n = h0.getLong(0)
       // empty input: min/max above are NULL — mirror SQL's
@@ -513,10 +518,14 @@ object ScaleOps {
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
       val b = li.agg(min("l_partkey"), max("l_partkey"),
                      min("l_suppkey"), max("l_suppkey")).head()
-      // empty fact: no bounds to lay out by — the box probe over an
-      // empty layout is the plain aggregate-over-empty row
-      if (b.isNullAt(0))
-        li.agg(count(lit(1)).as("n_rows"),
+      // degenerate bounds: EITHER dimension without values (empty
+      // fact, or one key column all-NULL on partial records) leaves
+      // that dim's box edge undefined — in SQL a comparison against
+      // the undefined (NULL) bound matches nothing, so the probe
+      // aggregates zero rows
+      if ((0 to 3).exists(b.isNullAt))
+        li.filter(lit(false))
+          .agg(count(lit(1)).as("n_rows"),
                dsum(col("l_extendedprice")).as("sum_price"))
       else {
       val (pMn, pMx, sMn, sMx) =
@@ -1150,7 +1159,8 @@ object ScaleOps {
     // scale); median = one IEEE add + halve of the same two order
     // statistics the histogram narrowing selects.
     "t9_exact_median" ->
-      """WITH s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+      """WITH s AS (SELECT CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem
+        |           WHERE l_extendedprice IS NOT NULL),
         |r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM s),
         |c AS (SELECT COUNT(*) AS n FROM s)
         |SELECT n,

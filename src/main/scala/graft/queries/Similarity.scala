@@ -255,11 +255,14 @@ object Similarity {
       System.err.println(f"[recall-debug] hits=$h recall=${h.toDouble / (K * nQueries)}%.3f " +
         f"scanFrac=${candRows.toDouble / (corpusN * nQueries)}%.3f")
     }
-    // zero queries (empty corpus / fully-filtered slice): recall over
-    // an empty query set holds vacuously — and ANSI mode makes even
-    // the DOUBLE division by zero an error, so guard, don't divide
+    // vacuous cases: zero queries (empty corpus / fully-filtered
+    // slice — ANSI mode makes even the DOUBLE division by zero an
+    // error, so guard, don't divide), or a corpus of ≤ K vectors,
+    // where no query HAS K true neighbors and the fixed K·nQueries
+    // denominator would fail a perfectly-working index on data shape
+    // rather than on broken code
     val recallOk =
-      if (nQueries == 0) lit(true)
+      if (nQueries == 0 || corpusN <= K) lit(true)
       else col("_hits").cast("double") / lit(K.toDouble * nQueries) >= lit(minRecall)
     ann.select("qid", "vec_id")
       .join(brute.select("qid", "vec_id"), Seq("qid", "vec_id"), "left_semi")
@@ -557,8 +560,12 @@ object Similarity {
       // degrading IVF to exact search on a tiny slice
       val cents =
         if (nFit < nCells)
+          // cid stays the raw long id: an ANSI int cast would throw on
+          // large (snowflake-style) vec_ids — exactly the degenerate
+          // slice this branch exists to survive. cid never leaves the
+          // query, so the branch-local type is free to differ.
           e.filter(col("embedding").isNotNull)
-            .select(col("vec_id").cast("int").as("cid"),
+            .select(col("vec_id").as("cid"),
               col("embedding").cast("array<double>").as("ce"))
         else {
           // null embeddings carry no geometry — array_to_vector's
@@ -685,10 +692,11 @@ object Similarity {
       // The 0.3 pin trips on a broken encode/ADC/rerank (which scores
       // ≈ random, K/n ≈ 0.0025–0.01), not on data difficulty (this
       // isotropic corpus is PQ's worst case).
-      // zero queries: recall holds vacuously (and ANSI errors on the
-      // double division) — same guard as recallContract
+      // zero queries or a ≤K-vector corpus: recall holds vacuously
+      // (and ANSI errors on the double division) — same guard as
+      // recallContract
       val recallOk =
-        if (nQ == 0) lit(true)
+        if (nQ == 0 || n <= K) lit(true)
         else col("_hits").cast("double") / lit(K.toDouble * nQ) >= lit(0.3)
       ann.select("qid", "vec_id")
         .join(bruteTopK(e).persist().select("qid", "vec_id"),

@@ -41,11 +41,28 @@ object EdgeProbe {
   /** Join/identity keys that stay intact in `nulls` mode: NULLing a
     * key models a different (broken-upstream) failure than the
     * partial-record shape this mode probes. */
-  private val keyCols = Set(
+  private[graft] val keyCols = Set(
     "r_regionkey", "n_nationkey", "n_regionkey", "c_custkey", "c_nationkey",
     "s_suppkey", "s_nationkey", "p_partkey", "o_orderkey", "o_custkey",
     "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
     "event_id", "user_id", "doc_id", "vec_id")
+
+  /** The `nulls`-mode transform: every non-key column NULLed on
+    * alternating rows (keyed on the first key column so the pattern is
+    * deterministic). ONE definition, shared with EmptyInputSpec so the
+    * pinned shape cannot drift from the probe's. */
+  private[graft] def nullsVariant(full: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val keyed = full.schema.fieldNames.find(keyCols.contains)
+      .map(k => pmod(xxhash64(col(k)), lit(2)) === 0)
+      .getOrElse(lit(false))
+    full.select(full.schema.fields.map { f =>
+      if (keyCols.contains(f.name)) col(f.name)
+      else when(keyed, lit(null).cast(f.dataType))
+        .otherwise(col(f.name)).as(f.name)
+    }.toIndexedSeq: _*)
+  }
 
   def main(args: Array[String]): Unit = {
     val src = args(0)
@@ -61,18 +78,7 @@ object EdgeProbe {
         val variant = mode match {
           case "empty" => full.limit(0)
           case "one"   => full.limit(1)
-          case "nulls" =>
-            // NULL every non-key column on alternating rows (keyed on
-            // the first key column so the pattern is deterministic)
-            import org.apache.spark.sql.functions._
-            val keyed = full.schema.fieldNames.find(keyCols.contains)
-              .map(k => pmod(xxhash64(col(k)), lit(2)) === 0)
-              .getOrElse(lit(false))
-            full.select(full.schema.fields.map { f =>
-              if (keyCols.contains(f.name)) col(f.name)
-              else when(keyed, lit(null).cast(f.dataType))
-                .otherwise(col(f.name)).as(f.name)
-            }.toIndexedSeq: _*)
+          case "nulls" => nullsVariant(full)
           case "dup" =>
             // ingest-replay shape: every row delivered twice (at-least-
             // once sources, retried batches) — keys collide with

@@ -37,21 +37,14 @@ class EmptyInputSpec extends SparkSpec {
     dir
   }
 
-  /** Partial-record variant: every non-key column NULLed on half the
-    * rows (EdgeProbe's `nulls` mode, 200 rows per table for speed). */
+  /** Partial-record variant: EdgeProbe's `nulls`-mode transform (the
+    * SHARED definition — a spec-local copy drifted once), limited to
+    * 200 rows per table for speed. */
   private lazy val nullsDir: String = {
-    import org.apache.spark.sql.functions._
-    val keyCols = Set("r_regionkey", "n_nationkey", "c_custkey", "s_suppkey",
-      "p_partkey", "o_orderkey", "l_orderkey", "event_id", "doc_id", "vec_id")
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_spec_nulls"
     tables.foreach { t =>
-      val full = spark.read.parquet(s"$srcDir/$t.parquet").limit(200)
-      val keyed = full.schema.fieldNames.find(keyCols.contains)
-        .map(k => pmod(xxhash64(col(k)), lit(2)) === 0).getOrElse(lit(false))
-      full.select(full.schema.fields.map { f =>
-        if (keyCols.contains(f.name)) col(f.name)
-        else when(keyed, lit(null).cast(f.dataType)).otherwise(col(f.name)).as(f.name)
-      }.toIndexedSeq: _*)
+      graft.tools.EdgeProbe.nullsVariant(
+          spark.read.parquet(s"$srcDir/$t.parquet").limit(200))
         .repartition(1).write.mode(SaveMode.Overwrite).parquet(s"$dir/$t.parquet")
     }
     dir
