@@ -95,8 +95,11 @@ object Bench {
     // baselines are sf0.1 suite-context numbers — applying them to any
     // other data dir (the sf1 rehearsal) would flag every honest run
     // as suspect and double-sample it
+    // exact path-segment match: a substring test would wrongly apply
+    // sf0.1 baselines to sf0.15-style dirs (and miss a renamed one)
     val baseline =
-      if (sfDir.contains("sf0.1")) baselines() else Map.empty[String, Double]
+      if (sfDir.split('/').contains("sf0.1")) baselines()
+      else Map.empty[String, Double]
     System.err.println(s"[bench] baseline entries loaded: ${baseline.size}")
     val loadBefore = loadavg()
     val results = names.map { name =>

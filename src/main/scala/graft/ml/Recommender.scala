@@ -45,12 +45,17 @@ object Recommender {
   // ALS rejects an empty ratings frame outright, and an empty slice is
   // a routine production input (a tenant with no orders yet, a fully
   // filtered backfill window) — the model-backed operators answer it
-  // with an empty result instead of a solver crash. Memoized per dir
-  // like the model cache, so the probe costs one limit(1) job per
-  // JVM+dir, not one per query.
+  // with an empty result instead of a solver crash. Only the TRUE
+  // (non-empty) verdict is memoized — mirroring the model cache, which
+  // only ever caches a successful fit: a dir probed while empty must
+  // not keep answering "empty" after data lands in it.
   private val nonEmptyCache = TrieMap[String, Boolean]()
   def hasInteractions(spark: SparkSession, dir: String): Boolean =
-    nonEmptyCache.getOrElseUpdate(dir, !interactions(Tables(spark, dir)).isEmpty)
+    nonEmptyCache.get(dir).getOrElse {
+      val nonEmpty = !interactions(Tables(spark, dir)).isEmpty
+      if (nonEmpty) nonEmptyCache.put(dir, true)
+      nonEmpty
+    }
 
   /** Empty frame with the given DDL schema — the shape of a
     * model-backed result when there is no data to train on. */

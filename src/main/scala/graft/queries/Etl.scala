@@ -197,7 +197,7 @@ object Etl {
     // AND that no other partition was touched.
     "etl_backfill" ->
       """WITH src AS (
-        |  SELECT year(o_orderdate) AS yr,
+        |  SELECT COALESCE(year(o_orderdate), -1) AS yr,
         |         CASE WHEN year(o_orderdate) = 1997
         |              THEN o_totalprice + 10.0 ELSE o_totalprice END AS p
         |  FROM orders)

@@ -352,7 +352,8 @@ object MultimodalQueries {
         |              ELSE 'video' END AS kind,
         |         CAST(length(text) AS INTEGER) AS n_bytes,
         |         md5(text) AS h
-        |  FROM documents),
+        |  FROM documents
+        |  WHERE text IS NOT NULL),
         |u AS (
         |  SELECT media_id, kind, n_bytes, i,
         |         (strpos('0123456789abcdef', substr(h, 4*i+1, 1)) - 1) * 4096
