@@ -1,0 +1,86 @@
+package graft
+
+import java.util.concurrent.Executors
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+/** Multi-tenant concurrency: one SparkSession serving many queries at
+  * once is the normal deployment shape (a shared cluster endpoint, a
+  * notebook server, Verify's own future-based stages) — Spark's
+  * scheduler is built for concurrent job submission, so the only thing
+  * that can break is OUR shared state. This spec pins the contract:
+  *
+  *  - cross-query concurrency on one data dir is safe and
+  *    deterministic: every query returns exactly its sequential result
+  *    while others are in flight. The shared surfaces this exercises:
+  *    the Recommender model/non-empty caches (TrieMap), the BPE
+  *    broadcast memo (ConcurrentHashMap, functions/Bpe.scala), the
+  *    Tables temp-view registration an_adhoc_sql re-runs per call
+  *    (same-name, same-definition replace — benign), and the
+  *    Multimodal codec seam.
+  *  - same-query concurrency is additionally safe for PURE queries
+  *    (no scratch side effects). Side-effecting ops (etl_backfill,
+  *    s17_time_travel, …) write an app+op+dir-scoped scratch root
+  *    (GraftSession.scratchDir) — they are safe against EVERY OTHER
+  *    query and against other processes, but two interleaved runs of
+  *    the SAME op on the SAME dir in one app race on that root by
+  *    design, exactly like two jobs writing one warehouse table; the
+  *    serializable-per-(op,dir) convention is the warehouse norm and
+  *    the CAS-committed ledger ops (etl_wap, s22 — WapConcurrencySpec)
+  *    are the provided primitive when true concurrent publication is
+  *    needed. Those run here once, concurrently with everything else.
+  *
+  * Cross-DIR concurrency in one session is out of contract for the
+  * SQL-entry queries only: temp views are session-scoped by Spark's
+  * design, so two dirs fight over table names exactly as they would in
+  * any shared metastore; DataFrame-API queries take the dir as an
+  * argument and do not care.
+  */
+class ConcurrencySpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  // pure queries: no scratch writes — safe to run N copies at once.
+  // Chosen to cover every shared-state surface, not for breadth.
+  private val pure = Seq(
+    "q1_agg",              // plain agg (control)
+    "j3_inner_join_agg",   // broadcast join path
+    "t4_topk_per_group",   // custom TopKAggregate expression
+    "a6_distinct_count",
+    "dd_exact",
+    "an_adhoc_sql",        // temp-view registration + spark.sql
+    "tx_bpe_encode",       // memoized broadcast cache (Bpe.bcCache)
+    "sel_dsir",            // compiled selection model (bounded collect)
+    "mm_features",         // Multimodal codec seam
+    "reco_topk_cosine",    // ALS model cache + nonEmptyCache (TrieMap)
+    "reco_eval",           // shares the cached model with the above
+    "g_pagerank")          // iterative loop w/ per-round broadcasts
+
+  // side-effecting queries: app+op+dir-scoped scratch root; one copy
+  // each, racing against all the pure traffic above.
+  private val sideEffecting = Seq("etl_backfill", "s17_time_travel",
+    "s8_upsert", "an_badrecords")
+
+  /** Order-independent snapshot of a query's full result. */
+  private def snap(name: String): Seq[String] =
+    SparkEntry.queries(name)(spark, dir).collect()
+      .map(_.toString).sorted.toSeq
+
+  test("concurrent execution returns sequential results exactly") {
+    val names = pure ++ sideEffecting
+    val sequential = names.map(n => n -> snap(n)).toMap
+
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // two copies of every pure query + one of each side-effecting
+      // one, submission order interleaved so unlike queries overlap
+      val submissions = (pure ++ sideEffecting ++ pure.reverse)
+      val futs = submissions.map(n => Future(n -> snap(n)))
+      val results = Await.result(Future.sequence(futs), 15.minutes)
+      results.foreach { case (n, got) =>
+        assert(got == sequential(n),
+          s"$n diverged under concurrent execution")
+      }
+    } finally pool.shutdown()
+  }
+}
