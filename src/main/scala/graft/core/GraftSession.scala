@@ -15,7 +15,15 @@ object GraftSession {
   def builder(appName: String = "graft", cpus: String = defaultCpus): SparkSession.Builder =
     SparkSession.builder()
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", cpus)
+      // shuffle partitions default to the thread count (right for the
+      // sf0.1 gate), overridable independently: partition count is THE
+      // knob that must scale with data volume — at 100x the gate scale
+      // a fixed 32 leaves tens of millions of rows per reduce
+      // partition and every hash aggregate falls back to sort-spill.
+      // AQE coalesces over-partitioned shuffles down, so oversizing is
+      // cheap; undersizing is not recoverable at runtime.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -86,8 +94,16 @@ object GraftSession {
     if (sweptStale.compareAndSet(false, true)) scala.util.Try {
       val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
       val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+      // only names carrying an APPLICATION-ID infix are scratch this
+      // engine wrote (scratchDir's graft_<tag>_<appId>_<hash> shape;
+      // local-mode ids start "local-", cluster ids "app…"). A bare
+      // prefix test also matched long-lived graft_* artifacts that are
+      // NOT scratch — a GenScale rehearsal corpus crossed the 2 h line
+      // mid-session once and was swept out from under a running bench.
       Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(f => f.getName.startsWith("graft_") && f.lastModified < cutoff)
+        .filter(f => f.getName.startsWith("graft_") &&
+          (f.getName.contains("_local-") || f.getName.contains("_app")) &&
+          f.lastModified < cutoff)
         .foreach(deleteRecursively)
       val warehouse = new java.io.File(
         new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath)

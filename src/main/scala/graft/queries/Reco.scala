@@ -228,15 +228,19 @@ object Reco {
       // probe straight through codegen — measured 6.0 s → 3.6 s at
       // sf0.1, and the same argument holds on a cluster where the
       // capped build side stays per-partition-bounded.
+      // every non-broadcast join in this query is hinted sort-free:
+      // its frames (fact join, ui, pairs) are all large-and-flat, so
+      // each SMJ sort here is a full-frame spill for no merge benefit
       val t = Tables(s, dir)
       val ui = t.orders.select(col("o_orderkey"), col("o_custkey"))
+        .hint("shuffle_hash")
         .join(t.lineitem.select(col("l_orderkey"), col("l_partkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("user"), col("l_partkey").as("item"))
         .distinct()
       val capped = ui.join(
         ui.groupBy("user").agg(count(lit(1)).as("_d"))
-          .filter(col("_d") <= 1000).select("user"),
+          .filter(col("_d") <= 1000).select("user").hint("shuffle_hash"),
         Seq("user"), "left_semi")
       val ni = capped.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
       // aggregate CANONICAL pairs only (a<b) — cosine is symmetric, so
@@ -245,22 +249,52 @@ object Reco {
       // The denominators n_i deliberately do NOT ride that shuffle:
       // grouping on bare (item, neighbor) keeps the pair rows two
       // longs wide (~45% less shuffle volume than carrying both
-      // counts), and ni joins onto the aggregated O(distinct pairs)
-      // frame instead — broadcast at catalog sizes, an O(pairs)-side
-      // shuffle join past the broadcast ceiling, either way off the
-      // dominant Σ d(u)² path
+      // counts), and ni joins onto the aggregated CANONICAL pair frame
+      // below instead — broadcast at catalog sizes, a sort-free
+      // hash-join exchange of the O(distinct pairs)/2 side past the
+      // broadcast ceiling, either way off the dominant Σ d(u)² path
       val half = capped.select(col("user"), col("item")).hint("shuffle_hash")
         .join(capped.select(col("user"), col("item").as("neighbor")),
           Seq("user"))
         .filter(col("item") < col("neighbor"))
         .groupBy(col("item"), col("neighbor"))
         .agg(count(lit(1)).as("n_ab"))
-      val co = half.unionByName(half.select(
-          col("neighbor").as("item"), col("item").as("neighbor"),
-          col("n_ab")))
-        .join(ni.select(col("item"), col("n_i").as("n_a")), Seq("item"))
-        .join(ni.select(col("item").as("neighbor"), col("n_i").as("n_b")),
-          Seq("neighbor"))
+      // denominators attach to the CANONICAL half, not the mirrored
+      // frame — the mirror only swaps which count is n_a vs n_b, so
+      // joining before mirroring halves the rows moving through both
+      // ni joins. The shuffle_hash hints are load-bearing at scale:
+      // past the broadcast ceiling these planned as sort-merge joins,
+      // and the two full SORTS of the O(distinct pairs) frame — not
+      // the joins themselves — were the first thing to exhaust
+      // executor spill space in the 100x rehearsal (ni's per-partition
+      // hash build is catalog-bounded; sorting pairs is not).
+      // dual-path denominator attach, the g_pagerank precedent: below
+      // the bound the ni frame (≤ catalog rows; the part row count is
+      // parquet-metadata-cheap) broadcasts — zero pair-side exchange;
+      // past it an explicit broadcast would OOM the driver, so the
+      // joins go shuffle-hash. The gate must be explicit because the
+      // planner's STATIC estimate of ni (derived from the whole fact
+      // join) is catalog-size-blind: at the 100x rehearsal it planned
+      // sort-merge despite ni materializing at ~30 MB.
+      val niBroadcastLimit =
+        s.conf.getOption("graft.reco.niBroadcastLimit").map(_.toLong)
+          .getOrElse(4_000_000L)
+      // parquet-metadata row count of the catalog DIMENSION, not of ni
+      // itself (counting ni would execute the whole fact join twice);
+      // corpora without a part table (hand-built fixtures) are by
+      // construction small → broadcast path
+      val niSmall =
+        scala.util.Try(t.part.count()).getOrElse(0L) <= niBroadcastLimit
+      def attach(d: DataFrame) =
+        if (niSmall) broadcast(d) else d.hint("shuffle_hash")
+      val halved = half
+        .join(attach(ni.select(col("item"), col("n_i").as("n_a"))),
+          Seq("item"))
+        .join(attach(ni.select(col("item").as("neighbor"),
+          col("n_i").as("n_b"))), Seq("neighbor"))
+      val co = halved.unionByName(halved.select(
+        col("neighbor").as("item"), col("item").as("neighbor"),
+        col("n_ab"), col("n_b").as("n_a"), col("n_a").as("n_b")))
       val scored = co.withColumn("cosine",
         col("n_ab").cast("double") /
           sqrt((col("n_a") * col("n_b")).cast("double")))
