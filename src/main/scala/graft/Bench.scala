@@ -78,6 +78,13 @@ object Bench {
     val prefix = args.headOption.getOrElse("")
     val all = sys.env.get("GRAFT_BENCH_ALL").contains("1") || prefix.nonEmpty
     val spark = graft.core.GraftSession.local("graft-bench")
+    // rehearsal corpora (GenScale output) carry a MANIFEST.json; a
+    // bench against one REFUSES to run if the corpus no longer matches
+    // it (half-regenerated, swept mid-generation) — numbers against
+    // unknown bytes are worse than no numbers. Driver sf dirs carry no
+    // manifest and skip the check.
+    graft.tools.GenScale.verifyManifest(spark, sfDir).foreach(h =>
+      System.err.println(s"[bench] corpus manifest verified: $h"))
     // untimed warmup: initialize parquet reader, shuffle machinery and
     // codegen paths so the first timed query isn't charged for them
     spark.read.parquet(s"$sfDir/region.parquet")
@@ -219,6 +226,18 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","load":[$loadBefore%.2f,$loadAfter%.2f],"queries":$qs,"runs":$runsJson,"cold_warm":$coldJson,"failed":$failed,"retried":$retriedJson,"suspect":$suspectJson,"sf":"$sfDir"}""")
+    // truncation-proof FINAL line: the driver captures a bounded TAIL
+    // of the output, and the full line above (with per-run arrays and
+    // cold/warm pairs) overflowed it in round 11, cutting the first ~6
+    // entries' names. This compact twin — per-query minima only,
+    // name-sorted, still a fully valid bench JSON (metric/value/unit/
+    // queries/failed/retried/suspect/sf) — is printed LAST so any tail
+    // window preserves the whole suite whichever line the driver
+    // parses. ~54 entries × ~20 bytes ≈ 1.1 KB.
+    val qsSorted = results.sortBy(_._1).map { case (k, v, _, _, _, _, _) =>
+      "\"" + k + "\":" + v.map(s => f"$s%.3f").getOrElse("null")
+    }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsSorted,"failed":$failed,"retried":$retriedJson,"suspect":$suspectJson,"sf":"$sfDir"}""")
     graft.core.GraftSession.dropScratch(spark)
     spark.stop()
   }

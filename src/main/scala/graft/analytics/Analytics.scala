@@ -10,10 +10,28 @@ import graft.core.Tables
   * reference (postgres_reader.py:147-156). */
 object Analytics {
 
+  /** One ISOLATED child SparkSession per (root session, data dir) for
+    * the SQL-entry surface: temp views are session-scoped by Spark's
+    * design, so two dirs served through ONE session fight over table
+    * names exactly as in any shared metastore. `newSession()` is the
+    * standard Spark multi-tenant shape — fresh temp-view namespace and
+    * SQLConf, shared SparkContext/block manager — and matches the
+    * reference's isolation (each postgres_reader.py session is its own
+    * Postgres connection). Views are (re-)registered on EVERY call,
+    * not once per child: registration is catalog-only (no job), and a
+    * memoized registration would pin a mutated dir's old file listing.
+    * Same-dir concurrent registration is a same-name same-definition
+    * replace — benign, pinned by ConcurrencySpec. */
+  private val sqlSessions =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SparkSession]()
+  private def sessionFor(spark: SparkSession, dir: String): SparkSession =
+    sqlSessions.computeIfAbsent((spark, dir), _ => spark.newSession())
+
   /** S15: arbitrary SQL entry point over the harness tables. */
   def runSql(spark: SparkSession, dir: String, sql: String): DataFrame = {
-    Tables(spark, dir).registerViews()
-    spark.sql(sql)
+    val ss = sessionFor(spark, dir)
+    Tables(ss, dir).registerViews()
+    ss.sql(sql)
   }
 
   /** S13: catalog table listing (spark.catalog-backed). Column
@@ -23,10 +41,11 @@ object Analytics {
     * failed whenever the plan ran as a real job (surfaced in the full
     * verify sweep round 9). */
   def listTables(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
+    val ss = sessionFor(spark, dir)
+    val t = Tables(ss, dir)
     t.registerViews()
     import org.apache.spark.sql.functions.col
-    spark.catalog.listTables()
+    ss.catalog.listTables()
       .where(col("name").isin(t.names: _*))
       .select(col("name").as("table_name"))
       .orderBy("table_name")

@@ -94,15 +94,18 @@ object GraftSession {
     if (sweptStale.compareAndSet(false, true)) scala.util.Try {
       val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
       val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
-      // only names carrying an APPLICATION-ID infix are scratch this
-      // engine wrote (scratchDir's graft_<tag>_<appId>_<hash> shape;
-      // local-mode ids start "local-", cluster ids "app…"). A bare
-      // prefix test also matched long-lived graft_* artifacts that are
-      // NOT scratch — a GenScale rehearsal corpus crossed the 2 h line
-      // mid-session once and was swept out from under a running bench.
+      // only names matching scratchDir's EXACT graft_<tag>_<appId>_<hash>
+      // shape are scratch this engine wrote (local-mode app ids are
+      // "local-<millis>", cluster ids "app…"/"application_…"; the
+      // trailing segment is scratchDir's unsigned decimal hash). The
+      // match is anchored end-to-end: a bare prefix test once swept a
+      // GenScale rehearsal corpus mid-bench, and the substring-infix
+      // fix that replaced it still matched any aged dir whose TAG
+      // merely contained "_app" (graft_sf10_apply-style names) — the
+      // same data-loss class with a narrower trigger.
       Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
-        .filter(f => f.getName.startsWith("graft_") &&
-          (f.getName.contains("_local-") || f.getName.contains("_app")) &&
+        .filter(f => f.getName.matches(
+          "graft_.+_(local-\\d+|app\\S*)_\\d+") &&
           f.lastModified < cutoff)
         .foreach(deleteRecursively)
       val warehouse = new java.io.File(

@@ -265,7 +265,7 @@ object MultimodalQueries {
         |       CASE WHEN doc_id % 3 = 0 THEN 'image'
         |            WHEN doc_id % 3 = 1 THEN 'audio'
         |            ELSE 'video' END AS kind,
-        |       length(text) AS n_bytes,
+        |       octet_length(encode(text)) AS n_bytes,
         |       CAST(64 + (doc_id % 16) * 32 AS INTEGER) AS width,
         |       CAST(64 + (doc_id % 9) * 32 AS INTEGER) AS height,
         |       CAST(8 + doc_id % 120 AS INTEGER) AS n_frames,
@@ -350,7 +350,7 @@ object MultimodalQueries {
         |         CASE WHEN doc_id % 3 = 0 THEN 'image'
         |              WHEN doc_id % 3 = 1 THEN 'audio'
         |              ELSE 'video' END AS kind,
-        |         CAST(length(text) AS INTEGER) AS n_bytes,
+        |         CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |         md5(text) AS h
         |  FROM documents
         |  WHERE text IS NOT NULL),

@@ -27,6 +27,23 @@ object Reco {
 
   private val K = 5
 
+  /** Memoized parquet-metadata row count of the part table, keyed by
+    * data dir — the reco_item_item broadcast-gate probe. One count job
+    * per JVM+dir instead of one per invocation (the gate sits on a
+    * serving-path query). Only SUCCESSFUL counts memoize (the
+    * Recommender.hasInteractions convention): a transient read error
+    * returns Long.MaxValue for THIS call — failing CLOSED onto the
+    * size-safe shuffle_hash path, never onto a driver-OOM broadcast —
+    * and the next call re-probes. */
+  private val partCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def partCountFor(t: Tables): Long =
+    Option(partCountCache.get(t.dir)).map(_.longValue).getOrElse {
+      val c = scala.util.Try(t.part.count()).getOrElse(Long.MaxValue)
+      if (c != Long.MaxValue) partCountCache.put(t.dir, c)
+      c
+    }
+
   private def sampleUsers(s: SparkSession, dir: String): DataFrame =
     Recommender.interactions(Tables(s, dir))
       .select("user").distinct().filter(col("user") % 100 === 0)
@@ -281,10 +298,12 @@ object Reco {
           .getOrElse(4_000_000L)
       // parquet-metadata row count of the catalog DIMENSION, not of ni
       // itself (counting ni would execute the whole fact join twice);
-      // corpora without a part table (hand-built fixtures) are by
-      // construction small → broadcast path
-      val niSmall =
-        scala.util.Try(t.part.count()).getOrElse(0L) <= niBroadcastLimit
+      // memoized per JVM+dir, and a FAILED probe reads as MaxValue so
+      // errors take the size-safe shuffle_hash path (a broadcast past
+      // the ceiling OOMs the driver; a needless shuffle merely costs
+      // one exchange). Corpora without a part table (hand-built
+      // fixtures) therefore also go shuffle_hash — correct either way.
+      val niSmall = partCountFor(t) <= niBroadcastLimit
       def attach(d: DataFrame) =
         if (niSmall) broadcast(d) else d.hint("shuffle_hash")
       val halved = half

@@ -27,6 +27,83 @@ import org.apache.spark.sql.functions._
   */
 object GenScale {
 
+  /** Tables a generated corpus contains, in generation order. */
+  val tables: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Deterministic fingerprint of a generated corpus: the generator is
+    * seed-fixed, so (source, factor, per-table row counts) identifies
+    * the byte content — two corpora with equal hashes came from the
+    * same generator inputs and are byte-for-byte reproducible. */
+  def manifestHash(source: String, factor: Int,
+                   rows: Seq[(String, Long)]): String = {
+    val canonical = s"$source|$factor|" +
+      rows.sortBy(_._1).map { case (t, n) => s"$t=$n" }.mkString(",")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def writeManifest(spark: SparkSession, out: String, source: String,
+                            factor: Int, rows: Seq[(String, Long)]): Unit = {
+    val rowsJson = rows.map { case (t, n) => s""""$t":$n""" }
+      .mkString("{", ",", "}")
+    val h = manifestHash(source, factor, rows)
+    val json = s"""{"source":"$source","factor":$factor,""" +
+      s""""text_seed":1000003,"embed_seed":999983,""" +
+      s""""rows":$rowsJson,"manifest_hash":"$h"}"""
+    val p = new org.apache.hadoop.fs.Path(s"$out/MANIFEST.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(json.getBytes("UTF-8")) finally os.close()
+    println(s"[genscale] manifest $h written")
+  }
+
+  /** Check a corpus dir against its MANIFEST.json, if one exists.
+    * Returns Some(manifest_hash) when verified, None when the dir
+    * carries no manifest (the driver-generated sf dirs), and FAILS
+    * when a manifest is present but the corpus doesn't match it —
+    * rehearsal runs must refuse a half-regenerated or swept corpus
+    * rather than publish numbers against unknown bytes. Row counts are
+    * parquet-metadata reads: cheap at any scale. */
+  def verifyManifest(spark: SparkSession, dir: String): Option[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/MANIFEST.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val txt = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    val source = """"source"\s*:\s*"([^"]+)"""".r
+      .findFirstMatchIn(txt).map(_.group(1))
+      .getOrElse(sys.error(s"[genscale] $dir/MANIFEST.json: no source"))
+    val factor = """"factor"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(txt).map(_.group(1).toInt)
+      .getOrElse(sys.error(s"[genscale] $dir/MANIFEST.json: no factor"))
+    val declaredHash = """"manifest_hash"\s*:\s*"([0-9a-f]+)"""".r
+      .findFirstMatchIn(txt).map(_.group(1))
+      .getOrElse(sys.error(s"[genscale] $dir/MANIFEST.json: no hash"))
+    val rowsBlock = txt.substring(txt.indexOf("\"rows\""))
+    val declaredRows = """"([a-z]+)"\s*:\s*(\d+)""".r
+      .findAllMatchIn(rowsBlock)
+      .map(m => m.group(1) -> m.group(2).toLong).toSeq
+      .filter(kv => tables.contains(kv._1))
+    require(declaredRows.map(_._1).toSet == tables.toSet,
+      s"[genscale] $dir/MANIFEST.json: incomplete rows block")
+    val recomputed = manifestHash(source, factor, declaredRows)
+    require(recomputed == declaredHash,
+      s"[genscale] $dir manifest self-hash mismatch: " +
+        s"declared $declaredHash, content hashes to $recomputed")
+    for ((t, n) <- declaredRows) {
+      val actual = spark.read.parquet(s"$dir/$t.parquet").count()
+      require(actual == n,
+        s"[genscale] $dir/$t.parquet: manifest says $n rows, found " +
+          s"$actual — corpus does not match its manifest, refusing")
+    }
+    Some(declaredHash)
+  }
+
   private def keySpan(df: DataFrame, key: String): Long =
     df.agg(max(col(key))).first().getLong(0) + 1L
 
@@ -142,5 +219,12 @@ object GenScale {
     replicate("embeddings", Map("vec_id" -> docSpan), (d, i) =>
       d.withColumn("embedding", jitter(col("embedding"),
         if (i == 0) lit(0L) else lit(i * 999983L) + col("vec_id"))))
+
+    // manifest LAST — its presence certifies a complete generation run
+    // (a crashed run leaves no manifest, and rehearsal runs refuse an
+    // unmanifested-but-expected or mismatched corpus)
+    val rows = tables.map(t =>
+      t -> spark.read.parquet(s"$out/$t.parquet").count())
+    writeManifest(spark, out, src, factor, rows)
   }
 }

@@ -30,11 +30,13 @@ import scala.concurrent.duration._
   *    are the provided primitive when true concurrent publication is
   *    needed. Those run here once, concurrently with everything else.
   *
-  * Cross-DIR concurrency in one session is out of contract for the
-  * SQL-entry queries only: temp views are session-scoped by Spark's
-  * design, so two dirs fight over table names exactly as they would in
-  * any shared metastore; DataFrame-API queries take the dir as an
-  * argument and do not care.
+  * Cross-DIR concurrency is IN contract for the whole surface:
+  * DataFrame-API queries take the dir as an argument and never shared
+  * names; the SQL-entry queries (temp views are session-scoped by
+  * Spark's design) run each dir in its own child session
+  * (Analytics.sessionFor — spark.newSession per (root, dir): fresh
+  * view namespace, shared SparkContext/block manager), so two dirs no
+  * longer fight over table names. Pinned by the two-dir test below.
   */
 class ConcurrencySpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
@@ -80,6 +82,38 @@ class ConcurrencySpec extends SparkSpec {
       results.foreach { case (n, got) =>
         assert(got == sequential(n),
           s"$n diverged under concurrent execution")
+      }
+    } finally pool.shutdown()
+  }
+
+  test("cross-dir concurrency: SQL-entry queries isolate per data dir") {
+    // Two data dirs served through ONE root session used to fight over
+    // session-scoped temp-view names (the round-11 contract hole);
+    // Analytics now runs each dir in its own child session
+    // (spark.newSession — fresh view namespace, shared SparkContext),
+    // so N interleaved copies of the SQL-entry trio on BOTH dirs must
+    // each return exactly their sequential result.
+    val dirs = Seq(dir, "/root/testdata/sf0.01")
+    val sqlEntry = Seq("an_adhoc_sql", "an_catalog_tables", "an_describe_table")
+    def snapAt(name: String, d: String): Seq[String] =
+      SparkEntry.queries(name)(spark, d).collect()
+        .map(_.toString).sorted.toSeq
+    val sequential = (for (d <- dirs; n <- sqlEntry)
+      yield (n, d) -> snapAt(n, d)).toMap
+    // the dirs must actually disagree somewhere, or isolation passes
+    // vacuously (an_adhoc_sql aggregates differ across scale factors)
+    assert(sequential(("an_adhoc_sql", dirs.head)) !=
+      sequential(("an_adhoc_sql", dirs(1))),
+      "test dirs yield identical results — pick dirs that differ")
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val submissions = for (_ <- 1 to 3; d <- dirs; n <- sqlEntry) yield (n, d)
+      val futs = submissions.map { case (n, d) => Future((n, d) -> snapAt(n, d)) }
+      val results = Await.result(Future.sequence(futs), 10.minutes)
+      results.foreach { case (key @ (n, d), got) =>
+        assert(got == sequential(key),
+          s"$n@$d diverged under cross-dir concurrent execution")
       }
     } finally pool.shutdown()
   }

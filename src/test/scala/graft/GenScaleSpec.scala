@@ -113,6 +113,44 @@ class GenScaleSpec extends SparkSpec {
     assert(matched(out, factor) == matched("/root/testdata/sf0.001", 1))
   }
 
+  test("manifest round-trips: written by run(), verified against the corpus") {
+    // happy path: hash in the file = recomputed hash = verify result
+    val h = graft.tools.GenScale.verifyManifest(spark, out)
+    assert(h.isDefined, "run() wrote no MANIFEST.json")
+    val rows = graft.tools.GenScale.tables.map(t =>
+      t -> spark.read.parquet(s"$out/$t.parquet").count())
+    assert(h.contains(graft.tools.GenScale.manifestHash(
+      "/root/testdata/sf0.001", factor, rows)))
+    // unmanifested dirs (the driver's sf dirs) skip the check entirely
+    assert(graft.tools.GenScale.verifyManifest(
+      spark, "/root/testdata/sf0.001").isEmpty)
+    // tampered corpus: a manifest whose row counts no longer match the
+    // files must REFUSE (self-hash recomputed over the tampered counts
+    // so the row-count check, not the self-hash check, is what fires)
+    val mPath = java.nio.file.Paths.get(s"$out/MANIFEST.json")
+    val orig = new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8")
+    try {
+      val badRows = rows.map { case (t, n) =>
+        if (t == "lineitem") t -> (n + 1) else t -> n }
+      val badHash = graft.tools.GenScale.manifestHash(
+        "/root/testdata/sf0.001", factor, badRows)
+      val tampered = orig
+        .replace(s""""lineitem":${rows.toMap.apply("lineitem")}""",
+          s""""lineitem":${rows.toMap.apply("lineitem") + 1}""")
+        .replaceAll(""""manifest_hash":"[0-9a-f]+"""",
+          s""""manifest_hash":"$badHash"""")
+      java.nio.file.Files.write(mPath, tampered.getBytes("UTF-8"))
+      // drop hadoop's .crc sidecar — the tamper is deliberate and the
+      // test targets the row-count refusal, not the checksum layer
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$out/.MANIFEST.json.crc"))
+      val e = intercept[IllegalArgumentException] {
+        graft.tools.GenScale.verifyManifest(spark, out)
+      }
+      assert(e.getMessage.contains("refusing"), e.getMessage)
+    } finally java.nio.file.Files.write(mPath, orig.getBytes("UTF-8"))
+  }
+
   override def afterAll(): Unit = {
     scala.util.Try {
       val p = new org.apache.hadoop.fs.Path(out)

@@ -239,6 +239,36 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("ShuffledHashJoin"), plan)
   }
 
+  test("reco_item_item: broadcast-gate probe is memoized — one count job per JVM+dir") {
+    // the gate reads the part table's parquet-metadata count; on a
+    // serving path an unmemoized probe is one needless job per call.
+    // Construct once to populate the cache, then pin that FURTHER
+    // constructions run ZERO jobs (construction only — the query is
+    // never executed here).
+    SparkEntry.queries("reco_item_item")(spark, dir) // warm the cache
+    // parquet-footer schema reads ("parquet at Tables.scala") run on
+    // EVERY construction and are not the probe; only count() jobs are
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (Option(s.properties.getProperty("callSite.short"))
+              .exists(_.startsWith("count")))
+          jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries("reco_item_item")(spark, dir)
+      SparkEntry.queries("reco_item_item")(spark, dir)
+      // construction is synchronous (a gate count() would have BLOCKED
+      // until its job finished); the grace period only covers listener
+      // bus delivery latency for the assertion
+      Thread.sleep(1500)
+      assert(jobs.get() == 0,
+        s"expected zero jobs constructing a cached-gate query, saw ${jobs.get()}")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("s10: partitioned layout prunes to one partition directory") {
     val plan = executedPlan("s10_partition_prune")
     assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"), plan)
