@@ -51,9 +51,39 @@ object DocumentStream {
     * with the batch pipeline's global-min-keeper semantics, which the
     * DuckDB oracle pins. Within a micro-batch, group rows are ordered
     * by doc_id so output is deterministic under any arrival order. */
-  def corpusIngest(spark: SparkSession, dir: String): DataFrame =
+  /** Memoized parquet-metadata document count per dir (the state-
+    * partition sizing gate below; only successful counts memoize, the
+    * Reco.partCountFor convention — a failed probe sizes conservative
+    * THIS call and re-probes next time). */
+  private val docCountCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def docCountFor(spark: SparkSession, dir: String): Long =
+    Option(docCountCache.get(dir)).map(_.longValue).getOrElse {
+      val c = scala.util.Try(
+        spark.read.parquet(s"$dir/documents.parquet").count()
+      ).getOrElse(-1L)
+      if (c >= 0L) docCountCache.put(dir, c)
+      c
+    }
+
+  def corpusIngest(spark: SparkSession, dir: String): DataFrame = {
+    // state-partition count sized to the KEYED-STATE cardinality (one
+    // content hash per doc), measured at sf0.1/sf1/sf10: each RocksDB
+    // store instance carries fixed per-batch commit overhead (8 parts
+    // beat 32 by ~0.6 s when state is small: 2.0 vs 2.6 s at sf0.1,
+    // 3.7 vs 4.4 s at sf1), but past ~10⁵ keys the per-instance
+    // commit IO dominates and more instances parallelize it (sf10,
+    // 500k keys: 25.6 s at 8 parts → 21.5 s at 32). ~16k keys per
+    // instance is the measured crossover grain; the upper clamp is
+    // the core count here, the executor count on a real cluster. A
+    // failed probe (-1) sizes to the floor — small-state overhead is
+    // bounded; undersized instances at huge state are the real risk,
+    // but refusing to stream over a probe hiccup would be worse.
+    val docs = docCountFor(spark, dir)
+    val parts = math.min(32L, math.max(8L, docs / 16000L)).toInt
     EventStream.runToTable(spark, s"st_corpus_${dir.hashCode.abs}",
-      mode = "append", largeState = true) { ss =>
+      mode = "append", largeState = true,
+      stateParts = Some(parts)) { ss =>
       import ss.implicits._
       import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
       val normCol = graft.functions.TextFunctions.normText(col("text"))
@@ -128,6 +158,7 @@ object DocumentStream {
         }
         .toDF("doc_id", "is_novel", "dup_of")
     }
+  }
 
   /** Online deployment of the DSIR selection model (sel_dsir): fit
     * the bucket-weight model and keep-threshold on the reference

@@ -102,10 +102,12 @@ object EventStream {
     * concurrently on the caller's session. */
   private[streaming] def runToTable(spark: SparkSession, name: String,
                          mode: String = "complete",
-                         largeState: Boolean = false)
+                         largeState: Boolean = false,
+                         stateParts: Option[Int] = None)
                         (build: SparkSession => DataFrame): DataFrame = {
     val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", streamShufflePartitions)
+    ss.conf.set("spark.sql.shuffle.partitions",
+      stateParts.map(_.toString).getOrElse(streamShufflePartitions))
     stateStoreConf(ss, largeState)
     val q = build(ss).writeStream
       .format("memory")

@@ -140,28 +140,31 @@ object GenScale {
     spark.stop()
   }
 
+  /** Write a table as ONE FILE named <t>.parquet under `out` — the
+    * harness layout (the streaming readers' pathGlobFilter matches
+    * leaf file names, so a directory-shaped table would stream zero
+    * rows). A single parquet file stays scan-parallel through its row
+    * groups. Shared by GenScale and GenSample. */
+  private[tools] def writeSingleFile(spark: SparkSession, out: String,
+                                     df: DataFrame, t: String): Unit = {
+    val tmpDir = s"$out/_stage_$t"
+    df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmpDir))
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    val dst = new org.apache.hadoop.fs.Path(s"$out/$t.parquet")
+    fs.delete(dst, true)
+    if (!fs.rename(part, dst))
+      sys.error(s"[genscale] rename $part -> $dst failed")
+    fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+  }
+
   def run(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
 
-    // the harness layout is ONE FILE per table named <t>.parquet —
-    // the streaming readers' pathGlobFilter matches leaf file names,
-    // so a directory-shaped table would stream zero rows. A single
-    // parquet file stays scan-parallel through its row groups.
     def writeOne(df: DataFrame, t: String): Unit = {
-      val tmpDir = s"$out/_stage_$t"
-      df.coalesce(1).write.mode("overwrite").parquet(tmpDir)
-      val fs = new org.apache.hadoop.fs.Path(out)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val part = fs.listStatus(new org.apache.hadoop.fs.Path(tmpDir))
-        .map(_.getPath).find(_.getName.endsWith(".parquet")).get
-      val dst = new org.apache.hadoop.fs.Path(s"$out/$t.parquet")
-      fs.delete(dst, true)
-      // rename signals failure by RETURN VALUE, not exception — and the
-      // old dst is already gone, so a silent false would leave the table
-      // missing and only surface as a confusing read error mid-rehearsal
-      if (!fs.rename(part, dst))
-        sys.error(s"[genscale] rename $part -> $dst failed")
-      fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+      writeSingleFile(spark, out, df, t)
       println(s"[genscale] $t x$factor done")
     }
 
