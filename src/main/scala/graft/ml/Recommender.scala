@@ -68,23 +68,42 @@ object Recommender {
   def train(spark: SparkSession, dir: String): ALSModel =
     cache.getOrElseUpdate(dir, {
       val inter = interactions(Tables(spark, dir)).withColumn("rating", lit(1.0f))
-      als().fit(inter)
+      als(blocksFor(spark, dir)).fit(inter)
     })
 
-  /** ALS configured for the harness scale: few factor blocks (at
-    * ~500k ratings measured 2-4 blocks ≈ 12s vs 10 blocks 14s vs 32
-    * blocks slower still — per-iteration shuffle overhead beats extra
-    * parallelism on one node; on a real cluster blocks scale with
-    * executor count, hence the env override) and 5 iterations
+  /** ALS factor-block count sized to the RATING volume, proxied by the
+    * memoized parquet-metadata lineitem count (ratings ≈ distinct
+    * fact pairs; the proxy is metadata-cheap and scale-proportional).
+    * Measured: at ~500k ratings 2-4 blocks ≈ 12 s vs 10 blocks 14 s —
+    * per-iteration shuffle overhead beats extra parallelism when
+    * blocks are small; but the solver's parallelism is user-blocks ×
+    * item-blocks TASKS, so a fixed 4 caps a 60M-rating fit (the 100×
+    * rehearsal) at 16 tasks on 32 cores — ALS trained 35 min there.
+    * ~1.5M fact rows per block is the measured crossover grain; the
+    * upper clamp is the core count here, executor count on a real
+    * cluster. A failed probe sizes to the floor (small fits tolerate
+    * few blocks; the env override covers operational emergencies). */
+  private val liCountCache = TrieMap[String, Long]()
+  private def blocksFor(spark: SparkSession, dir: String): Int = {
+    val n = liCountCache.get(dir).getOrElse {
+      val c = scala.util.Try(Tables(spark, dir).lineitem.count()).getOrElse(-1L)
+      if (c >= 0L) liCountCache.put(dir, c)
+      c
+    }
+    math.min(32L, math.max(4L, n / 1500000L)).toInt
+  }
+
+  /** ALS configured for the harness scale: block count from
+    * `blocksFor` (data-sized, env-overridable) and 5 iterations
     * (implicit ALS converges in a handful of sweeps; the reference's
     * 200-500 SGD epochs are a solver artifact). */
-  private def als() = new ALS()
+  private def als(blocks: Int) = new ALS()
     .setImplicitPrefs(true)
     .setRank(Rank)
     .setRegParam(0.01)
     .setMaxIter(5)
     .setSeed(42)
-    .setNumBlocks(sys.env.get("GRAFT_ALS_BLOCKS").map(_.toInt).getOrElse(4))
+    .setNumBlocks(sys.env.get("GRAFT_ALS_BLOCKS").map(_.toInt).getOrElse(blocks))
     .setUserCol("user").setItemCol("item").setRatingCol("rating")
     .setColdStartStrategy("drop")
 
@@ -130,19 +149,34 @@ object Recommender {
       .as[(Int, Seq[Double])]
       .mapPartitions { it =>
         val us = bc.value
+        val nU = us.length
+        val rank = if (nU == 0) 0 else us(0)._2.length
+        // the user block as ONE flat primitive matrix: the inner loop
+        // below runs O(queryUsers × items) times per partition — at
+        // the 100× rehearsal that was 3×10¹⁰ iterations, and indexing
+        // a Map[user → heap] PER ITERATION (the original shape) spent
+        // more time hashing than multiplying (measured 22 min of pure
+        // serving at sf10). Heaps index by position; the flat matrix
+        // keeps the dot-product walk sequential in memory. Summation
+        // order per dot product is unchanged, so scores — and the
+        // oracle hash — are bit-identical.
+        val uflat = new Array[Double](nU * rank)
+        var i = 0
+        while (i < nU) {
+          System.arraycopy(us(i)._2, 0, uflat, i * rank, rank); i += 1
+        }
         // per-user bounded heap ordered worst-first: (score asc, item desc)
         val ord = Ordering.by[(Int, Double), (Double, Int)] { case (item, s) => (-s, item) }
-        val heaps = us.map { case (u, _) =>
-          u -> new scala.collection.mutable.PriorityQueue[(Int, Double)]()(ord)
-        }.toMap
+        val heaps = Array.fill(nU)(
+          new scala.collection.mutable.PriorityQueue[(Int, Double)]()(ord))
         it.foreach { case (item, nfSeq) =>
           val nf = nfSeq.toArray
           var ui = 0
-          while (ui < us.length) {
-            val (u, uv) = us(ui)
+          var off = 0
+          while (ui < nU) {
             var s = 0.0; var d = 0
-            while (d < uv.length) { s += uv(d) * nf(d); d += 1 }
-            val h = heaps(u)
+            while (d < rank) { s += uflat(off + d) * nf(d); d += 1 }
+            val h = heaps(ui)
             if (h.size < k) h.enqueue((item, s))
             else {
               val (wItem, wScore) = h.head
@@ -151,10 +185,11 @@ object Recommender {
               }
             }
             ui += 1
+            off += rank
           }
         }
-        heaps.iterator.flatMap { case (u, h) =>
-          h.iterator.map { case (item, s) => (u, item, s) }
+        heaps.iterator.zipWithIndex.flatMap { case (h, ui) =>
+          h.iterator.map { case (item, s) => (us(ui)._1, item, s) }
         }
       }
     // final exact selection over users × k × partitions survivor rows
@@ -254,7 +289,7 @@ object Recommender {
       return emptyOf(spark,
         "precision double, recall double, f1_score double, num_evaluated_users bigint")
     val model = evalCache.getOrElseUpdate(dir,
-      als().fit(train.withColumn("rating", lit(1.0f))))
+      als(blocksFor(spark, dir)).fit(train.withColumn("rating", lit(1.0f))))
     // common users, deterministically capped at 1000 (reference samples)
     val evalUsers = test.select("user").distinct()
       .join(train.select("user").distinct(), "user", "left_semi")

@@ -50,27 +50,66 @@ object MultimodalQueries {
     // band-collision noise: the banded plan is provably ≡ the
     // all-pairs scan the oracle runs, at equi-join cost. No payload
     // ever shuffles — signatures only.
+    // Near-dup images by banded pHash, in SIGNATURE space first: LSH
+    // bands join over the DISTINCT hashes, and only hash pairs that
+    // survive hamming<=2 expand back to id pairs. This makes the
+    // operator's cost Θ(distinct-hash LSH) + Θ(OUTPUT rows) — the
+    // unavoidable minimum — instead of Θ(Σ bucket² over ids): the
+    // 100× rehearsal measured 167k images collapsing to 1,067
+    // distinct hashes (perceptual signatures are low-entropy on
+    // repetitive corpora by design — that's what makes them near-dup
+    // detectors), so id-space banding built 445M candidate pairs to
+    // keep a 39M-row answer, 352 s; signature-space banding builds
+    // ~0.5M. With high-entropy signatures distinct≈n and this is the
+    // same LSH plan as banding ids directly — strictly no worse.
+    // Recall is exact either way: <=2 differing bits leave >=2 of the
+    // four 15-bit bands intact (bits 60-63 disturb none), so every
+    // hamming<=2 hash pair shares a band.
     "mm_phash_neardup" -> ((s, dir) => {
       val sig = Multimodal.mediaTable(Tables(s, dir).documents)
         .filter(col("kind") === "image")
         .withColumn("phash",
           Multimodal.codec.phash(col("payload"), col("media_id")))
         .select(col("media_id"), col("phash"))
-      val banded = sig.select(col("media_id"), col("phash"),
-          explode(expr(
-            "array(0, 1, 2, 3)")).as("band_idx"))
+      val hashes = sig.select(col("phash")).distinct()
+      val bandedH = hashes.select(col("phash"),
+          explode(expr("array(0, 1, 2, 3)")).as("band_idx"))
         .withColumn("band_val",
           expr("shiftrightunsigned(phash, 15 * band_idx) & 32767"))
-      banded.select(col("band_idx"), col("band_val"),
-          col("media_id").as("id_a"), col("phash").as("ph_a"))
-        .join(banded.select(col("band_idx"), col("band_val"),
-          col("media_id").as("id_b"), col("phash").as("ph_b")),
-          Seq("band_idx", "band_val"))
+      // first-shared-band filter dedups pairs that collide in 2+
+      // bands WITHOUT a distinct exchange (both hashes' earlier band
+      // values re-derive by bit arithmetic — row-local, codegen'd)
+      val noEarlierBand = (0 until 4).map(j =>
+        when(col("band_idx") > j,
+          expr(s"shiftrightunsigned(ph_a, ${15 * j}) & 32767") =!=
+            expr(s"shiftrightunsigned(ph_b, ${15 * j}) & 32767"))
+          .otherwise(lit(true))).reduce(_ && _)
+      val hashPairs = bandedH
+        .select(col("band_idx"), col("band_val"), col("phash").as("ph_a"))
+        .join(bandedH.select(col("band_idx"), col("band_val"),
+          col("phash").as("ph_b")), Seq("band_idx", "band_val"))
+        .filter(col("ph_a") < col("ph_b"))
+        .filter(noEarlierBand)
+        .select(col("ph_a"), col("ph_b"))
+        .withColumn("hamming",
+          expr("cast(bit_count(ph_a ^ ph_b) as int)"))
+        .filter(col("hamming") <= 2)
+      // expansion joins produce exactly the output rows; hamming-0
+      // pairs come from the within-group self-join (same hash)
+      val cross = hashPairs
+        .join(sig.select(col("phash").as("ph_a"),
+          col("media_id").as("ida")), Seq("ph_a"))
+        .join(sig.select(col("phash").as("ph_b"),
+          col("media_id").as("idb")), Seq("ph_b"))
+        .select(least(col("ida"), col("idb")).as("id_a"),
+          greatest(col("ida"), col("idb")).as("id_b"), col("hamming"))
+      val same = sig.select(col("phash"), col("media_id").as("id_a"))
+        .join(sig.select(col("phash"), col("media_id").as("id_b")),
+          Seq("phash"))
         .filter(col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          expr("cast(bit_count(ph_a ^ ph_b) as int)").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 2)
+          lit(0).cast("int").as("hamming"))
+      cross.unionByName(same)
     }),
     // shot-boundary detection over the sampled frames: a cut is
     // declared where consecutive frames' 32-bit perceptual signatures

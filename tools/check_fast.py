@@ -6,16 +6,24 @@ right gate at sf0.01 (it also reports near-miss diagnostics), but at
 sf1 a single 5M-row query costs it ~20 min of pure-Python canon; this
 runs the same comparison as SQL in seconds.
 
-Usage: python3 tools/check_fast.py <sfdir> <verify_outdir> [name ...]
+Usage: python3 tools/check_fast.py [--timeout SEC] <sfdir> <verify_outdir> [name ...]
+--timeout interrupts any single entry's DuckDB work after SEC seconds
+and reports it as TIMEOUT (exit stays nonzero) instead of hanging the
+whole sweep on one intractable oracle — those entries then go through
+the GenSample route (sampled corpus, same compare) instead.
 (driver-side tooling only — not part of the Scala library)
 """
-import sys, json, os
+import sys, json, os, threading
 import duckdb
 
 
 def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    args = sys.argv[1:]
+    timeout = None
+    if args and args[0] == "--timeout":
+        timeout = float(args[1]); args = args[2:]
+    sfdir, outdir = args[0], args[1]
+    only = set(args[2:])
     con = duckdb.connect()
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
@@ -30,6 +38,14 @@ def main():
         pdir = f"{outdir}/{name}"
         if not os.path.isdir(pdir):
             print(f"✗ {name}: MISSING_SPARK_OUTPUT"); bad += 1; continue
+        timer = None
+        timed_out = [False]
+        if timeout:
+            def interrupt():
+                timed_out[0] = True
+                con.interrupt()
+            timer = threading.Timer(timeout, interrupt)
+            timer.start()
         try:
             sp = con.sql(f"SELECT * FROM '{pdir}/*.parquet'")
             cols = ", ".join(f'"{c}"' for c in sorted(sp.columns))
@@ -53,7 +69,13 @@ def main():
                          "(SELECT * FROM _du EXCEPT ALL SELECT * FROM _sp)"
                          ).fetchone()[0]
         except Exception as e:
-            print(f"✗ {name}: ERR {str(e)[:200]}"); bad += 1; continue
+            if timer: timer.cancel()
+            if timed_out[0]:
+                print(f"✗ {name}: TIMEOUT after {timeout:.0f}s (oracle intractable at this scale)")
+            else:
+                print(f"✗ {name}: ERR {str(e)[:200]}")
+            bad += 1; continue
+        if timer: timer.cancel()
         if d1 == 0 and d2 == 0:
             print(f"✓ {name}: OK ({n_sp} rows)"); ok += 1
         else:
