@@ -26,21 +26,29 @@ import org.apache.spark.sql.functions._
   * joins against dims/facts keep full fan-out.
   */
 object GenSample {
+  /** Default sampled tables; a 4th arg of `table=key,...` pairs
+    * overrides (e.g. `customer=c_custkey` for the name-blocking
+    * entries whose oracle cost lives in the customer table). */
+  val defaultKeys: Map[String, String] = Map(
+    "documents" -> "doc_id", "embeddings" -> "vec_id",
+    "events" -> "event_id")
+
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/tmp/graft_sf1")
     val out = args.lift(1).getOrElse(
       s"${System.getProperty("java.io.tmpdir")}/graft_sample")
     val rate = args.lift(2).map(_.toInt).getOrElse(4)
+    val keys = args.lift(3).map(_.split(",").map { kv =>
+      val Array(t, k) = kv.split("="); t -> k
+    }.toMap).getOrElse(defaultKeys)
     val spark = graft.core.GraftSession.local("graft-gensample")
-    run(spark, src, out, rate)
+    run(spark, src, out, rate, keys)
     spark.stop()
   }
 
   def run(spark: org.apache.spark.sql.SparkSession, src: String,
-          out: String, rate: Int): Unit = {
-    val sampledKeys = Map(
-      "documents" -> "doc_id", "embeddings" -> "vec_id",
-      "events" -> "event_id")
+          out: String, rate: Int,
+          sampledKeys: Map[String, String] = defaultKeys): Unit = {
     for (t <- GenScale.tables) {
       val base = spark.read.parquet(s"$src/$t.parquet")
       val df = sampledKeys.get(t)
