@@ -24,8 +24,17 @@ object Analytics {
     * replace — benign, pinned by ConcurrencySpec. */
   private val sqlSessions =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), SparkSession]()
-  private def sessionFor(spark: SparkSession, dir: String): SparkSession =
+  private def sessionFor(spark: SparkSession, dir: String): SparkSession = {
+    // evict children whose root session's context has STOPPED: each
+    // child strongly holds a SessionState, so without eviction a
+    // long-lived JVM that cycles many root sessions or touches many
+    // dirs (test suites, notebook servers) accumulates them forever.
+    // O(live entries) scan per call — entries are a handful, and the
+    // scan is what keeps the map self-cleaning with no close() hook.
+    val it = sqlSessions.keySet.iterator
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     sqlSessions.computeIfAbsent((spark, dir), _ => spark.newSession())
+  }
 
   /** S15: arbitrary SQL entry point over the harness tables. */
   def runSql(spark: SparkSession, dir: String, sql: String): DataFrame = {

@@ -38,6 +38,54 @@ object GraftSession {
 
   def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+  /** File-listing fingerprint of a table path — (name, mtime, length)
+    * of every top-level entry, order-independent, via the Hadoop FS of
+    * the path (works for local paths at gate scale and HDFS/S3A on a
+    * cluster). A metadata-only call (~ms) against the count job it
+    * guards (seconds to minutes). Unreadable/absent paths fingerprint
+    * as "absent" so a transient FS error can never alias a real
+    * listing. */
+  def pathFingerprint(spark: SparkSession, path: String): String = scala.util.Try {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val listed = fs.listStatus(p)
+      .map(f => s"${f.getPath.getName}:${f.getModificationTime}:${f.getLen}")
+      .sorted.mkString("|")
+    java.lang.Integer.toUnsignedString(listed.hashCode)
+  }.getOrElse("absent")
+
+  /** Memoized long-valued table probe (the row counts behind broadcast
+    * gates and partition/block sizing): one count job per JVM + path +
+    * file-listing FINGERPRINT. The fingerprint in the key is what
+    * makes the memo safe under regeneration — a dir rewritten larger
+    * in the same JVM changes its listing, so the stale small count can
+    * never keep a broadcast path selected past its gate (the
+    * driver-OOM class the gates exist to prevent). Only successful
+    * computes memoize: a failure returns `onError` for THIS call — the
+    * caller picks the fail-closed value (Long.MaxValue for "too big to
+    * broadcast", -1 for "unknown, use floor sizing") — and the next
+    * call re-probes. Stale-fingerprint entries for the same path are
+    * dropped on write, so the map stays O(live paths). */
+  final class CountMemo(onError: Long) {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    def apply(spark: SparkSession, path: String)(compute: => Long): Long = {
+      val key = s"$path@${pathFingerprint(spark, path)}"
+      Option(cache.get(key)).map(_.longValue).getOrElse {
+        val c = scala.util.Try(compute).getOrElse(onError)
+        if (c != onError) {
+          val it = cache.keySet.iterator
+          while (it.hasNext) {
+            val k = it.next()
+            if (k.startsWith(s"$path@") && k != key) it.remove()
+          }
+          cache.put(key, c)
+        }
+        c
+      }
+    }
+  }
+
   /** Local session used by mains and tests. */
   def local(appName: String = "graft"): SparkSession = {
     val cpus = defaultCpus
@@ -95,17 +143,20 @@ object GraftSession {
       val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
       val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
       // only names matching scratchDir's EXACT graft_<tag>_<appId>_<hash>
-      // shape are scratch this engine wrote (local-mode app ids are
-      // "local-<millis>", cluster ids "app…"/"application_…"; the
-      // trailing segment is scratchDir's unsigned decimal hash). The
-      // match is anchored end-to-end: a bare prefix test once swept a
-      // GenScale rehearsal corpus mid-bench, and the substring-infix
-      // fix that replaced it still matched any aged dir whose TAG
-      // merely contained "_app" (graft_sf10_apply-style names) — the
-      // same data-loss class with a narrower trigger.
+      // shape are scratch this engine wrote. The appId alternative is
+      // anchored to the REAL Spark id shapes — local mode
+      // "local-<millis>", standalone "app-<14-digit ts>-<4-digit seq>",
+      // YARN "application_<ts>_<seq>" — and the trailing segment is
+      // scratchDir's unsigned decimal hash. The match is anchored
+      // end-to-end: a bare prefix test once swept a GenScale rehearsal
+      // corpus mid-bench; the substring-infix fix still matched any
+      // aged dir whose TAG contained "_app"; and a looser "app\\S*"
+      // alternative crossed underscores and matched any tag segment
+      // starting with "app" (graft_sf10_apply_2-style names) — each a
+      // recurrence of the same data-loss class with a narrower trigger.
       Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(f => f.getName.matches(
-          "graft_.+_(local-\\d+|app\\S*)_\\d+") &&
+          "graft_.+_(local-\\d+|app-\\d{14}-\\d{4}|application_\\d+_\\d+)_\\d+") &&
           f.lastModified < cutoff)
         .foreach(deleteRecursively)
       val warehouse = new java.io.File(

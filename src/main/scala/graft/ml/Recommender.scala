@@ -83,13 +83,10 @@ object Recommender {
     * upper clamp is the core count here, executor count on a real
     * cluster. A failed probe sizes to the floor (small fits tolerate
     * few blocks; the env override covers operational emergencies). */
-  private val liCountCache = TrieMap[String, Long]()
+  private val liCounts = new graft.core.GraftSession.CountMemo(onError = -1L)
   private def blocksFor(spark: SparkSession, dir: String): Int = {
-    val n = liCountCache.get(dir).getOrElse {
-      val c = scala.util.Try(Tables(spark, dir).lineitem.count()).getOrElse(-1L)
-      if (c >= 0L) liCountCache.put(dir, c)
-      c
-    }
+    val n = liCounts(spark, s"$dir/lineitem.parquet")(
+      Tables(spark, dir).lineitem.count())
     math.min(32L, math.max(4L, n / 1500000L)).toInt
   }
 

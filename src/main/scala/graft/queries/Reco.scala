@@ -27,22 +27,16 @@ object Reco {
 
   private val K = 5
 
-  /** Memoized parquet-metadata row count of the part table, keyed by
-    * data dir — the reco_item_item broadcast-gate probe. One count job
-    * per JVM+dir instead of one per invocation (the gate sits on a
-    * serving-path query). Only SUCCESSFUL counts memoize (the
-    * Recommender.hasInteractions convention): a transient read error
-    * returns Long.MaxValue for THIS call — failing CLOSED onto the
-    * size-safe shuffle_hash path, never onto a driver-OOM broadcast —
-    * and the next call re-probes. */
-  private val partCountCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** Memoized row count of the part table — the reco_item_item
+    * broadcast-gate probe. One count job per JVM + dir + file-listing
+    * fingerprint (GraftSession.CountMemo: a dir regenerated larger in
+    * this JVM re-probes instead of serving the stale small count to
+    * the gate). A transient read error returns Long.MaxValue for THIS
+    * call — failing CLOSED onto the size-safe shuffle_hash path,
+    * never onto a driver-OOM broadcast — and the next call re-probes. */
+  private val partCounts = new graft.core.GraftSession.CountMemo(onError = Long.MaxValue)
   private def partCountFor(t: Tables): Long =
-    Option(partCountCache.get(t.dir)).map(_.longValue).getOrElse {
-      val c = scala.util.Try(t.part.count()).getOrElse(Long.MaxValue)
-      if (c != Long.MaxValue) partCountCache.put(t.dir, c)
-      c
-    }
+    partCounts(t.spark, s"${t.dir}/part.parquet")(t.part.count())
 
   private def sampleUsers(s: SparkSession, dir: String): DataFrame =
     Recommender.interactions(Tables(s, dir))

@@ -51,20 +51,15 @@ object DocumentStream {
     * with the batch pipeline's global-min-keeper semantics, which the
     * DuckDB oracle pins. Within a micro-batch, group rows are ordered
     * by doc_id so output is deterministic under any arrival order. */
-  /** Memoized parquet-metadata document count per dir (the state-
-    * partition sizing gate below; only successful counts memoize, the
-    * Reco.partCountFor convention — a failed probe sizes conservative
-    * THIS call and re-probes next time). */
-  private val docCountCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  /** Memoized document count per dir + file-listing fingerprint (the
+    * state-partition sizing gate below; GraftSession.CountMemo — only
+    * successful counts memoize, a regenerated dir re-probes, and a
+    * failed probe sizes conservative THIS call and re-probes next
+    * time). */
+  private val docCounts = new graft.core.GraftSession.CountMemo(onError = -1L)
   private def docCountFor(spark: SparkSession, dir: String): Long =
-    Option(docCountCache.get(dir)).map(_.longValue).getOrElse {
-      val c = scala.util.Try(
-        spark.read.parquet(s"$dir/documents.parquet").count()
-      ).getOrElse(-1L)
-      if (c >= 0L) docCountCache.put(dir, c)
-      c
-    }
+    docCounts(spark, s"$dir/documents.parquet")(
+      spark.read.parquet(s"$dir/documents.parquet").count())
 
   def corpusIngest(spark: SparkSession, dir: String): DataFrame = {
     // state-partition count sized to the KEYED-STATE cardinality (one

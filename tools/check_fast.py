@@ -40,8 +40,16 @@ def main():
             print(f"✗ {name}: MISSING_SPARK_OUTPUT"); bad += 1; continue
         timer = None
         timed_out = [False]
+        # done guards the gap between the query returning and
+        # timer.cancel(): a timer that fires in that window would
+        # con.interrupt() the SHARED connection and spuriously abort
+        # the NEXT entry's query (reported as ERR with its own
+        # timed_out False — a flaky false failure in sweeps).
+        done = [False]
         if timeout:
             def interrupt():
+                if done[0]:
+                    return
                 timed_out[0] = True
                 con.interrupt()
             timer = threading.Timer(timeout, interrupt)
@@ -69,12 +77,14 @@ def main():
                          "(SELECT * FROM _du EXCEPT ALL SELECT * FROM _sp)"
                          ).fetchone()[0]
         except Exception as e:
+            done[0] = True
             if timer: timer.cancel()
             if timed_out[0]:
                 print(f"✗ {name}: TIMEOUT after {timeout:.0f}s (oracle intractable at this scale)")
             else:
                 print(f"✗ {name}: ERR {str(e)[:200]}")
             bad += 1; continue
+        done[0] = True
         if timer: timer.cancel()
         if d1 == 0 and d2 == 0:
             print(f"✓ {name}: OK ({n_sp} rows)"); ok += 1
