@@ -64,6 +64,85 @@ object Similarity {
   private val NEARDUP_BANDS = 8
   private val NEARDUP_TAU = 0.3
 
+  // ---- query-side join gates ----------------------------------------
+  //
+  // Every serving entry joins the corpus against a derived QUERY frame
+  // (the every-100th stratum — 1% of the corpus, i.e. it GROWS
+  // LINEARLY with scale) or a centroid table (n/125 or √n rows).
+  // Broadcasting those unconditionally is a driver-OOM at ~10⁹ corpus
+  // rows: the query stratum alone is ~10⁷ rows of 64-float vectors,
+  // multiplied further by multi-probe explosion. Below the ceiling,
+  // broadcast — zero shuffle of the corpus side, the right plan for a
+  // small probe batch. Past it, fall back to a size-safe distributed
+  // form: a shuffle-hash equi-join on the bucket/cell key where one
+  // exists, a shuffle-replicated nested loop (partitioned cartesian —
+  // nothing routes through the driver) for the brute/assignment scans
+  // whose all-pairs shape is the declared semantics. Mirrors
+  // Recommender.MaxQueryUsers and the fail-closed Reco.partCountFor
+  // gate; both paths of every gated entry are pinned by AnnGateSpec.
+
+  /** Broadcast ceiling in ROWS of the (possibly probe-exploded)
+    * broadcast frame: 100k rows × ~300 B packed vector ≈ 30 MB.
+    * Session-conf-overridable so a cluster operator can size it to
+    * driver/executor memory; AnnGateSpec sets 0 to force the scale
+    * path on the fixture. */
+  private[graft] def maxBroadcastRows(s: SparkSession): Long =
+    s.conf.getOption("graft.ann.maxBroadcastRows").map(_.toLong).getOrElse(100000L)
+
+  /** Rows a Hamming≤2 multi-probe explode emits per query vector. */
+  private[graft] def probeCount(p: Int): Long = 1L + p + p.toLong * (p - 1) / 2
+
+  private def satMul(a: Long, b: Long): Long =
+    if (b > 0 && a > Long.MaxValue / b) Long.MaxValue else a * b
+
+  /** Memoized corpus row count per dir + file-listing fingerprint —
+    * the gate probe (one count job per JVM+dir, regeneration-safe via
+    * CountMemo's fingerprint key). Fails CLOSED: a transient read
+    * error returns Long.MaxValue for THIS call — the size-safe
+    * non-broadcast path, never a driver-OOM broadcast — and the next
+    * call re-probes. */
+  private val embCounts = new graft.core.GraftSession.CountMemo(onError = Long.MaxValue)
+  private def embCountFor(s: SparkSession, dir: String): Long =
+    embCounts(s, s"$dir/embeddings.parquet")(Tables(s, dir).embeddings.count())
+
+  /** Upper bound on the every-100th query-stratum size (MaxValue when
+    * the probe failed — the gates then fail closed). */
+  private def nQueryEst(s: SparkSession, dir: String): Long = {
+    val n = embCountFor(s, dir)
+    if (n == Long.MaxValue) Long.MaxValue else n / 100 + 1
+  }
+
+  /** Gated corpus × query equi-join: `bRows` is the row count of the
+    * frame that would be broadcast. */
+  private def qJoin(corpus: DataFrame, q: DataFrame, bRows: Long, on: Column): DataFrame =
+    if (bRows <= maxBroadcastRows(corpus.sparkSession)) corpus.join(broadcast(q), on)
+    else corpus.join(q.hint("shuffle_hash"), on)
+
+  private def qJoinOn(corpus: DataFrame, q: DataFrame, bRows: Long,
+                      cols: Seq[String]): DataFrame =
+    if (bRows <= maxBroadcastRows(corpus.sparkSession)) corpus.join(broadcast(q), cols)
+    else corpus.join(q.hint("shuffle_hash"), cols)
+
+  /** Gated all-pairs scan (brute top-k, centroid assignment): past the
+    * ceiling the hint forces the shuffle-replicated nested loop — each
+    * task streams one corpus-slice × query-slice block — and keeps AQE
+    * from promoting it back to a driver-side broadcast. */
+  private def qCross(corpus: DataFrame, q: DataFrame, bRows: Long): DataFrame =
+    if (bRows <= maxBroadcastRows(corpus.sparkSession)) corpus.crossJoin(broadcast(q))
+    else corpus.crossJoin(q.hint("shuffle_replicate_nl"))
+
+  /** Coarse-quantizer stride for the deterministic IVF entries. Below
+    * IvfOracleN, the historical 1/125 modulus form — its assignment is
+    * Θ(n²/125): exact and fast at gate scale, a scale-killer past it.
+    * Above, √n cells via the same integer arithmetic (stride =
+    * n / ceil(√n)), dropping assignment to Θ(n^1.5) — still fully
+    * deterministic, and the oracle computes the identical CASE in SQL,
+    * so the entry stays bit-exact at EVERY scale. */
+  private[graft] val IvfOracleN = 100000L
+  private[graft] def ivfStep(n: Long): Long =
+    if (n <= IvfOracleN) 125L
+    else math.max(1L, n / math.max(4L, math.ceil(math.sqrt(n.toDouble)).toLong))
+
   /** PQ encode / ADC columns, shared by ss_knn_pq and ss_knn_ivfpq:
     * native codegen'd Catalyst expressions (PqExpressions — the HOF
     * formulation is CodegenFallback, i.e. an interpreted lambda per
@@ -146,12 +225,14 @@ object Similarity {
   }
 
   /** Exact brute-force top-K pairs for the every-100th query set —
-    * shared by the baseline query and the ANN recall contracts. */
-  private def bruteTopK(e: DataFrame): DataFrame = {
+    * shared by the baseline query and the ANN recall contracts.
+    * `nQ` = (an upper bound on) the query-stratum size, for the
+    * broadcast gate. */
+  private def bruteTopK(e: DataFrame, nQ: Long): DataFrame = {
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
-    spread(e).crossJoin(broadcast(q))
+    qCross(spread(e), q, nQ)
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         expr(cosineSql("qe", "embedding", DIM)).as("cosine"))
@@ -226,11 +307,11 @@ object Similarity {
   /** Exact brute-force top-K by INNER PRODUCT (MIPS) for the same
     * every-100th query set — truth for ss_knn_mips and the contract
     * baseline for the norm-augmented LSH reduction. */
-  private def bruteMipsTopK(e: DataFrame): DataFrame = {
+  private def bruteMipsTopK(e: DataFrame, nQ: Long): DataFrame = {
     val q = e.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val w = Window.partitionBy(col("qid")).orderBy(col("dot").desc, col("vec_id"))
-    spread(e).crossJoin(broadcast(q))
+    qCross(spread(e), q, nQ)
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         expr(dotSql("qe", "embedding", DIM)).as("dot"))
@@ -275,7 +356,8 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     // exact cosine top-k: query set = every 100th vector.
-    "ss_knn_brute" -> ((s, dir) => bruteTopK(Tables(s, dir).embeddings)),
+    "ss_knn_brute" -> ((s, dir) =>
+      bruteTopK(Tables(s, dir).embeddings, nQueryEst(s, dir))),
     // HYBRID retrieval — the modern search stack: a lexical leg
     // (df-capped shared-vocabulary overlap, set semantics) and a
     // vector leg (cosine), fused by Reciprocal Rank Fusion. RRF works
@@ -312,7 +394,7 @@ object Similarity {
         .select(col("vec_id").as("qid"), col("embedding").as("qe"))
       val vecW = Window.partitionBy(col("qid"))
         .orderBy(col("cosine").desc, col("doc_id"))
-      val vec = spread(e).crossJoin(broadcast(q))
+      val vec = qCross(spread(e), q, nQueryEst(s, dir))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id").as("doc_id"),
           expr(cosineSql("qe", "embedding", DIM)).as("cosine"))
@@ -331,7 +413,8 @@ object Similarity {
     // exact maximum-inner-product top-k — the retrieval objective of
     // factorization recommenders (score = u·v, NOT cosine: a vector's
     // own norm matters). Same broadcast-scan shape as ss_knn_brute.
-    "ss_knn_mips" -> ((s, dir) => bruteMipsTopK(Tables(s, dir).embeddings)),
+    "ss_knn_mips" -> ((s, dir) =>
+      bruteMipsTopK(Tables(s, dir).embeddings, nQueryEst(s, dir))),
     // the scale path for MIPS: inner product is not a metric (no
     // triangle inequality), so bucketing can't index it directly —
     // reduce to ANGULAR search first (Bachrach et al. 2014): append
@@ -364,7 +447,8 @@ object Similarity {
         .withColumn("qbucket", expr(signBucketSql("aqe", DIM + 1, nP)))
         .withColumn("probe", explode(expr(probeArraySql("qbucket", nP))))
         .select("qid", "qe", "probe")
-      val cands = aug.join(broadcast(q), col("bucket") === col("probe"))
+      val cands = qJoin(aug, q, satMul(nQ, probeCount(nP)),
+          col("bucket") === col("probe"))
         .filter(col("vec_id") =!= col("qid"))
         .persist()
       val candRows = cands.count()
@@ -374,7 +458,7 @@ object Similarity {
           expr(dotSql("qe", "embedding", DIM)).as("dot"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= K)
-      recallContract(ann, bruteMipsTopK(e), nQ, n, candRows,
+      recallContract(ann, bruteMipsTopK(e, nQ), nQ, n, candRows,
         minRecall = 0.3, maxScanFrac = 0.5)
     }),
     // Scale-path ANN: plane count adapts to corpus size (buckets ∝ n)
@@ -393,7 +477,8 @@ object Similarity {
         .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
         .withColumn("probe", explode(expr(probeArraySql("bucket", nP))))
         .select("qid", "qe", "probe")
-      val cands = eb.join(broadcast(q), col("bucket") === col("probe"))
+      val cands = qJoin(eb, q, satMul(nQ, probeCount(nP)),
+          col("bucket") === col("probe"))
         .filter(col("vec_id") =!= col("qid"))
         .persist()
       val candRows = cands.count()
@@ -408,7 +493,7 @@ object Similarity {
       // through the result's execution — the harness clears the cache
       // between queries, and a pipeline embedding this would unpersist
       // after materializing.)
-      recallContract(ann, bruteTopK(e), nQ, n, candRows,
+      recallContract(ann, bruteTopK(e, nQ), nQ, n, candRows,
         minRecall = 0.3, maxScanFrac = 0.5)
     }),
     // Oracle-exact LSH form: constant 6-plane index with the SAME
@@ -427,7 +512,8 @@ object Similarity {
         .withColumn("probe", explode(expr(probeArraySql("bucket", PLANES))))
         .select("qid", "qe", "probe")
       val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
-      e.join(broadcast(q), col("bucket") === col("probe"))
+      qJoin(e, q, satMul(nQueryEst(s, dir), probeCount(PLANES)),
+          col("bucket") === col("probe"))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
           expr(cosineSql("qe", "embedding", DIM)).as("cosine"))
@@ -452,7 +538,7 @@ object Similarity {
         .withColumn("probe", explode(expr(probeArraySql("bucket", PLANES))))
         .select("qid", "qe", "probe", "qlabel")
       val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
-      e.join(broadcast(q),
+      qJoin(e, q, satMul(nQueryEst(s, dir), probeCount(PLANES)),
           col("bucket") === col("probe") && col("label") === col("qlabel"))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"), col("label"),
@@ -461,31 +547,41 @@ object Similarity {
         .filter(col("rank") <= K)
     }),
     // IVF ANN: coarse-quantize the corpus to inverted cells (one
-    // linear broadcast-assignment pass), probe the nprobe=2 nearest
-    // cells per query. Centroids here are a deterministic 1/125
-    // subset so the oracle can replicate the index exactly;
-    // ss_knn_ivf_kmeans is the trained-centroid form (corpus never
-    // shuffles — cells are a projection, search is one equi-join).
+    // linear assignment pass over broadcast centroids), probe the
+    // nprobe=2 nearest cells per query. Centroids are a deterministic
+    // stride through the corpus — 1/125 at gate scale, √n cells past
+    // IvfOracleN (see ivfStep) — so the oracle replicates the index
+    // exactly at EVERY scale; ss_knn_ivf_kmeans is the
+    // trained-centroid form (corpus never shuffles — cells are a
+    // projection, search is one equi-join).
     "ss_knn_ivf" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
-      val cents = e.filter(col("vec_id") % 125 === 0)
+      // the stride parameterizes the index the oracle rebuilds, so it
+      // needs the REAL count: a failed memo probe falls through to a
+      // direct count whose failure is the query's own failure
+      val n0 = embCountFor(s, dir)
+      val n = if (n0 == Long.MaxValue) e.count() else n0
+      val step = ivfStep(n)
+      val nCents = n / step + 1
+      val nQ = n / 100 + 1
+      val cents = e.filter(pmod(col("vec_id"), lit(step)) === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
       val wa = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-      val assigned = spread(e).crossJoin(broadcast(cents))
+      val assigned = qCross(spread(e), cents, nCents)
         .select(col("vec_id"), col("embedding"), col("cid"),
           expr(cosineSql("embedding", "ce", DIM)).as("csim"))
         .withColumn("arn", row_number().over(wa)).filter(col("arn") === 1)
         .select("vec_id", "embedding", "cid")
       val wq = Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("cid"))
-      val probes = e.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        .crossJoin(broadcast(cents))
+      val probes = qCross(e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+          cents, nCents)
         .select(col("qid"), col("qe"), col("cid"),
           expr(cosineSql("qe", "ce", DIM)).as("qsim"))
         .withColumn("qrn", row_number().over(wq)).filter(col("qrn") <= NPROBE)
         .select("qid", "qe", "cid")
       val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
-      assigned.join(broadcast(probes), Seq("cid"))
+      qJoinOn(assigned, probes, satMul(nQ, NPROBE), Seq("cid"))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
           expr(cosineSql("qe", "embedding", DIM)).as("cosine"))
@@ -505,10 +601,15 @@ object Similarity {
     "ss_index_persist" -> ((s, dir) => {
       val e = Tables(s, dir).embeddings
       val idx = graft.core.GraftSession.scratchDir(s, "ivfidx", dir)
-      val cents = e.filter(col("vec_id") % 125 === 0)
+      val n0 = embCountFor(s, dir)
+      val n = if (n0 == Long.MaxValue) e.count() else n0
+      val step = ivfStep(n)
+      val nCents = n / step + 1
+      val nQ = n / 100 + 1
+      val cents = e.filter(pmod(col("vec_id"), lit(step)) === 0)
         .select(col("vec_id").as("cid"), col("embedding").as("ce"))
       val wa = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-      val assignedDf = spread(e).crossJoin(broadcast(cents))
+      val assignedDf = qCross(spread(e), cents, nCents)
         .select(col("vec_id"), col("embedding"), col("cid"),
           expr(cosineSql("embedding", "ce", DIM)).as("csim"))
         .withColumn("arn", row_number().over(wa)).filter(col("arn") === 1)
@@ -522,15 +623,15 @@ object Similarity {
       val ic = s.read.schema(cents.schema).parquet(s"$idx/centroids")
       val ia = s.read.schema(assignedDf.schema).parquet(s"$idx/assigned")
       val wq = Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("cid"))
-      val probes = e.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        .crossJoin(broadcast(ic))
+      val probes = qCross(e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+          ic, nCents)
         .select(col("qid"), col("qe"), col("cid"),
           expr(cosineSql("qe", "ce", DIM)).as("qsim"))
         .withColumn("qrn", row_number().over(wq)).filter(col("qrn") <= NPROBE)
         .select("qid", "qe", "cid")
       val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id"))
-      ia.join(broadcast(probes), Seq("cid"))
+      qJoinOn(ia, probes, satMul(nQ, NPROBE), Seq("cid"))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
           expr(cosineSql("qe", "embedding", DIM)).as("cosine"))
@@ -578,21 +679,21 @@ object Similarity {
             .toDF("cid", "ce")
         }
       val wa = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-      val assigned = spread(e).crossJoin(broadcast(cents))
+      val assigned = qCross(spread(e), cents, nCells)
         .select(col("vec_id"), col("embedding"), col("cid"),
           expr(cosineSql("embedding", "ce", DIM)).as("csim"))
         .withColumn("arn", row_number().over(wa)).filter(col("arn") === 1)
         .select("vec_id", "embedding", "cid")
       val nProbeK = 4
       val wq = Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("cid"))
-      val probes = e.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        .crossJoin(broadcast(cents))
+      val probes = qCross(e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+          cents, nCells)
         .select(col("qid"), col("qe"), col("cid"),
           expr(cosineSql("qe", "ce", DIM)).as("qsim"))
         .withColumn("qrn", row_number().over(wq)).filter(col("qrn") <= nProbeK)
         .select("qid", "qe", "cid")
-      val cands = assigned.join(broadcast(probes), Seq("cid"))
+      val cands = qJoinOn(assigned, probes, satMul(nQ, nProbeK), Seq("cid"))
         .filter(col("vec_id") =!= col("qid"))
         .persist()
       val candRows = cands.count()
@@ -602,7 +703,7 @@ object Similarity {
           expr(cosineSql("qe", "embedding", DIM)).as("cosine"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= K)
-      recallContract(ann, bruteTopK(e), nQ, n, candRows,
+      recallContract(ann, bruteTopK(e, nQ), nQ, n, candRows,
         minRecall = 0.2, maxScanFrac = 0.5)
     }),
     // scalar-quantized (int8) ANN: compress every float to an 8-bit
@@ -629,7 +730,7 @@ object Similarity {
       val q = eq.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("qid"), col("qv").as("qq"))
       val w = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("vec_id"))
-      eq.crossJoin(broadcast(q))
+      qCross(eq, q, nQueryEst(s, dir))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
           expr(cosineSql("qq", "qv", DIM)).as("qcos"))
@@ -668,7 +769,7 @@ object Similarity {
       // compressed codes only, keep top RERANK candidates per query
       val rerankR = 10 * K
       val wAdc = Window.partitionBy(col("qid")).orderBy(col("adist").asc, col("vec_id"))
-      val shortlist = enc.crossJoin(broadcast(q))
+      val shortlist = qCross(enc, q, nQ)
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("qe"), col("vec_id"),
           pqAdcCol(col("qe"), col("codes"), cbFlat).as("adist"))
@@ -699,7 +800,7 @@ object Similarity {
         if (nQ == 0 || n <= K) lit(true)
         else col("_hits").cast("double") / lit(K.toDouble * nQ) >= lit(0.3)
       ann.select("qid", "vec_id")
-        .join(bruteTopK(e).persist().select("qid", "vec_id"),
+        .join(bruteTopK(e, nQ).persist().select("qid", "vec_id"),
           Seq("qid", "vec_id"), "left_semi")
         .agg(count(lit(1)).as("_hits"))
         .select(
@@ -730,7 +831,7 @@ object Similarity {
       // index pass: nearest cell (argmax cosine over broadcast
       // centroids) + PQ codes, one corpus scan, all codegen'd
       val wa = Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cid"))
-      val assigned = spread(e).crossJoin(broadcast(cents))
+      val assigned = qCross(spread(e), cents, nCells)
         .select(col("vec_id"), col("embedding"), col("cid"),
           expr(cosineSql("embedding", "ce", DIM)).as("csim"))
         .withColumn("arn", row_number().over(wa)).filter(col("arn") === 1)
@@ -738,14 +839,14 @@ object Similarity {
         .select("vec_id", "cid", "codes")
       val nProbeC = 4
       val wq = Window.partitionBy(col("qid")).orderBy(col("qsim").desc, col("cid"))
-      val probes = e.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-        .crossJoin(broadcast(cents))
+      val probes = qCross(e.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe")),
+          cents, nCells)
         .select(col("qid"), col("qe"), col("cid"),
           expr(cosineSql("qe", "ce", DIM)).as("qsim"))
         .withColumn("qrn", row_number().over(wq)).filter(col("qrn") <= nProbeC)
         .select("qid", "qe", "cid")
-      val cands = assigned.join(broadcast(probes), Seq("cid"))
+      val cands = qJoinOn(assigned, probes, satMul(nQ, nProbeC), Seq("cid"))
         .filter(col("vec_id") =!= col("qid"))
         .persist()
       val candRows = cands.count()
@@ -767,7 +868,7 @@ object Similarity {
       // measured recall@5 vs brute: 0.44 (sf0.001) / 0.36 (sf0.01) /
       // 0.31 (sf0.1) at candidate scan fractions 0.16 / 0.16 / 0.09 —
       // 2× margin over the 0.15 pin on this isotropic worst case.
-      recallContract(ann, bruteTopK(e), nQ, n, candRows,
+      recallContract(ann, bruteTopK(e, nQ), nQ, n, candRows,
         minRecall = 0.15, maxScanFrac = 0.5)
     }),
     // Scale-path near-dup pairs: 8 independent LSH bands, planes per
@@ -865,7 +966,7 @@ object Similarity {
       // sampled adjacency, then count queries and hits in the same agg
       // (nq = distinct truth qids ≡ the every-100th query count when
       // n ≥ 2, since every query has n-1 truth candidates)
-      val truth = bruteTopK(e)
+      val truth = bruteTopK(e, n / 100 + 1)
       val hitRow = truth.select(col("qid"), col("vec_id"))
         .join(graph.filter(col("src") % 100 === 0)
           .select(col("src").as("qid"), col("dst").as("vec_id"),
@@ -961,7 +1062,7 @@ object Similarity {
       val batchN = e.filter(isNew).count()
       val statRow = graph.agg(count(lit(1)), countDistinct(col("src"))).first()
       val (nEdges, nSrc) = (statRow.getLong(0), statRow.getLong(1))
-      val truth = bruteTopK(e)
+      val truth = bruteTopK(e, n / 100 + 1)
       val hits = graph.filter(col("src") % 100 === 0)
         .select(col("src").as("qid"), col("dst").as("vec_id"))
         .join(truth.select("qid", "vec_id"), Seq("qid", "vec_id"), "left_semi")
@@ -1024,7 +1125,12 @@ object Similarity {
       val x = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
       val y = e.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
-      val nTrue = broadcast(x).join(y, col("id_a") < col("id_b"))
+      // the stratum is 2% of the corpus — same linear-growth class as
+      // the query broadcasts, same gate: replicated nested loop past
+      // the ceiling (the non-equi condition leaves no equi fallback)
+      val xG = if (n / 50 + 1 <= maxBroadcastRows(s))
+        broadcast(x) else x.hint("shuffle_replicate_nl")
+      val nTrue = xG.join(y, col("id_a") < col("id_b"))
         .filter(expr(cosineSql("e_a", "e_b", DIM)) >= NEARDUP_TAU).count()
       val s2 = e.sparkSession
       import s2.implicits._
@@ -1107,10 +1213,20 @@ object Similarity {
        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin
 
   /** Shared by ss_knn_ivf and ss_index_persist: the persisted-index
-    * serve path is bit-identical to the inline build. */
+    * serve path is bit-identical to the inline build. The stride CTE
+    * is the SQL rendering of ivfStep — 125 at gate scale, n/ceil(√n)
+    * past IvfOracleN — same integer arithmetic, so the index (and the
+    * whole entry) stays bit-exact at every scale. */
   private lazy val ivfOracleSql: String =
-    s"""WITH cents AS (
-         |  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 125 = 0),
+    s"""WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+         |stp AS (SELECT CASE WHEN n <= $IvfOracleN THEN CAST(125 AS BIGINT)
+         |               ELSE GREATEST(CAST(1 AS BIGINT),
+         |                 n // GREATEST(CAST(4 AS BIGINT),
+         |                   CAST(CEIL(SQRT(CAST(n AS DOUBLE))) AS BIGINT))) END AS step
+         |        FROM nn),
+         |cents AS (
+         |  SELECT vec_id AS cid, embedding AS ce
+         |  FROM embeddings, stp WHERE vec_id % step = 0),
          |assigned AS (
          |  SELECT vec_id, embedding, cid FROM (
          |    SELECT e.vec_id, e.embedding, c.cid,
