@@ -9,10 +9,12 @@ import graft.core.Tables
   * table and reports at the end).
   *
   * Spark subsumes the DAG's intra-stage parallelism: the six dimension
-  * builds are independent lazy plans and the scheduler overlaps their
-  * stages; a failure in one stage is caught and recorded without
-  * aborting the rest. Writes are atomic per-table overwrites (the
-  * reference's `if_exists='replace'` full-rebuild semantics).
+  * builds (customer, supplier, part, geo, dates, payments — the
+  * reference's full dim list) are independent lazy plans and the
+  * scheduler overlaps their stages; a failure in one stage is caught
+  * and recorded without aborting the rest. Writes are atomic per-table
+  * overwrites (the reference's `if_exists='replace'` full-rebuild
+  * semantics).
   */
 object Pipeline {
   final case class StageResult(name: String, rows: Long, ok: Boolean, error: Option[String])
@@ -23,10 +25,11 @@ object Pipeline {
     "dim_part"     -> (() => Warehouse.dimPart(t)),
     "dim_geo"      -> (() => Warehouse.dimGeo(t)),
     "dim_dates"    -> (() => Warehouse.dimDates(t)),
+    "dim_payments" -> (() => Warehouse.dimPayments(t)),
     "fact_orders"  -> (() => Warehouse.factOrders(t)))
 
   /** Full warehouse rebuild: sfDir parquet → outDir parquet star
-    * schema. The six builds are independent, so their write actions
+    * schema. The seven builds are independent, so their write actions
     * are submitted concurrently (the DAG's parallel transform group,
     * e_commerce_dw_dag.py:48-83) — Spark's scheduler interleaves the
     * jobs across the cluster and the wall clock is the slowest stage,

@@ -149,6 +149,36 @@ object Warehouse {
     * dense categorical code (W2) via broadcast-joined code table.
     * Keys carry NATURAL ids (the reference's star-schema quirk,
     * SURVEY.md §7.4.5) — reproduced faithfully. */
+  /** Payments-like staging frame, derived DETERMINISTICALLY from
+    * orders (the harness has no payments table; the reference reads
+    * staging.stg_payments — transform_fact_orders.py:12): one row per
+    * installment, n_installments = 1 + o_orderkey % 3, payment_type =
+    * lower(o_orderpriority) (the reference lowercases payment_type,
+    * transform_dim_payments.py:12). Shared by dimPayments and the
+    * fact-grain entry so the dim and the fact multiply over the SAME
+    * staging rows — a projection over orders, no shuffle. */
+  def stagePayments(t: Tables): DataFrame =
+    t.orders.select(
+        col("o_orderkey"),
+        lower(col("o_orderpriority")).as("payment_type"),
+        (lit(1) + pmod(col("o_orderkey"), lit(3))).cast("int")
+          .as("payment_installments"))
+      .withColumn("pay_seq",
+        explode(sequence(lit(1), col("payment_installments"))))
+
+  /** dim_payments (transform_dim_payments.py:11-18,21-26): the 2-col
+    * dedup on (payment_type, payment_installments) + dense surrogate —
+    * the reference's sixth dimension. Dedup lands on the distinct of a
+    * 2-column projection (map-side partial agg, a handful of rows),
+    * surrogate by natural-key order like every other dim. */
+  def dimPayments(t: Tables): DataFrame = {
+    val dedup = stagePayments(t)
+      .select(col("payment_type"), col("payment_installments")).distinct()
+    surrogateKey(dedup, "payment_key",
+        col("payment_type"), col("payment_installments"))
+      .select("payment_key", "payment_type", "payment_installments")
+  }
+
   def factOrders(t: Tables): DataFrame = {
     val custProj = t.customer.select("c_custkey", "c_mktsegment")
     val priorityCodes = t.orders.select(col("o_orderpriority")).distinct()

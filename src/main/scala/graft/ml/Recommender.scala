@@ -352,7 +352,11 @@ object Recommender {
     if (!hasInteractions(spark, dir))
       return emptyOf(spark, "rank int, n_users bigint, n_items bigint")
     val model = train(spark, dir)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_als_model"
+    // app+dir-scoped scratch (NOT a fixed path): two concurrent
+    // sessions saving/loading at one fixed location clobber each
+    // other's model dirs mid-round-trip — the etl_pipeline hazard,
+    // pinned here by ConcurrencySpec's dual-session modelInfo case
+    val path = graft.core.GraftSession.scratchDir(spark, "als_model", dir)
     model.write.overwrite().save(path)
     val loaded = ALSModel.load(path)
     import spark.implicits._

@@ -21,7 +21,31 @@ object Etl {
     "etl_dim_part"     -> ((s, dir) => Warehouse.dimPart(Tables(s, dir))),
     "etl_dim_geo"      -> ((s, dir) => Warehouse.dimGeo(Tables(s, dir))),
     "etl_dim_dates"    -> ((s, dir) => Warehouse.dimDates(Tables(s, dir))),
+    "etl_dim_payments" -> ((s, dir) => Warehouse.dimPayments(Tables(s, dir))),
     "etl_fact_orders"  -> ((s, dir) => Warehouse.factOrders(Tables(s, dir))),
+    // the reference fact grain is order × order-item × PAYMENT — two
+    // consecutive 1:N left joins whose row multiplication is the #1
+    // parity hazard (transform_fact_orders.py:15-16: merge on
+    // order_items, then merge on payments, both how='left'). This
+    // entry pins exactly that: per order, the joined frame must hold
+    // max(n_items, 1) × n_payments rows — the count the oracle
+    // re-derives from first principles. Counts only (no summed
+    // measures), so the multiplication itself is what's hashed.
+    "etl_fact_grain" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val t = Tables(s, dir)
+      val pay = Warehouse.stagePayments(t)
+      t.orders.select("o_orderkey")
+        .join(t.lineitem.select(col("l_orderkey").as("o_orderkey"),
+          col("l_linenumber")), Seq("o_orderkey"), "left")
+        .join(pay.select(col("o_orderkey"), col("pay_seq")),
+          Seq("o_orderkey"), "left")
+        .groupBy(col("o_orderkey"))
+        .agg(
+          countDistinct(col("l_linenumber")).as("n_items"),
+          countDistinct(col("pay_seq")).as("n_payments"),
+          count(lit(1)).as("n_fact_rows"))
+    }),
     // full DAG-equivalent rebuild; returns the per-stage summary.
     // The summary is deterministic (stage names + row counts), so it
     // gets a real oracle; the per-table oracles above cover content.
@@ -188,9 +212,37 @@ object Etl {
         |UNION ALL SELECT 'dim_part', (SELECT COUNT(*) FROM part), true
         |UNION ALL SELECT 'dim_geo', (SELECT COUNT(*) FROM nation), true
         |UNION ALL SELECT 'dim_dates', CAST(3653 AS BIGINT), true
+        |UNION ALL SELECT 'dim_payments',
+        |  (SELECT COUNT(*) FROM (SELECT DISTINCT LOWER(o_orderpriority),
+        |     1 + o_orderkey % 3 FROM orders)), true
         |UNION ALL SELECT 'fact_orders',
         |  (SELECT COUNT(*) FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
         |  true""".stripMargin,
+    "etl_dim_payments" ->
+      """WITH pay AS (
+        |  SELECT DISTINCT LOWER(o_orderpriority) AS payment_type,
+        |         CAST(1 + o_orderkey % 3 AS INTEGER) AS payment_installments
+        |  FROM orders)
+        |SELECT ROW_NUMBER() OVER (ORDER BY payment_type, payment_installments)
+        |         AS payment_key,
+        |       payment_type, payment_installments
+        |FROM pay""".stripMargin,
+    "etl_fact_grain" ->
+      """WITH pay AS (
+        |  SELECT o_orderkey,
+        |         unnest(generate_series(1, CAST(1 + o_orderkey % 3 AS INTEGER)))
+        |           AS pay_seq
+        |  FROM orders),
+        |f AS (
+        |  SELECT o.o_orderkey, l.l_linenumber, p.pay_seq
+        |  FROM orders o
+        |  LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |  LEFT JOIN pay p ON o.o_orderkey = p.o_orderkey)
+        |SELECT o_orderkey,
+        |       CAST(COUNT(DISTINCT l_linenumber) AS BIGINT) AS n_items,
+        |       CAST(COUNT(DISTINCT pay_seq) AS BIGINT) AS n_payments,
+        |       COUNT(*) AS n_fact_rows
+        |FROM f GROUP BY o_orderkey""".stripMargin,
     // the backfill's end state: v1 aggregates everywhere, but only the
     // changed partition (1997, the synthesized late-correction year)
     // carries build generation 1 — pinning both the rebuild's values

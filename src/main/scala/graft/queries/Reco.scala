@@ -89,6 +89,34 @@ object Reco {
         else Recommender.cosineTopK(Recommender.train(s, dir), sampleUsers(s, dir), K)
       rankingContract(topk, abs(col("score")) <= lit(1.0 + 1e-9), monotone = true)
     }),
+    // M4 cold-start contract: the reference WARNS and returns a
+    // message for a user absent from training
+    // (mf_knn_recommender.py:234-236, 276-290) — it never silently
+    // drops them. cosineTopK inner-joins probe users to the trained
+    // factors, so unknown users yield zero rec rows; this entry makes
+    // that the DECLARED serving answer: every probe user comes back
+    // with (known, n_recs), recs empty exactly for the cold ones. The
+    // probe set is the sample users plus two ids (-1, -2) that can
+    // never train (o_custkey ≥ 0).
+    "reco_unknown_user" -> ((s, dir) => {
+      import s.implicits._
+      val cold = Seq(-1, -2).toDF("user")
+      if (!Recommender.hasInteractions(s, dir))
+        cold.select(col("user"), lit(false).as("known"), lit(0L).as("n_recs"))
+      else {
+        val probes = sampleUsers(s, dir).unionByName(cold)
+        val model = Recommender.train(s, dir)
+        val recs = Recommender.cosineTopK(model, probes, K)
+        val counts = recs.groupBy(col("user")).agg(count(lit(1)).as("n_recs"))
+        val knownUsers = model.userFactors
+          .select(col("id").as("user"), lit(true).as("known"))
+        probes.join(knownUsers, Seq("user"), "left")
+          .join(counts, Seq("user"), "left")
+          .select(col("user"),
+            coalesce(col("known"), lit(false)).as("known"),
+            coalesce(col("n_recs"), lit(0L)).as("n_recs"))
+      }
+    }),
     // M4: MLlib-native blocked ranking (raw inner product — unbounded
     // scores, so the contract checks finiteness instead of [-1,1]).
     "reco_topk_als" -> ((s, dir) => {
@@ -393,6 +421,14 @@ object Reco {
          |       TRUE AS scores_valid, TRUE AS items_distinct,
          |       TRUE AS scores_monotone
          |FROM ($sampleUsersSql)""".stripMargin,
+    // ALS trains a factor row for every interacting user, so each
+    // sample user is known with exactly K recs; the two cold probes
+    // are known=false with zero recs — all deterministic facts.
+    "reco_unknown_user" ->
+      s"""SELECT "user", TRUE AS known, CAST($K AS BIGINT) AS n_recs
+         |FROM ($sampleUsersSql)
+         |UNION ALL SELECT -1, FALSE, CAST(0 AS BIGINT)
+         |UNION ALL SELECT -2, FALSE, CAST(0 AS BIGINT)""".stripMargin,
     "reco_mmr" ->
       s"""SELECT "user", CAST($K AS BIGINT) AS k_rows, TRUE AS ranks_dense,
          |       TRUE AS scores_valid, TRUE AS items_distinct,

@@ -117,4 +117,34 @@ class ConcurrencySpec extends SparkSpec {
       }
     } finally pool.shutdown()
   }
+
+  test("cross-dir concurrency: simultaneous modelInfo round-trips don't clobber") {
+    // reco_model_info persists + reloads the trained ALS model; a
+    // FIXED save path once let two sessions overwrite each other's
+    // model dirs mid-round-trip. The path is app+dir-scoped scratch
+    // now (GraftSession.scratchDir), so two dirs served concurrently —
+    // through the root session and a child session, the multi-tenant
+    // shape — must each load back their OWN model's dimensions.
+    val dirs = Seq(dir, "/root/testdata/sf0.01")
+    def info(s: org.apache.spark.sql.SparkSession, d: String): Seq[String] =
+      graft.ml.Recommender.modelInfo(s, d).collect().map(_.toString).toSeq
+    val sequential = dirs.map(d => d -> info(spark, d)).toMap
+    assert(sequential(dirs.head) != sequential(dirs(1)),
+      "test dirs yield identical model dims — pick dirs that differ")
+    val child = spark.newSession()
+    val pool = Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      // one in-flight run per dir: same-(op,dir) concurrency is out of
+      // contract (serializable-per-(op,dir), see the suite header) —
+      // the clobbering class under test is CROSS-dir/session
+      val futs = Seq((dirs.head, spark), (dirs(1), child))
+        .map { case (d, s) => Future(d -> info(s, d)) }
+      val results = Await.result(Future.sequence(futs), 10.minutes)
+      results.foreach { case (d, got) =>
+        assert(got == sequential(d),
+          s"modelInfo@$d diverged under concurrent round-trips")
+      }
+    } finally pool.shutdown()
+  }
 }
