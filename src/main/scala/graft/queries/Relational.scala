@@ -745,14 +745,26 @@ object Relational {
         .agg(sum(col("o_totalprice").cast(DecimalType(18, 4))).as("rev"))
         .select(col("n_name"), col("x"),
           (col("rev") * 10000).cast("long").as("y"))
+      // slope arithmetic in DECIMAL(38,0), not BIGINT: at sf10 the
+      // products n·Σxy and 100·|slope_num| sit at ~2.4e18-2.4e20 —
+      // past the 9.2e18 long ceiling (caught by the round-13 sf10
+      // sweep as an ANSI ARITHMETIC_OVERFLOW). Decimal(38,0) buys
+      // ~1e19 more decades of headroom; the per-row x·y product and
+      // the monthly y stay long (x is calendar-bounded, y hits the
+      // long wall only past ~1e5× this data — and errs loudly in
+      // BOTH engines there, same as before). DuckDB mirrors with
+      // HUGEINT internally, cast to DECIMAL(38,0) on output.
+      val d38 = DecimalType(38, 0)
       monthly.groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_months"),
-          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"))
+          sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+          sum((col("x") * col("y")).cast(d38)).as("sxy"),
+          sum((col("x") * col("x")).cast(d38)).as("sxx"))
         .select(col("n_name"), col("n_months"),
-          (col("n_months") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
-          (col("n_months") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+          (col("n_months").cast(d38) * col("sxy") - col("sx") * col("sy"))
+            .cast(d38).as("slope_num"),
+          (col("n_months").cast(d38) * col("sxx") - col("sx") * col("sx"))
+            .cast(d38).as("slope_den"))
         // a single-month nation has zero x-variance (slope_den = 0,
         // slope undefined) — excluded rather than emitting a silent
         // NULL from the division
@@ -980,16 +992,16 @@ object Relational {
         |  GROUP BY 1, 2),
         |s AS (
         |  SELECT n_name, COUNT(*) AS n_months,
-        |         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-        |         CAST(SUM(x * y) AS BIGINT) AS sxy,
-        |         CAST(SUM(x * x) AS BIGINT) AS sxx
+        |         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |         SUM(CAST(x * y AS HUGEINT)) AS sxy,
+        |         SUM(CAST(x * x AS HUGEINT)) AS sxx
         |  FROM monthly GROUP BY 1)
         |SELECT n_name, n_months,
-        |       n_months * sxy - sx * sy AS slope_num,
-        |       n_months * sxx - sx * sx AS slope_den,
-        |       (CASE WHEN n_months * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
+        |       CAST(n_months * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
+        |       CAST(n_months * sxx - sx * sx AS DECIMAL(38,0)) AS slope_den,
+        |       CAST((CASE WHEN n_months * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
         |         * ((100 * abs(n_months * sxy - sx * sy))
-        |            // (n_months * sxx - sx * sx)) AS slope_x100
+        |            // (n_months * sxx - sx * sx)) AS BIGINT) AS slope_x100
         |FROM s WHERE n_months >= 2""".stripMargin,
     "j6_asof_join" ->
       """WITH r AS (
