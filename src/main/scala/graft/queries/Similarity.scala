@@ -993,7 +993,18 @@ object Similarity {
         // trip, not data difficulty — the same calibration as the
         // other ANN entries.
         nq == 0L || hits.toDouble / (K * nq) >= 0.45,
-        candRows <= 512L * n))
+        // candidate volume linear in n, with the COEFFICIENT set by
+        // bands × size-biased bucket occupancy: ~100-530·n measured on
+        // isotropic corpora (n=500-2000), 620·n on the 10-fold
+        // near-DUPLICATED sf10 rehearsal corpus (200k vectors —
+        // duplication multiplies occupancy, and those candidates are
+        // genuinely close pairs: recall measures 1.0 there, so they
+        // are output, not waste). Pinned at 2048·n ≈ 3× the duplicated
+        // measurement and 5 orders of magnitude below the quadratic
+        // seed volume the banding exists to avoid (n² would be
+        // 200,000·n at this corpus) — a regression to all-pairs still
+        // trips it instantly.
+        candRows <= 2048L * n))
         .toDF("n_nodes", "degree_bounded", "coverage_ok", "recall_ok",
           "cands_linear_in_n")
       }
