@@ -1,9 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Comparator-type contract: the driver hashes rows after materializing
+    * Spark parquet through pandas and the oracle through DuckDB→pandas.
+    * Types outside the stable set can be VALUE-equal yet dtype-different
+    * across the two paths (round-13 `w14_trend`: Spark DECIMAL(38,0) →
+    * Python Decimal objects, DuckDB DECIMAL(38,0) → float64 →
+    * hash_match:false with identical values; same class as DuckDB
+    * HUGEINT). Stable set: BOOLEAN, integer family ≤ BIGINT, DOUBLE,
+    * DECIMAL ≤ 18 digits (both paths keep 64-bit-backed decimals exact
+    * and same-typed), VARCHAR, DATE/TIMESTAMP, BINARY, and containers
+    * of those. Returns "col: offendingType" strings; empty = clean.
+    * Wide-decimal/HUGEINT arithmetic is fine INTERNALLY — only the
+    * emitted schema is checked. */
+  def unstableColumns(schema: StructType): Seq[String] = {
+    def bad(dt: DataType): Option[String] = dt match {
+      case d: DecimalType if d.precision > 18 => Some(d.sql)
+      case FloatType => Some("FLOAT (float32 vs DuckDB float64)")
+      case a: ArrayType => bad(a.elementType)
+      case m: MapType => bad(m.keyType).orElse(bad(m.valueType))
+      case s: StructType =>
+        s.fields.flatMap(f => bad(f.dataType)).headOption
+      case _ => None
+    }
+    schema.fields.toSeq.flatMap(f => bad(f.dataType).map(t => s"${f.name}: $t"))
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query-name prefixes to run
@@ -22,9 +48,18 @@ object Verify {
       // verify) ran 300 s single-threaded at sf1 vs ~25 s parallel.
       // repartition inserts a shuffle boundary so upstream keeps full
       // parallelism; the extra exchange moves only the final result.
-      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        val offenders = unstableColumns(df.schema)
+        if (offenders.nonEmpty)
+          // loud but non-fatal: the compare itself is the gate; this
+          // catches the authoring mistake before the driver round does
+          System.err.println(s"[verify][TYPE-GUARD] $name emits " +
+            s"comparator-unstable output types [${offenders.mkString("; ")}]" +
+            " — cast to BIGINT/DOUBLE/VARCHAR/DATE/TIMESTAMP/BOOLEAN" +
+            " (see Verify.unstableColumns)")
+        df.repartition(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         e.printStackTrace()
       }

@@ -51,7 +51,15 @@ object GraftSession {
     val listed = fs.listStatus(p)
       .map(f => s"${f.getPath.getName}:${f.getModificationTime}:${f.getLen}")
       .sorted.mkString("|")
-    java.lang.Integer.toUnsignedString(listed.hashCode)
+    // full 128-bit digest, not String.hashCode: a 32-bit collision
+    // between two different listings of the same path (~2^-32 per
+    // rewrite) would let CountMemo serve a stale count to a broadcast
+    // gate — the exact staleness class the fingerprint exists to
+    // prevent. MD5 collisions across a path's own rewrites are not a
+    // realistic event (and this is not a security boundary).
+    java.util.Base64.getEncoder.encodeToString(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(listed.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
   }.getOrElse("absent")
 
   /** Memoized long-valued table probe (the row counts behind broadcast
@@ -146,7 +154,10 @@ object GraftSession {
       // shape are scratch this engine wrote. The appId alternative is
       // anchored to the REAL Spark id shapes — local mode
       // "local-<millis>", standalone "app-<14-digit ts>-<4-digit seq>",
-      // YARN "application_<ts>_<seq>" — and the trailing segment is
+      // YARN "application_<ts>_<seq>", Kubernetes/Mesos
+      // "spark-<hex-uuid-ish>" (spark-app-... on some operators, hence
+      // the [a-z0-9-]* tail — still underscore-free, so it cannot
+      // cross into a tag segment) — and the trailing segment is
       // scratchDir's unsigned decimal hash. The match is anchored
       // end-to-end: a bare prefix test once swept a GenScale rehearsal
       // corpus mid-bench; the substring-infix fix still matched any
@@ -154,9 +165,13 @@ object GraftSession {
       // alternative crossed underscores and matched any tag segment
       // starting with "app" (graft_sf10_apply_2-style names) — each a
       // recurrence of the same data-loss class with a narrower trigger.
+      // Without the k8s shape, aged scratch merely LEAKED there
+      // (conservative direction) — but a leak on a long-lived pod is
+      // still a disk-pressure bug.
       Option(tmp.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(f => f.getName.matches(
-          "graft_.+_(local-\\d+|app-\\d{14}-\\d{4}|application_\\d+_\\d+)_\\d+") &&
+          "graft_.+_(local-\\d+|app-\\d{14}-\\d{4}|application_\\d+_\\d+" +
+            "|spark-[a-f0-9][a-z0-9-]*)_\\d+") &&
           f.lastModified < cutoff)
         .foreach(deleteRecursively)
       val warehouse = new java.io.File(

@@ -143,12 +143,27 @@ object Warehouse {
         |                              interval 1 day)) AS date_key)""".stripMargin)
 
   /** fact_orders (transform_fact_orders.py): the J2 join chain — orders
-    * ⟕ lineitem (1:N grain explosion) ⟕ customer projection (N:1) —
-    * plus the reference's derivations: money math (M0), fractional-day
-    * latency (D2), date key (D3), lower-cased status (F5), and the
-    * dense categorical code (W2) via broadcast-joined code table.
-    * Keys carry NATURAL ids (the reference's star-schema quirk,
-    * SURVEY.md §7.4.5) — reproduced faithfully. */
+    * ⟕ lineitem (1:N grain explosion) ⟕ customer projection (N:1)
+    * ⟕ payments (the SECOND 1:N leg, transform_fact_orders.py:16, with
+    * payment_key carried as the FK, :48,52) — plus the reference's
+    * derivations: money math (M0), fractional-day latency (D2), date
+    * key (D3), lower-cased status (F5), and the dense categorical code
+    * (W2) via broadcast-joined code table. Keys carry NATURAL ids (the
+    * reference's star-schema quirk, SURVEY.md §7.4.5) except
+    * payment_key, which the reference itself resolves through
+    * dim_payments — reproduced faithfully. The fact grain is therefore
+    * order × item × payment (max(n_items,1) × n_payments rows per
+    * order — the multiplication etl_fact_grain pins).
+    *
+    * Scale shape of the payments leg: stagePayments is itself a
+    * deterministic projection of orders, so rather than shuffle-join
+    * it back on o_orderkey, the leg is derived IN-PLACE on the joined
+    * frame and exploded LAST (after every join has moved the narrow
+    * pre-multiplication rows); payment_key resolves via a broadcast
+    * join against the ≤15-row dim BEFORE the explode. explode_outer
+    * mirrors the reference's how='left': an order whose installment
+    * count is null (degenerate inputs) keeps one row with a null
+    * payment rather than vanishing. */
   /** Payments-like staging frame, derived DETERMINISTICALLY from
     * orders (the harness has no payments table; the reference reads
     * staging.stg_payments — transform_fact_orders.py:12): one row per
@@ -170,7 +185,17 @@ object Warehouse {
     * dedup on (payment_type, payment_installments) + dense surrogate —
     * the reference's sixth dimension. Dedup lands on the distinct of a
     * 2-column projection (map-side partial agg, a handful of rows),
-    * surrogate by natural-key order like every other dim. */
+    * surrogate by natural-key order like every other dim.
+    *
+    * DELIBERATE key-semantics divergence: the reference assigns
+    * payment_key = staging row index + 1 BEFORE drop_duplicates
+    * (transform_dim_payments.py:15,18), yielding non-dense
+    * first-occurrence keys that depend on the staging file's physical
+    * row order — unreproducible here (the harness has no payments
+    * source; stagePayments is synthesized). This repo's repo-wide
+    * dense natural-key surrogate convention is used instead; joins
+    * through the key are unaffected because the (type, installments)
+    * natural key is what resolves the FK on both sides. */
   def dimPayments(t: Tables): DataFrame = {
     val dedup = stagePayments(t)
       .select(col("payment_type"), col("payment_installments")).distinct()
@@ -202,6 +227,17 @@ object Warehouse {
         (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_amount"),
         (col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
           .as("gross_amount"),
-        ((ep(col("l_shipdate")) - ep(col("o_orderdate"))) / 86400.0).as("ship_latency_days"))
+        ((ep(col("l_shipdate")) - ep(col("o_orderdate"))) / 86400.0).as("ship_latency_days"),
+        // payments leg, same derivation as stagePayments (one source
+        // of truth for the synthetic staging rule — see its doc)
+        lower(col("o_orderpriority")).as("payment_type"),
+        (lit(1) + pmod(col("o_orderkey"), lit(3))).cast("int")
+          .as("payment_installments"))
+      .join(broadcast(dimPayments(t)
+          .select("payment_key", "payment_type", "payment_installments")),
+        Seq("payment_type", "payment_installments"), "left")
+      .withColumn("pay_seq",
+        explode_outer(sequence(lit(1), col("payment_installments"))))
+      .drop("payment_type", "payment_installments")
   }
 }

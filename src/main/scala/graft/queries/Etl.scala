@@ -205,7 +205,8 @@ object Etl {
     // per-stage (name, row-count, ok): every count is derivable from the
     // source tables — dims are 1:1 with their source (unique-key left
     // joins), dim_dates is the fixed 2016-2025 calendar, fact grain is
-    // the orders⟕lineitem row multiplication.
+    // the DOUBLE 1:N multiplication max(n_items,1) × n_payments per
+    // order (orders ⟕ lineitem ⟕ payments — the reference's grain).
     "etl_pipeline" ->
       """SELECT 'dim_customer' AS stage, (SELECT COUNT(*) FROM customer) AS "rows", true AS ok
         |UNION ALL SELECT 'dim_supplier', (SELECT COUNT(*) FROM supplier), true
@@ -216,7 +217,11 @@ object Etl {
         |  (SELECT COUNT(*) FROM (SELECT DISTINCT LOWER(o_orderpriority),
         |     1 + o_orderkey % 3 FROM orders)), true
         |UNION ALL SELECT 'fact_orders',
-        |  (SELECT COUNT(*) FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |  (SELECT CAST(SUM((CASE WHEN c.n IS NULL THEN 1 ELSE c.n END)
+        |                   * (1 + o.o_orderkey % 3)) AS BIGINT)
+        |   FROM orders o LEFT JOIN (
+        |     SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY 1) c
+        |   ON o.o_orderkey = c.l_orderkey),
         |  true""".stripMargin,
     "etl_dim_payments" ->
       """WITH pay AS (
@@ -304,7 +309,18 @@ object Etl {
       """WITH pk AS (
         |  SELECT o_orderpriority,
         |         DENSE_RANK() OVER (ORDER BY o_orderpriority) AS priority_key
-        |  FROM (SELECT DISTINCT o_orderpriority FROM orders))
+        |  FROM (SELECT DISTINCT o_orderpriority FROM orders)),
+        |pd AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY payment_type, payment_installments)
+        |           AS payment_key, payment_type, payment_installments
+        |  FROM (SELECT DISTINCT LOWER(o_orderpriority) AS payment_type,
+        |          CAST(1 + o_orderkey % 3 AS INTEGER) AS payment_installments
+        |        FROM orders)),
+        |pay AS (
+        |  SELECT o_orderkey,
+        |         unnest(generate_series(1, CAST(1 + o_orderkey % 3 AS INTEGER)))
+        |           AS pay_seq
+        |  FROM orders)
         |SELECT o.o_orderkey, l.l_linenumber,
         |       o.o_custkey AS customer_key,
         |       l.l_partkey AS part_key,
@@ -316,9 +332,13 @@ object Etl {
         |       l.l_quantity,
         |       l.l_extendedprice * (1.0 - l.l_discount) AS net_amount,
         |       l.l_extendedprice * (1.0 - l.l_discount) * (1.0 + l.l_tax) AS gross_amount,
-        |       (epoch(l.l_shipdate) - epoch(o.o_orderdate)) / 86400.0 AS ship_latency_days
+        |       (epoch(l.l_shipdate) - epoch(o.o_orderdate)) / 86400.0 AS ship_latency_days,
+        |       pd.payment_key, p.pay_seq
         |FROM orders o
         |LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |LEFT JOIN customer c ON o.o_custkey = c.c_custkey
-        |LEFT JOIN pk ON o.o_orderpriority = pk.o_orderpriority""".stripMargin)
+        |LEFT JOIN pk ON o.o_orderpriority = pk.o_orderpriority
+        |LEFT JOIN pay p ON o.o_orderkey = p.o_orderkey
+        |LEFT JOIN pd ON LOWER(o.o_orderpriority) = pd.payment_type
+        |            AND 1 + o.o_orderkey % 3 = pd.payment_installments""".stripMargin)
 }

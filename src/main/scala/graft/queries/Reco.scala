@@ -156,6 +156,55 @@ object Reco {
           "items_distinct", "first_is_top_relevance")
       }
     }),
+    // M6 λ-sweep serving contract (use_model.py:94-98: the reference
+    // demos MMR at λ∈{0.0, 0.5, 1.0} for one user). One deterministic
+    // probe user (the min sample user — a single-row agg frame, no
+    // collect), three diversify plans unioned. Per-λ contract: K
+    // dense-ranked distinct finite-scored picks anchored at the top-1
+    // relevance item; for λ=1 additionally the WHOLE ranked list
+    // equals the cosine top-K relevance list (MMR degenerates to pure
+    // relevance — both sides break ties (score desc, item asc), so
+    // equality is exact, not probabilistic; the λ=0/λ=1 laws are also
+    // unit-pinned in MmrSpec).
+    "reco_mmr_lambda" -> ((s, dir) => {
+      if (!Recommender.hasInteractions(s, dir))
+        Recommender.emptyOf(s, "lam double, u int, k_rows bigint, " +
+          "ranks_dense boolean, scores_valid boolean, items_distinct boolean, " +
+          "first_is_top_relevance boolean, lambda1_equals_relevance boolean")
+      else {
+        val model = Recommender.train(s, dir)
+        val user = sampleUsers(s, dir).agg(min(col("user")).as("user"))
+        val rel = Recommender.cosineTopK(model, user, K)
+        val top1 = rel.filter(col("rank") === 1)
+          .select(col("user"), col("item").as("_t1"))
+        def lamRow(lam: Double): DataFrame = {
+          val mmr = Recommender.diversify(model, user, K, lam)
+          val c = rankingContract(mmr,
+            col("score").isNotNull && !isnan(col("score")), monotone = false)
+          // λ=1: rank-aligned full-list equality vs the relevance list
+          // (full join so a row missing on either side fails the bool,
+          // not vanishes); other λ: vacuous TRUE by definition.
+          val l1 =
+            if (lam == 1.0)
+              mmr.select(col("user"), col("rank"), col("item"))
+                .join(rel.select(col("user"), col("rank"),
+                  col("item").as("_ri")), Seq("user", "rank"), "full")
+                .groupBy(col("user"))
+                .agg(expr("bool_and(item IS NOT NULL AND _ri IS NOT NULL" +
+                  " AND item = _ri)").as("lambda1_equals_relevance"))
+            else mmr.select(col("user")).distinct()
+              .withColumn("lambda1_equals_relevance", lit(true))
+          c.join(mmr.filter(col("rank") === 1)
+              .select(col("user"), col("item")), "user")
+            .join(top1, "user").join(l1, "user")
+            .select(lit(lam).as("lam"), col("user").as("u"), col("k_rows"),
+              col("ranks_dense"), col("scores_valid"), col("items_distinct"),
+              (col("item") === col("_t1")).as("first_is_top_relevance"),
+              col("lambda1_equals_relevance"))
+        }
+        Seq(0.0, 0.5, 1.0).map(lamRow).reduce(_ unionByName _)
+      }
+    }),
     // M7: P/R/F1@k. num_evaluated_users is a pure function of the
     // md5 holdout split (oracle re-derives it); the metric values are
     // solver-dependent, so the contract asserts their bounds and the
@@ -434,6 +483,16 @@ object Reco {
          |       TRUE AS scores_valid, TRUE AS items_distinct,
          |       TRUE AS first_is_top_relevance
          |FROM ($sampleUsersSql)""".stripMargin,
+    // λ-sweep: the probe user (min sample user) is a deterministic
+    // fact; the per-λ booleans are the asserted invariants.
+    "reco_mmr_lambda" ->
+      s"""SELECT CAST(v.lam AS DOUBLE) AS lam,
+         |       (SELECT MIN("user") FROM ($sampleUsersSql)) AS u,
+         |       CAST($K AS BIGINT) AS k_rows, TRUE AS ranks_dense,
+         |       TRUE AS scores_valid, TRUE AS items_distinct,
+         |       TRUE AS first_is_top_relevance,
+         |       TRUE AS lambda1_equals_relevance
+         |FROM (VALUES (0.0), (0.5), (1.0)) v(lam)""".stripMargin,
     "reco_eval" ->
       """WITH inter AS (
         |  SELECT DISTINCT CAST(o_custkey AS INTEGER) AS u,

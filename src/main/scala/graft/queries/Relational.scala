@@ -753,7 +753,17 @@ object Relational {
       // the monthly y stay long (x is calendar-bounded, y hits the
       // long wall only past ~1e5× this data — and errs loudly in
       // BOTH engines there, same as before). DuckDB mirrors with
-      // HUGEINT internally, cast to DECIMAL(38,0) on output.
+      // HUGEINT internally. The EMITTED slope_num/slope_den are cast
+      // to DOUBLE: the driver comparator materializes Spark
+      // DECIMAL(38,0) as Python Decimal but DuckDB's as float64 —
+      // value-equal, dtype-mismatched (round-13 regression; same
+      // class as the HUGEINT note below). Both engines round the
+      // same exact integer to nearest-double, so the compare stays
+      // deterministic; slope_x100 (the actual answer) is computed
+      // from the exact decimal form BEFORE the cast and stays
+      // BIGINT-exact. Rule of thumb: driver-visible output columns
+      // come from the comparator-stable set {BIGINT, DOUBLE,
+      // VARCHAR, DATE/TIMESTAMP, BOOLEAN} only.
       val d38 = DecimalType(38, 0)
       monthly.groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_months"),
@@ -762,16 +772,18 @@ object Relational {
           sum((col("x") * col("x")).cast(d38)).as("sxx"))
         .select(col("n_name"), col("n_months"),
           (col("n_months").cast(d38) * col("sxy") - col("sx") * col("sy"))
-            .cast(d38).as("slope_num"),
+            .cast(d38).as("num38"),
           (col("n_months").cast(d38) * col("sxx") - col("sx") * col("sx"))
-            .cast(d38).as("slope_den"))
+            .cast(d38).as("den38"))
         // a single-month nation has zero x-variance (slope_den = 0,
         // slope undefined) — excluded rather than emitting a silent
         // NULL from the division
         .filter(col("n_months") >= 2)
-        .withColumn("slope_x100",
-          expr("CASE WHEN slope_num < 0 THEN -1L ELSE 1L END" +
-            " * ((100 * abs(slope_num)) div slope_den)"))
+        .select(col("n_name"), col("n_months"),
+          col("num38").cast("double").as("slope_num"),
+          col("den38").cast("double").as("slope_den"),
+          expr("CASE WHEN num38 < 0 THEN -1L ELSE 1L END" +
+            " * ((100 * abs(num38)) div den38)").as("slope_x100"))
     })
   )
 
@@ -997,8 +1009,8 @@ object Relational {
         |         SUM(CAST(x * x AS HUGEINT)) AS sxx
         |  FROM monthly GROUP BY 1)
         |SELECT n_name, n_months,
-        |       CAST(n_months * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
-        |       CAST(n_months * sxx - sx * sx AS DECIMAL(38,0)) AS slope_den,
+        |       CAST(n_months * sxy - sx * sy AS DOUBLE) AS slope_num,
+        |       CAST(n_months * sxx - sx * sx AS DOUBLE) AS slope_den,
         |       CAST((CASE WHEN n_months * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
         |         * ((100 * abs(n_months * sxy - sx * sy))
         |            // (n_months * sxx - sx * sx)) AS BIGINT) AS slope_x100

@@ -40,18 +40,22 @@ def main():
             print(f"✗ {name}: MISSING_SPARK_OUTPUT"); bad += 1; continue
         timer = None
         timed_out = [False]
-        # done guards the gap between the query returning and
-        # timer.cancel(): a timer that fires in that window would
-        # con.interrupt() the SHARED connection and spuriously abort
-        # the NEXT entry's query (reported as ERR with its own
-        # timed_out False — a flaky false failure in sweeps).
+        # done + lock close the timer race entirely: the timer checks
+        # done and interrupts UNDER the lock, and the main thread sets
+        # done under the same lock, so the timer can never pass the
+        # done check just before the main thread sets it and then
+        # con.interrupt() the SHARED connection into the NEXT entry's
+        # query (a flaky false ERR in sweeps — the bare done-flag
+        # version only narrowed that window).
         done = [False]
+        done_lock = threading.Lock()
         if timeout:
             def interrupt():
-                if done[0]:
-                    return
-                timed_out[0] = True
-                con.interrupt()
+                with done_lock:
+                    if done[0]:
+                        return
+                    timed_out[0] = True
+                    con.interrupt()
             timer = threading.Timer(timeout, interrupt)
             timer.start()
         try:
@@ -77,14 +81,16 @@ def main():
                          "(SELECT * FROM _du EXCEPT ALL SELECT * FROM _sp)"
                          ).fetchone()[0]
         except Exception as e:
-            done[0] = True
+            with done_lock:
+                done[0] = True
             if timer: timer.cancel()
             if timed_out[0]:
                 print(f"✗ {name}: TIMEOUT after {timeout:.0f}s (oracle intractable at this scale)")
             else:
                 print(f"✗ {name}: ERR {str(e)[:200]}")
             bad += 1; continue
-        done[0] = True
+        with done_lock:
+            done[0] = True
         if timer: timer.cancel()
         if d1 == 0 and d2 == 0:
             print(f"✓ {name}: OK ({n_sp} rows)"); ok += 1
