@@ -27,16 +27,24 @@ object Reco {
 
   private val K = 5
 
-  /** Memoized row count of the part table — the reco_item_item
-    * broadcast-gate probe. One count job per JVM + dir + file-listing
+  /** Memoized row counts — the reco_item_item gate + sizing probes
+    * (part = kernel/broadcast gate; lineitem, customer = the kernel's
+    * pair-volume estimate). One count job per JVM + dir + file-listing
     * fingerprint (GraftSession.CountMemo: a dir regenerated larger in
     * this JVM re-probes instead of serving the stale small count to
     * the gate). A transient read error returns Long.MaxValue for THIS
-    * call — failing CLOSED onto the size-safe shuffle_hash path,
-    * never onto a driver-OOM broadcast — and the next call re-probes. */
+    * call — failing CLOSED onto the size-safe path (legacy shuffle, or
+    * the kernel's upper partition clamp), never onto a driver-OOM
+    * broadcast or an under-split task — and the next call re-probes. */
   private val partCounts = new graft.core.GraftSession.CountMemo(onError = Long.MaxValue)
+  private val lineitemCounts = new graft.core.GraftSession.CountMemo(onError = Long.MaxValue)
+  private val customerCounts = new graft.core.GraftSession.CountMemo(onError = Long.MaxValue)
   private def partCountFor(t: Tables): Long =
     partCounts(t.spark, s"${t.dir}/part.parquet")(t.part.count())
+  private def lineitemCountFor(t: Tables): Long =
+    lineitemCounts(t.spark, s"${t.dir}/lineitem.parquet")(t.lineitem.count())
+  private def customerCountFor(t: Tables): Long =
+    customerCounts(t.spark, s"${t.dir}/customer.parquet")(t.customer.count())
 
   private def sampleUsers(s: SparkSession, dir: String): DataFrame =
     Recommender.interactions(Tables(s, dir))
@@ -292,113 +300,21 @@ object Reco {
     "reco_item_item" -> ((s, dir) => {
       // item-item collaborative filtering on binary co-purchase — the
       // memory-based neighbor model that serves "customers also
-      // bought" without any trained factors. cosine(i,j) =
-      // n_ij / √(n_i·n_j) over distinct (user, item) purchases; top-5
-      // neighbors per item, ties broken by neighbor id. Exact and
-      // bit-deterministic (integer counts, one correctly-rounded sqrt
-      // + division), so unlike the ALS family it hash-matches the
-      // oracle directly. Scale shape: the pair build self-joins on
-      // user, so its cost is Σ_u d(u)² — bounded ONLY if per-user
-      // degree is; the degree cap (≤1000 distinct items, no-op here,
-      // load-bearing on power-law users) is the standard guard that
-      // keeps the quadratic term linear-ish in practice. Pair agg and
-      // top-k window both shuffle on the item key. The self-join IS
-      // the fast form: a basket-array variant (collect_set per user +
-      // double explode, reco_next_item's shape) measured 2-3× slower
-      // here — chained Generate operators break whole-stage codegen
-      // and the per-user set buffers materialize; next_item wins with
-      // arrays only because its joins move one row per ORDER either
-      // way and the arrays spare a corpus-scale distinct. The
-      // shuffle_hash hint is load-bearing: sort-merge spends its time
-      // merge-stepping the many-to-many duplicate-key groups that
-      // fan out to Σ d(u)² output rows, while a per-partition hash
-      // build of the (bounded, degree-capped) user side streams the
-      // probe straight through codegen — measured 6.0 s → 3.6 s at
-      // sf0.1, and the same argument holds on a cluster where the
-      // capped build side stays per-partition-bounded.
-      // every non-broadcast join in this query is hinted sort-free:
-      // its frames (fact join, ui, pairs) are all large-and-flat, so
-      // each SMJ sort here is a full-frame spill for no merge benefit
+      // bought" without any trained factors. Implementation, scale
+      // design and the packed-pair kernel vs legacy shuffle plan:
+      // graft.ml.ItemItem. The pair build self-joins on user (cost
+      // Σ_u d(u)², bounded by the ≤1000-item degree cap); the
+      // shuffle_hash hint is load-bearing — sort-merge merge-steps
+      // the many-to-many duplicate-key groups that fan out to
+      // Σ d(u)² output rows, while a per-partition hash build of the
+      // (bounded, degree-capped) user side streams the probe straight
+      // through codegen — measured 6.0 s → 3.6 s at sf0.1.
       val t = Tables(s, dir)
-      val ui = t.orders.select(col("o_orderkey"), col("o_custkey"))
-        .hint("shuffle_hash")
-        .join(t.lineitem.select(col("l_orderkey"), col("l_partkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("user"), col("l_partkey").as("item"))
-        .distinct()
-      val capped = ui.join(
-        ui.groupBy("user").agg(count(lit(1)).as("_d"))
-          .filter(col("_d") <= 1000).select("user").hint("shuffle_hash"),
-        Seq("user"), "left_semi")
-      val ni = capped.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
-      // aggregate CANONICAL pairs only (a<b) — cosine is symmetric, so
-      // mirroring the aggregated relation afterwards costs O(distinct
-      // pairs) while halving the Σ d(u)² rows in the dominant shuffle.
-      // The denominators n_i deliberately do NOT ride that shuffle:
-      // grouping on bare (item, neighbor) keeps the pair rows two
-      // longs wide (~45% less shuffle volume than carrying both
-      // counts), and ni joins onto the aggregated CANONICAL pair frame
-      // below instead — broadcast at catalog sizes, a sort-free
-      // hash-join exchange of the O(distinct pairs)/2 side past the
-      // broadcast ceiling, either way off the dominant Σ d(u)² path
-      val half = capped.select(col("user"), col("item")).hint("shuffle_hash")
-        .join(capped.select(col("user"), col("item").as("neighbor")),
-          Seq("user"))
-        .filter(col("item") < col("neighbor"))
-        .groupBy(col("item"), col("neighbor"))
-        .agg(count(lit(1)).as("n_ab"))
-      // denominators attach to the CANONICAL half, not the mirrored
-      // frame — the mirror only swaps which count is n_a vs n_b, so
-      // joining before mirroring halves the rows moving through both
-      // ni joins. The shuffle_hash hints are load-bearing at scale:
-      // past the broadcast ceiling these planned as sort-merge joins,
-      // and the two full SORTS of the O(distinct pairs) frame — not
-      // the joins themselves — were the first thing to exhaust
-      // executor spill space in the 100x rehearsal (ni's per-partition
-      // hash build is catalog-bounded; sorting pairs is not).
-      // dual-path denominator attach, the g_pagerank precedent: below
-      // the bound the ni frame (≤ catalog rows; the part row count is
-      // parquet-metadata-cheap) broadcasts — zero pair-side exchange;
-      // past it an explicit broadcast would OOM the driver, so the
-      // joins go shuffle-hash. The gate must be explicit because the
-      // planner's STATIC estimate of ni (derived from the whole fact
-      // join) is catalog-size-blind: at the 100x rehearsal it planned
-      // sort-merge despite ni materializing at ~30 MB.
       val niBroadcastLimit =
         s.conf.getOption("graft.reco.niBroadcastLimit").map(_.toLong)
           .getOrElse(4_000_000L)
-      // parquet-metadata row count of the catalog DIMENSION, not of ni
-      // itself (counting ni would execute the whole fact join twice);
-      // memoized per JVM+dir, and a FAILED probe reads as MaxValue so
-      // errors take the size-safe shuffle_hash path (a broadcast past
-      // the ceiling OOMs the driver; a needless shuffle merely costs
-      // one exchange). Corpora without a part table (hand-built
-      // fixtures) therefore also go shuffle_hash — correct either way.
-      val niSmall = partCountFor(t) <= niBroadcastLimit
-      def attach(d: DataFrame) =
-        if (niSmall) broadcast(d) else d.hint("shuffle_hash")
-      val halved = half
-        .join(attach(ni.select(col("item"), col("n_i").as("n_a"))),
-          Seq("item"))
-        .join(attach(ni.select(col("item").as("neighbor"),
-          col("n_i").as("n_b"))), Seq("neighbor"))
-      val co = halved.unionByName(halved.select(
-        col("neighbor").as("item"), col("item").as("neighbor"),
-        col("n_ab"), col("n_b").as("n_a"), col("n_a").as("n_b")))
-      val scored = co.withColumn("cosine",
-        col("n_ab").cast("double") /
-          sqrt((col("n_a") * col("n_b")).cast("double")))
-      // top-5 via the bounded-heap aggregate (topk_tagged carries n_ab
-      // as payload): only k rows per item per partition reach the
-      // exchange, vs a window sort over every scored pair — at catalog
-      // scale that sort IS the query's cost. Ordering (cosine desc,
-      // neighbor asc) matches the heap's total order exactly.
-      scored.groupBy(col("item"))
-        .agg(expr(s"topk_tagged(neighbor, cosine, n_ab, $K)").as("topk"))
-        .select(col("item"), posexplode(col("topk")))
-        .select(col("item"), (col("pos") + 1).as("rank"),
-          col("col.item").as("neighbor"), col("col.payload").as("n_ab"),
-          col("col.score").as("cosine"))
+      graft.ml.ItemItem.neighbors(t, K, niBroadcastLimit,
+        partCountFor(t), lineitemCountFor(t), customerCountFor(t))
     }))
 
   val oracles: Map[String, String] = Map(

@@ -107,7 +107,14 @@ class PlanSpec extends SparkSpec {
 
   test("new join-family ops: candidate joins are equi, nested loops only for 1-row scalars") {
     for (name <- Seq("g_triangle_count", "reco_item_item", "dd_containment")) {
-      val plan = finalPlan(name)
+      val plan =
+        if (name == "reco_item_item") {
+          // the kernel's served plan is the RDD wrap; the join-bearing
+          // pipeline is the checkpointed purchases build (test hook)
+          SparkEntry.queries(name)(spark, dir).collect()
+          graft.ml.ItemItem.lastKernelQE
+            .getOrElse(fail("kernel did not engage")).executedPlan.toString
+        } else finalPlan(name)
       assert(!plan.contains("CartesianProduct"), s"$name:\n$plan")
       // a BroadcastNestedLoopJoin is tolerable ONLY as the explicit
       // Cross attach of a 1-row aggregate (crossJoin(broadcast(_))) —
@@ -210,10 +217,31 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
-  test("reco_item_item: neighbor top-k is the bounded heap agg, not a pair sort") {
+  test("reco_item_item: default path is the packed-pair kernel, no pair sort") {
+    // the kernel's result surface is the RowBridge RDD wrap — the
+    // pair pipeline lives in the RDD lineage, so the pin here is that
+    // the kernel ENGAGED (ExistingRDD scan) and that no window sort
+    // or heap-agg tail leaked back into the served plan
     val plan = finalPlan("reco_item_item")
-    assert(plan.contains("partial_topk_tagged"), plan)
+    assert(plan.contains("ExistingRDD"), plan)
     assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("topk_tagged"), plan)
+  }
+
+  test("reco_item_item: legacy path (catalog past the driver ceiling) " +
+      "keeps the heap agg + sort-free hash joins") {
+    // force the legacy branch the way a >4M-item catalog would
+    spark.conf.set("graft.reco.niBroadcastLimit", "-1")
+    try {
+      val q = SparkEntry.queries("reco_item_item")(spark, dir)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("partial_topk_tagged"), plan)
+      assert(!plan.contains("Window"), plan)
+      assert(plan.contains("ShuffledHashJoin"), plan)
+      assert(!plan.contains("SortMergeJoin"), plan)
+    } finally spark.conf.unset("graft.reco.niBroadcastLimit")
   }
 
   test("j10_interval_join: sweep-line form — broadcast lookups, no pair join") {
@@ -230,21 +258,30 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("reco_item_item: pair build is a shuffled HASH self-join (the hint took)") {
-    // sort-merge measured 6.0 s vs 3.6 s at sf0.1: SMJ merge-steps the
-    // many-to-many duplicate-user groups that fan out to Σ d(u)² rows,
-    // the hash build streams the probe through codegen — keep it pinned
-    // so a hint regression (or an AQE demotion) can't quietly revert it
-    val plan = finalPlan("reco_item_item")
+  test("reco_item_item: kernel purchases pipeline joins are shuffled " +
+      "HASH (the hints took), never sort-merge") {
+    // SMJ merge-steps the many-to-many duplicate-key groups and its
+    // full-frame sorts were the first thing to exhaust spill in the
+    // 100× rehearsal — keep the hints pinned so an AQE demotion can't
+    // quietly revert them. The kernel's served plan is the RDD wrap,
+    // so the pin reads the capped-purchases QueryExecution (the
+    // checkpointed fact-join → distinct → degree-cap pipeline)
+    // through the ItemItem test hook.
+    SparkEntry.queries("reco_item_item")(spark, dir).collect()
+    val plan = graft.ml.ItemItem.lastKernelQE
+      .getOrElse(fail("kernel did not engage")).executedPlan.toString
     assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
   }
 
   test("reco_item_item: broadcast-gate probe is memoized — one count job per JVM+dir") {
-    // the gate reads the part table's parquet-metadata count; on a
-    // serving path an unmemoized probe is one needless job per call.
-    // Construct once to populate the cache, then pin that FURTHER
-    // constructions run ZERO jobs (construction only — the query is
-    // never executed here).
+    // the gate reads parquet-metadata counts (part = kernel ceiling,
+    // lineitem/customer = pair-volume estimate); on a serving path an
+    // unmemoized probe is one needless job per call. Construct once to
+    // populate the caches, then pin that FURTHER constructions run
+    // ZERO count jobs. (The kernel path's bounded n_i collect and
+    // checkpoint — the entry's model build, the ALS-family precedent —
+    // DO run at construction; they are not count jobs.)
     SparkEntry.queries("reco_item_item")(spark, dir) // warm the cache
     // parquet-footer schema reads ("parquet at Tables.scala") run on
     // EVERY construction and are not the probe; only count() jobs are
