@@ -41,7 +41,12 @@ object Bench {
     "w14_trend", "ss_knn_graph",
     "q5_local_supplier", "j10_interval_join", "reco_next_item",
     "llm_corpus_build", "g_label_propagation", "st_corpus_ingest",
-    "tx_bpe_encode", "sel_dsir", "s23_deletion_vectors")
+    "tx_bpe_encode", "sel_dsir", "s23_deletion_vectors",
+    // round 14: the double-1:N grain probe is a fact-scale
+    // aggregation whose sf10 behavior is exactly the
+    // grain-multiplication hazard it exists to pin; the other two are
+    // serving/dim entries added in round 13 with no timing history
+    "etl_fact_grain", "reco_unknown_user", "etl_dim_payments")
 
   /** IO-heavy entries whose first sample is made explicitly COLD: the
     * app's scratch state (streaming checkpoints, staged tables, ledger

@@ -472,8 +472,13 @@ object ScaleOps {
       // task-scheduling cost. Compaction rewrites a directory to
       // ceil(bytes / 128MB) files with coalesce — a NARROW rewrite, no
       // shuffle: partitions are concatenated, never redistributed. The
-      // emitted row carries the rewritten file count and a
-      // content-equality check, both oracle-stated.
+      // emitted row carries the ceil-target law as a self-checked
+      // boolean (the exact file count is a function of ENCODED parquet
+      // bytes, which no SQL oracle can re-derive — the old
+      // `files_after` column was only oracle-stateable while the whole
+      // table fit one 128 MB file, and went red the first time the
+      // 100× corpus legitimately compacted to >1 file) plus the
+      // content-equality check; row count is oracle-exact.
       val out = graft.core.GraftSession.scratchDir(s, "compact", dir)
       val src = Tables(s, dir).orders
       src.repartition(64).write.mode("overwrite").parquet(s"$out/small")
@@ -488,8 +493,8 @@ object ScaleOps {
       val compacted = s.read.parquet(s"$out/compact")
       val preserved = compacted.exceptAll(src).isEmpty && src.exceptAll(compacted).isEmpty
       import s.implicits._
-      Seq((src.count(), dataFiles(s"$out/compact").length, preserved))
-        .toDF("n_rows", "files_after", "content_preserved")
+      Seq((src.count(), dataFiles(s"$out/compact").length == target, preserved))
+        .toDF("n_rows", "files_match_target", "content_preserved")
     }),
 
     // ---- fact-scale surrogate keys -----------------------------------------
@@ -1237,7 +1242,7 @@ object ScaleOps {
         |       CAST(0 AS BIGINT) AS rows_after_truncate,
         |       TRUE AS table_dropped""".stripMargin,
     "s13_compact" ->
-      """SELECT COUNT(*) AS n_rows, CAST(1 AS INTEGER) AS files_after,
+      """SELECT COUNT(*) AS n_rows, TRUE AS files_match_target,
         |       TRUE AS content_preserved
         |FROM orders""".stripMargin,
     "j8_bloom_filter_join" ->
