@@ -74,11 +74,27 @@ object GraftSession {
     * broadcast", -1 for "unknown, use floor sizing") — and the next
     * call re-probes. Stale-fingerprint entries for the same path are
     * dropped on write, so the map stays O(live paths). */
-  final class CountMemo(onError: Long) {
+  final class CountMemo(onError: Long, onMissing: Long) {
+    /** Missing tables indistinguishable from errors (original form). */
+    def this(onError: Long) = this(onError, onError)
     private val cache =
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
     def apply(spark: SparkSession, path: String)(compute: => Long): Long = {
-      val key = s"$path@${pathFingerprint(spark, path)}"
+      val fp = pathFingerprint(spark, path)
+      // "absent" covers both provably-missing and unreadable paths; an
+      // explicit exists() (metadata-only, and only on this rare branch)
+      // splits them so a gate can treat "table genuinely not there"
+      // (onMissing) differently from "transient FS error" (onError,
+      // via the compute throwing below). Never cached: a table created
+      // later must be seen on the next call.
+      if (onMissing != onError && fp == "absent") {
+        val provablyMissing = scala.util.Try {
+          val p = new org.apache.hadoop.fs.Path(path)
+          !p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+        }.getOrElse(false)
+        if (provablyMissing) return onMissing
+      }
+      val key = s"$path@$fp"
       Option(cache.get(key)).map(_.longValue).getOrElse {
         val c = scala.util.Try(compute).getOrElse(onError)
         if (c != onError) {

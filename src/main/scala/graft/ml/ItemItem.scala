@@ -55,6 +55,12 @@ import graft.core.Tables
   */
 object ItemItem {
 
+  /** Sentinel a gate probe returns for a PROVABLY-missing table
+    * (CountMemo onMissing) — distinct from Long.MaxValue (transient
+    * error → legacy path): missing means "no catalog pre-check
+    * available, size via the bounded limit+1 collect instead". */
+  val MissingTable: Long = -1L
+
   /** The most recent kernel invocation's capped-purchases
     * QueryExecution (the fact join → distinct → degree-cap pipeline
     * the checkpoint materializes). TEST HOOK ONLY (PlanSpec): the
@@ -63,6 +69,13 @@ object ItemItem {
     * invisible to plan inspection. Never read on a production path. */
   @volatile private[graft] var lastKernelQE
       : Option[org.apache.spark.sql.execution.QueryExecution] = None
+
+  /** Whether the most recent kernel invocation had to repartition the
+    * checkpointed frame by user (the AQE-skew-split safety exchange)
+    * instead of trusting its reported hash(user) partitioning. TEST
+    * HOOK ONLY (ItemItemSpec pins that the normal path does NOT pay
+    * the exchange and that the guard logic itself discriminates). */
+  @volatile private[graft] var lastPairSrcRepartitioned: Option[Boolean] = None
 
   /** n_i lookup shipped to the kernel: dense direct-indexed array when
     * the id space is compact (TPC-H partkeys are 1..P — one DRAM touch
@@ -169,6 +182,44 @@ object ItemItem {
 
   private val pkSchema =
     org.apache.spark.sql.types.StructType.fromDDL("pk BIGINT NOT NULL")
+
+  /** True iff the EXECUTED (post-AQE-finalization) plan of the capped
+    * purchases proves pairGenRows' invariant — every user's rows in
+    * one partition. The positive proof: the plan root (through narrow
+    * wrappers) is the degree-cap semi-join as a NON-skew
+    * ShuffledHashJoin streaming on exactly `user`. Two runtime events
+    * break the invariant and both make this return false: (a) AQE's
+    * OptimizeSkewedJoin splitting a skewed stream-side partition into
+    * mapper-range slices (one user's items land in several slices —
+    * the join is then marked isSkewJoin and cross-slice pairs would
+    * otherwise be silently dropped); (b) any demotion of the semi-join
+    * to a broadcast form (output then keeps the upstream distinct's
+    * (user, item) partitioning, which does NOT co-locate users).
+    * Checking the reported outputPartitioning instead does not work:
+    * AQE conservatively reports UnknownPartitioning even for intact
+    * hash-partitioned output (coalesced reads), which would force the
+    * safety exchange on EVERY run. Anything unrecognized fails closed
+    * onto the exchange — wrong answers are never on the table. */
+  private[graft] def pairLocalityHolds(
+      qe: org.apache.spark.sql.execution.QueryExecution): Boolean = {
+    import org.apache.spark.sql.execution._
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: adaptive.AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+      case q: adaptive.QueryStageExec => unwrap(q.plan)
+      case w: WholeStageCodegenExec => unwrap(w.child)
+      case i: InputAdapter => unwrap(i.child)
+      case _ => p
+    }
+    unwrap(qe.executedPlan) match {
+      case j: joins.ShuffledHashJoinExec =>
+        !j.isSkewJoin && j.leftKeys.nonEmpty && j.leftKeys.forall {
+          case a: org.apache.spark.sql.catalyst.expressions.Attribute =>
+            a.name == "user"
+          case _ => false
+        }
+      case _ => false
+    }
+  }
 
   /** Directed-pair generator over one partition of the CAPPED
     * purchases (which are hash-partitioned by user — the cap
@@ -300,15 +351,14 @@ object ItemItem {
 
     // kernel gate: the n_i table must fit the driver. The memoized
     // part-table count is the cheap pre-check (same ceiling the legacy
-    // broadcast uses); corpora WITHOUT a part table (hand fixtures)
-    // fall through to the limit+1 collect, whose driver footprint is
-    // bounded by construction even if the catalog turns out huge —
-    // the executors then did one wasted pass and legacy takes over.
-    val partMissing = scala.util.Try {
-      val p = new org.apache.hadoop.fs.Path(s"${t.dir}/part.parquet")
-      !p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
-    }.getOrElse(false)
-    if (partCount <= niBroadcastLimit || partMissing) {
+    // broadcast uses); corpora WITHOUT a part table (hand fixtures —
+    // partCount == MissingTable, distinguished from transient errors
+    // by the caller's shared CountMemo) fall through to the limit+1
+    // collect, whose driver footprint is bounded by construction even
+    // if the catalog turns out huge — the executors then did one
+    // wasted pass and legacy takes over.
+    if ((partCount >= 0 && partCount <= niBroadcastLimit)
+        || partCount == MissingTable) {
       // one materialization of the capped purchases: without it the
       // fact-join→distinct→cap subtree executes THREE times (the n_i
       // collect job + once per self-join side — the alias rename
@@ -339,11 +389,33 @@ object ItemItem {
         // generated by pairGenRows straight off the user-partitioned
         // checkpoint — a self-JOIN here would re-scan the checkpoint
         // twice and pay a hash probe per emitted row for pairs the
-        // per-user double loop emits for free
+        // per-user double loop emits for free. The user-locality the
+        // loop requires is VERIFIED on the materialized plan, not
+        // assumed from its shape (pairLocalityHolds reads the executed
+        // QE the checkpoint just ran): an AQE skew-split semi-join
+        // leaves one user's items across slices, so that case (and any
+        // other unrecognized final shape) pays one explicit user
+        // exchange instead of silently dropping cross-slice pairs.
+        // (In Spark 4.1.2 OptimizeSkewedJoin additionally only matches
+        // joins whose children are BARE shuffle stages — the semi-join
+        // build side's agg/filter/project prevents a match today — but
+        // the guard does not RELY on that pattern-match detail
+        // surviving a Spark upgrade. graft.reco.forcePairExchange is
+        // the operator escape hatch: force the exchange on a Spark
+        // build where the positive proof can't be established.)
+        val forceExchange = s.conf
+          .getOption("graft.reco.forcePairExchange").exists(_.toBoolean)
+        val pairSrc0 = cappedCp.select(col("user"), col("item"))
+        val userLocal =
+          !forceExchange && pairLocalityHolds(capped.queryExecution)
+        lastPairSrcRepartitioned = Some(!userLocal)
+        val pairSrc =
+          if (userLocal) pairSrc0
+          else pairSrc0.repartition(col("user"))
         val pairs = org.apache.spark.sql.graftbridge.RowBridge
           .ofInternalRows(s,
             org.apache.spark.sql.graftbridge.RowBridge
-              .toInternalRdd(cappedCp.select(col("user"), col("item")))
+              .toInternalRdd(pairSrc)
               .mapPartitions(pairGenRows),
             pkSchema)
         // partition count from the metadata-cheap pair-volume estimate
@@ -351,10 +423,15 @@ object ItemItem {
         // scale. Failed probes (MaxValue) estimate huge and just take
         // the upper clamp — oversplitting is safe, a task OOM is not.
         val defaultP = s.conf.get("spark.sql.shuffle.partitions").toInt
+        // multiplyExact: a plain * can overflow NEGATIVE at extreme row
+        // counts, which would collapse p to defaultP exactly where the
+        // upper clamp matters — overflow must saturate to MaxValue
         val pairsEst =
           if (lineitemCount == Long.MaxValue || customerCount == Long.MaxValue
               || customerCount == 0L) Long.MaxValue
-          else lineitemCount * math.max(1L, lineitemCount / customerCount)
+          else scala.util.Try(Math.multiplyExact(lineitemCount,
+            math.max(1L, lineitemCount / customerCount)))
+            .getOrElse(Long.MaxValue)
         val p = math.max(defaultP,
           math.min(1024L, pairsEst / 16000000L).toInt)
         val repart = pairs.repartition(p, shiftright(col("pk"), 32))
@@ -401,7 +478,11 @@ object ItemItem {
     // planner's STATIC estimate of ni (derived from the whole fact
     // join) is catalog-size-blind: at the 100× rehearsal it planned
     // sort-merge despite ni materializing at ~30 MB.
-    val niSmall = partCount <= niBroadcastLimit
+    // MissingTable (-1) and MaxValue are both "size unknown" here: this
+    // path is reached with no trustworthy catalog count (the kernel's
+    // limit+1 probe may have just DISQUALIFIED the catalog as huge),
+    // so only a real 0 ≤ count ≤ limit may select the broadcast attach.
+    val niSmall = partCount >= 0 && partCount <= niBroadcastLimit
     def attach(d: DataFrame): DataFrame =
       if (niSmall) broadcast(d) else d.hint("shuffle_hash")
     val halved = half

@@ -329,8 +329,27 @@ object Dedup {
     * this intermediate would be written to storage once instead).
     * Verify joins are hash-hinted so the wide gram arrays are never
     * sort-merged. */
+  /** Bijective Latin-1 packing of one ≤4-char gram into an int (one
+    * byte per char, zero-padded — NUL is excluded from the packable
+    * charset by the caller's gate, so padding can't alias a real
+    * char). Packing is LOSSLESS on its domain: distinct/intersect/
+    * union sizes over packed ints equal the string-set sizes, so the
+    * verified jaccard is bit-identical — which is why the oracle
+    * stays in string form. */
+  private def packGram(g: Column): Column =
+    (shiftleft(ascii(g.substr(lit(1), lit(1))), 24) +
+      shiftleft(ascii(g.substr(lit(2), lit(1))), 16) +
+      shiftleft(ascii(g.substr(lit(3), lit(1))), 8) +
+      ascii(g.substr(lit(4), lit(1)))).cast("int")
+
+  /** TEST HOOK: packGram applied to a one-column ("g") frame —
+    * OperatorSpec pins the packing against a reference byte packer. */
+  private[graft] def packGramProbe(df: DataFrame): DataFrame =
+    df.select(col("g"), packGram(col("g")).as("p"))
+
   def charGramPairs(docs: DataFrame, n: Int = 4, k: Int = 16, bands: Int = 4,
-                    minJaccard: Double = 0.8): DataFrame = {
+                    minJaccard: Double = 0.8, packVerify: Boolean = false)
+      : DataFrame = {
     val r = k / bands
     // t and the gram array are bound ONCE per row as single-element-
     // transform lambda VALUES (the DocumentStream lesson). As a
@@ -352,11 +371,20 @@ object Dedup {
         p => transform(arr, g => md5(concat(p.cast("string"), lit(":"), g)))),
       hp => transform(sequence(lit(0), lit(3)),
         s => array_min(transform(hp, h => h.substr(s * 8 + 1, lit(8)))))))
+    // the persisted verify arrays: packed ints (8→4 B/gram of array
+    // payload vs 16 B/gram for 4-char strings — the gram arrays are
+    // what every candidate pair ships through the verify exchange, so
+    // this is the dominant byte count of the whole entry at scale)
+    // when the caller's charset gate allows, strings otherwise. The
+    // SIGNATURES always come from the string grams — the banding is
+    // mirrored byte-for-byte by the DuckDB oracle and must not move.
+    val gramsOf = (gs: Column) =>
+      if (packVerify) transform(gs, packGram(_)) else gs
     val packed = element_at(transform(array(normText(col("text"))), t =>
       element_at(transform(array(array_distinct(
           transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
             i => t.substr(i, lit(n))))), gs =>
-        struct(gs.as("grams"),
+        struct(gramsOf(gs).as("grams"),
           // length div 64; exact as floor(x/64.0) — 64 is a power of
           // two, the division is lossless in double
           floor(length(t) / lit(64)).cast("long").as("lb"),

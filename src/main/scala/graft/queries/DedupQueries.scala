@@ -12,6 +12,28 @@ import graft.operators.Dedup
 object DedupQueries {
   type Q = (SparkSession, String) => DataFrame
 
+  /** Gram-packing gate for the chargram verify stage: packed-int gram
+    * arrays are only bijective (hence bit-exact) when every text char
+    * is Latin-1 in [0x01, 0xFF] — NUL excluded so the packer's
+    * zero-padding of sub-4-char grams can't alias a real char. The
+    * probe is one early-exit scan per JVM + dir + file-listing
+    * fingerprint (the CountMemo staleness model); any probe failure
+    * counts as "wide" (onError = 1) and fails CLOSED onto the
+    * always-correct string path. `graft.dedup.packGrams` overrides:
+    * on / off / auto (default). */
+  private val wideCharDocs =
+    new graft.core.GraftSession.CountMemo(onError = 1L)
+  private def packableCorpus(s: SparkSession, dir: String): Boolean =
+    s.conf.getOption("graft.dedup.packGrams").getOrElse("auto") match {
+      case "on" => true
+      case "off" => false
+      case _ =>
+        wideCharDocs(s, s"$dir/documents.parquet")(
+          Tables(s, dir).documents
+            .filter(col("text").rlike("[^\\x01-\\xff]"))
+            .limit(1).count()) == 0L
+    }
+
   val queries: Map[String, Q] = Map(
     "dd_exact" -> ((s, dir) => Dedup.exact(Tables(s, dir).documents)),
     "dd_minhash_pairs" -> ((s, dir) =>
@@ -20,7 +42,8 @@ object DedupQueries {
     "dd_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(Dedup.simhash(Tables(s, dir).documents))),
     "dd_chargram_pairs" -> ((s, dir) =>
-      Dedup.charGramPairs(Tables(s, dir).documents)),
+      Dedup.charGramPairs(Tables(s, dir).documents,
+        packVerify = packableCorpus(s, dir))),
     "dd_clusters" -> ((s, dir) =>
       Dedup.clusters(Dedup.minhashLshPairs(Tables(s, dir).documents))),
     // record linkage / entity-level fuzzy matching: every pair of

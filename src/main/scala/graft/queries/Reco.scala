@@ -35,8 +35,14 @@ object Reco {
     * the gate). A transient read error returns Long.MaxValue for THIS
     * call — failing CLOSED onto the size-safe path (legacy shuffle, or
     * the kernel's upper partition clamp), never onto a driver-OOM
-    * broadcast or an under-split task — and the next call re-probes. */
-  private val partCounts = new graft.core.GraftSession.CountMemo(onError = Long.MaxValue)
+    * broadcast or an under-split task — and the next call re-probes.
+    * The part memo distinguishes a PROVABLY-missing table (hand
+    * fixtures without a part table → MissingTable, the kernel then
+    * sizes via its bounded limit+1 collect) from a transient error
+    * (MaxValue → legacy), so the kernel gate shares this memo's
+    * staleness model instead of carrying its own exists() probe. */
+  private val partCounts = new graft.core.GraftSession.CountMemo(
+    onError = Long.MaxValue, onMissing = graft.ml.ItemItem.MissingTable)
   private val lineitemCounts = new graft.core.GraftSession.CountMemo(onError = Long.MaxValue)
   private val customerCounts = new graft.core.GraftSession.CountMemo(onError = Long.MaxValue)
   private def partCountFor(t: Tables): Long =

@@ -488,7 +488,13 @@ object ScaleOps {
       def dataFiles(p: String) = fs.listStatus(new org.apache.hadoop.fs.Path(p))
         .filter(_.getPath.getName.endsWith(".parquet"))
       val bytes = dataFiles(s"$out/small").map(_.getLen).sum
-      val target = math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
+      // capped at the 64 source files: coalesce is a NARROW merge and
+      // cannot INCREASE partition count, so past 64×128 MB the law
+      // must saturate at 64 (compaction to fewer-or-equal files is
+      // still the operator's contract; an uncapped ceil would flag a
+      // correct compaction as a miss once the table outgrows 8 GB)
+      val target = math.min(64,
+        math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt))
       small.coalesce(target).write.mode("overwrite").parquet(s"$out/compact")
       val compacted = s.read.parquet(s"$out/compact")
       val preserved = compacted.exceptAll(src).isEmpty && src.exceptAll(compacted).isEmpty

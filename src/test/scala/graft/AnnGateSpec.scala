@@ -80,4 +80,26 @@ class AnnGateSpec extends SparkSpec {
     val nBig = 1000000000L
     assert(nBig / ivfStep(nBig) <= 40000L)
   }
+
+  test("CountMemo: onMissing distinguishes a provably-absent table from " +
+      "a transient error, and is never cached") {
+    // the shared gate memo (ANN embeddings gate, item-item kernel
+    // gate): missing table → onMissing without running compute;
+    // compute failure on an EXISTING path → onError, not memoized;
+    // a table created later is seen on the next call
+    val memo = new graft.core.GraftSession.CountMemo(
+      onError = Long.MaxValue, onMissing = -1L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_memo").toString
+    val path = s"$tmp/t.parquet"
+    var computed = 0
+    assert(memo(spark, path) { computed += 1; 7L } == -1L)
+    assert(computed == 0, "compute must not run for a missing table")
+    // existing path, failing compute → onError for this call only
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    assert(memo(spark, path) { sys.error("transient") } == Long.MaxValue)
+    // same (now-existing) path, good compute → memoized value
+    assert(memo(spark, path) { computed += 1; 7L } == 7L)
+    assert(memo(spark, path) { computed += 1; 99L } == 7L)
+    assert(computed == 1, "successful count must memoize")
+  }
 }

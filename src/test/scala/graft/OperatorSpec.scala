@@ -59,6 +59,44 @@ class OperatorSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("chargram pairs: packed-int verify is bit-identical to the string " +
+      "form, including sub-4-char grams and jaccard < 1") {
+    // near-dups (one word changed → J ≈ high but < 1), an exact pair,
+    // an unrelated doc, and a 2-char doc (packer zero-padding path)
+    val cg = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away"),
+      (2L, "the quick brown fox jumps over the lazy cat and runs far away"),
+      (3L, "the quick brown fox jumps over the lazy dog and runs far away"),
+      (4L, "completely unrelated text about spark shuffles and partitions"),
+      (5L, "ab")).toDF("doc_id", "text")
+    def run(pack: Boolean) =
+      Dedup.charGramPairs(cg, packVerify = pack)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().sortBy(p => (p._1, p._2)).toSeq
+    val (packed, strings) = (run(true), run(false))
+    assert(packed == strings)
+    assert(packed.exists { case (a, b, j) => a == 1L && b == 2L && j < 1.0 }
+      || packed.contains((1L, 3L, 1.0)), s"fixture lost its pairs: $packed")
+  }
+
+  test("packGram-equivalent int packing is injective over Latin-1 grams") {
+    // the bijectivity claim the oracle-unchanged argument rests on:
+    // distinct ≤4-char strings over [0x01,0xFF] → distinct ints
+    val chars = Seq('\u0001', 'a', 'z', 'ÿ', '0', ' ')
+    val grams = (for {
+      a <- chars; b <- chars; c <- chars; d <- chars
+    } yield s"$a$b$c$d") ++ chars.map(_.toString) ++
+      (for { a <- chars; b <- chars } yield s"$a$b")
+    def pk(g: String): Int =
+      g.padTo(4, '\u0000').foldLeft(0)((acc, ch) => (acc << 8) | ch.toInt)
+    assert(grams.distinct.size == grams.distinct.map(pk).distinct.size)
+    // and the Spark expression agrees with the reference packer
+    val df = grams.distinct.toDF("g")
+    val viaSpark = Dedup.packGramProbe(df).as[(String, Int)]
+      .collect().toMap
+    grams.distinct.foreach(g => assert(viaSpark(g) == pk(g), g))
+  }
+
   test("clusters: min-label CC merges transitive chains, keeps components apart") {
     // chain 1-2, 2-3 (one component) + disjoint pair 7-9
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")

@@ -306,6 +306,122 @@ class PlanSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("reco_item_item: kernel trusts the reported hash(user) partitioning " +
+      "— no safety exchange on the normal path") {
+    // pairGenRows requires every user's items partition-local; the
+    // kernel VERIFIES the checkpoint's reported partitioning instead
+    // of assuming the semi-join's plan shape (AQE's skew-join split
+    // breaks it and reports Unknown). Pin both directions: the normal
+    // run must NOT pay the repartition(user) fallback, and the guard
+    // itself must discriminate real partitionings.
+    graft.ml.ItemItem.lastPairSrcRepartitioned = None
+    SparkEntry.queries("reco_item_item")(spark, dir).collect()
+    assert(graft.ml.ItemItem.lastPairSrcRepartitioned.contains(false),
+      "kernel took the safety exchange (or did not engage) on a " +
+        "normally-partitioned corpus: " +
+        graft.ml.ItemItem.lastPairSrcRepartitioned)
+  }
+
+  test("pairLocalityHolds discriminates the non-skew user-keyed SHJ " +
+      "from broadcast and non-join shapes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val df = Seq((1L, 10L), (1L, 11L), (2L, 12L), (3L, 13L))
+      .toDF("user", "item")
+    val keep = Seq(Tuple1(1L), Tuple1(2L)).toDF("user")
+    val shj = df.join(keep.hint("shuffle_hash"), Seq("user"), "left_semi")
+    shj.collect()
+    assert(graft.ml.ItemItem.pairLocalityHolds(shj.queryExecution))
+    val bhj = df.join(broadcast(keep), Seq("user"), "left_semi")
+    bhj.collect()
+    assert(!graft.ml.ItemItem.pairLocalityHolds(bhj.queryExecution))
+    val plain = df.select(col("user"), col("item"))
+    plain.collect()
+    assert(!graft.ml.ItemItem.pairLocalityHolds(plain.queryExecution))
+    // keyed on item, not user → no locality claim
+    val wrongKey = df.join(
+      Seq(Tuple1(10L)).toDF("item").hint("shuffle_hash"),
+      Seq("item"), "left_semi")
+    wrongKey.collect()
+    assert(!graft.ml.ItemItem.pairLocalityHolds(wrongKey.queryExecution))
+  }
+
+  test("pairLocalityHolds rejects a REAL AQE skew-split join on user") {
+    // OptimizeSkewedJoin in this Spark version only matches joins with
+    // BARE shuffle-stage children, so the rule cannot currently fire
+    // on the kernel's semi-join (its build side carries the degree
+    // agg) — but the guard must not depend on that pattern-match
+    // detail surviving a Spark upgrade. Fire the real rule on a
+    // bare-sided user-keyed join and pin that the guard refuses the
+    // skew-marked plan.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val confs = Map(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      val big = (1 to 4000).map(i => (1L, i.toLong)) ++
+        (2 to 9).map(u => (u.toLong, u.toLong))
+      val left = big.toDF("user", "item").repartition(8, col("item"))
+      val right = (1 to 9).map(u => (u.toLong, u * 10L)).toDF("user", "x")
+        .repartition(4, col("x"))
+      val j = left.hint("shuffle_hash")
+        .join(right.hint("shuffle_hash"), Seq("user"))
+      j.collect()
+      val planStr = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(planStr.contains("skew=true"),
+        s"fixture failed to trigger OptimizeSkewedJoin:\n$planStr")
+      assert(!graft.ml.ItemItem.pairLocalityHolds(j.queryExecution),
+        "guard accepted a skew-split join")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("reco_item_item: the safety exchange keeps the kernel exact on a " +
+      "skewed mega-user corpus") {
+    // end-to-end pin of the repartition fallback (the path taken when
+    // pairLocalityHolds refuses the materialized plan), driven through
+    // the operator escape hatch: result must be bit-identical to the
+    // legacy shuffle plan on the same skewed data.
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_ii_skew").toString
+    // user 1: items 1..400 via one order; users 2..9: two items each
+    val orders = (Seq((10L, 1L)) ++ (2 to 9).map(u => (10L + u, u.toLong)))
+      .toDF("o_orderkey", "o_custkey")
+    orders.repartition(4)
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    val items = (1 to 400).map(i => (10L, i.toLong)) ++
+      (2 to 9).flatMap(u => Seq((10L + u, u.toLong), (10L + u, (u + 1).toLong)))
+    items.toDF("l_orderkey", "l_partkey").repartition(8)
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    def collectSorted() =
+      SparkEntry.queries("reco_item_item")(spark, d).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).sortBy(t => (t._1, t._2)).toSeq
+    val (exchanged, legacy) = try {
+      spark.conf.set("graft.reco.forcePairExchange", "true")
+      graft.ml.ItemItem.lastPairSrcRepartitioned = None
+      val exchanged = collectSorted()
+      assert(graft.ml.ItemItem.lastPairSrcRepartitioned.contains(true),
+        "escape hatch did not route through the safety exchange")
+      spark.conf.unset("graft.reco.forcePairExchange")
+      spark.conf.set("graft.reco.niBroadcastLimit", "-1") // legacy path
+      (exchanged, collectSorted())
+    } finally {
+      spark.conf.unset("graft.reco.forcePairExchange")
+      spark.conf.unset("graft.reco.niBroadcastLimit")
+    }
+    assert(exchanged == legacy)
+  }
+
   test("s10: partitioned layout prunes to one partition directory") {
     val plan = executedPlan("s10_partition_prune")
     assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"), plan)
