@@ -20,11 +20,28 @@ import duckdb
 def main():
     args = sys.argv[1:]
     timeout = None
-    if args and args[0] == "--timeout":
-        timeout = float(args[1]); args = args[2:]
+    tmpdir = os.environ.get("CHECK_FAST_TMPDIR")
+    memlimit = os.environ.get("CHECK_FAST_MEMLIMIT")
+    while args and args[0] in ("--timeout", "--tmp", "--mem"):
+        if args[0] == "--timeout":
+            timeout = float(args[1])
+        elif args[0] == "--tmp":      # DuckDB spill dir (default: cwd/.tmp
+            tmpdir = args[1]          # — round 14 filled the root fs there)
+        else:
+            memlimit = args[1]        # e.g. "48GB"
+        args = args[2:]
     sfdir, outdir = args[0], args[1]
     only = set(args[2:])
     con = duckdb.connect()
+    if tmpdir:
+        os.makedirs(tmpdir, exist_ok=True)
+        con.sql(f"SET temp_directory='{tmpdir}'")
+        # DuckDB snapshots the dir's free space at connect time as the
+        # temp cap — a transiently-full disk silently pins the cap low
+        # (seen: 17.5 GiB on a 118 GiB tmpfs); set it explicitly
+        con.sql("SET max_temp_directory_size='90GB'")
+    if memlimit:
+        con.sql(f"SET memory_limit='{memlimit}'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
               "lineitem", "events", "documents", "embeddings"]:
         p = f"{sfdir}/{t}.parquet"
