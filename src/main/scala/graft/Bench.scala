@@ -46,7 +46,11 @@ object Bench {
     // aggregation whose sf10 behavior is exactly the
     // grain-multiplication hazard it exists to pin; the other two are
     // serving/dim entries added in round 13 with no timing history
-    "etl_fact_grain", "reco_unknown_user", "etl_dim_payments")
+    "etl_fact_grain", "reco_unknown_user", "etl_dim_payments",
+    // round 16: the λ-sweep serve entry, headlined so its baseline has
+    // the same suite-context provenance as every other entry (its only
+    // prior numbers were taken at loadavg 12-35)
+    "reco_mmr_lambda")
 
   /** IO-heavy entries whose first sample is made explicitly COLD: the
     * app's scratch state (streaming checkpoints, staged tables, ledger

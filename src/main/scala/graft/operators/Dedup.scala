@@ -375,11 +375,15 @@ object Dedup {
     // payload vs 16 B/gram for 4-char strings — the gram arrays are
     // what every candidate pair ships through the verify exchange, so
     // this is the dominant byte count of the whole entry at scale)
-    // when the caller's charset gate allows, strings otherwise. The
+    // when the caller's charset gate allows, strings otherwise. Packed
+    // arrays are SORTED once per document at build time so the verify
+    // can run SortedJaccardGe's early-exit merge instead of a per-pair
+    // hash intersection — O(g log g) once per doc against Θ(candidate
+    // pairs) merge work, and sorting a set changes no set size. The
     // SIGNATURES always come from the string grams — the banding is
     // mirrored byte-for-byte by the DuckDB oracle and must not move.
     val gramsOf = (gs: Column) =>
-      if (packVerify) transform(gs, packGram(_)) else gs
+      if (packVerify) array_sort(transform(gs, packGram(_))) else gs
     val packed = element_at(transform(array(normText(col("text"))), t =>
       element_at(transform(array(array_distinct(
           transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
@@ -414,11 +418,24 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     val ga = grams.select(col("doc_id").as("id_a"), col("grams").as("g_a"))
     val gb = grams.select(col("doc_id").as("id_b"), col("grams").as("g_b"))
+    // packed path: thresholded early-exit merge over the pre-sorted
+    // int arrays (codegen'd, allocation-free) — survivors carry the
+    // bit-identical jaccard of the portable form, dead pairs return
+    // -1.0 and die in the same filter, so the oracle sees no change.
+    // String path: the portable intersect/union formulation.
+    val jaccard =
+      if (packVerify)
+        org.apache.spark.sql.graftbridge.ColumnBridge.column(
+          graft.functions.SortedJaccardGe(
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("g_a")),
+            org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("g_b")),
+            minJaccard))
+      else
+        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b")))
     cands.join(ga.hint("shuffle_hash"), "id_a")
       .join(gb.hint("shuffle_hash"), "id_b")
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-          size(array_union(col("g_a"), col("g_b")))).as("jaccard"))
+      .select(col("id_a"), col("id_b"), jaccard.as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 }

@@ -46,6 +46,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "topk_scores(item, score, k) - per-group top-k as a partial aggregate (bounded heaps, no window sort)"),
       (args: Seq[Expression]) => TopKScores(args(0), args(1), args(2))))
     ext.injectFunction((
+      FunctionIdentifier("jaccard_sorted_ge"),
+      info("jaccard_sorted_ge",
+        "jaccard_sorted_ge(a, b, tau) - exact Jaccard of two sorted-distinct " +
+          "int arrays when >= tau, else -1.0 (early-exit merge; tau a literal > 0)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          s"jaccard_sorted_ge requires 3 arguments (a, b, tau); got ${args.length}")
+        val tau = args(2) match {
+          // SQL fractional literals arrive as Decimal (not a
+          // java.lang.Number subclass) — unwrap both shapes
+          case e if e.foldable => e.eval() match {
+            case d: org.apache.spark.sql.types.Decimal => d.toDouble
+            case n: Number => n.doubleValue
+            case other => throw new IllegalArgumentException(
+              s"jaccard_sorted_ge: tau must be numeric, got $other")
+          }
+          case other => throw new IllegalArgumentException(
+            s"jaccard_sorted_ge: tau must be a numeric literal, got ${other.sql}")
+        }
+        graft.functions.SortedJaccardGe(args(0), args(1), tau)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("topk_tagged"),
       info("topk_tagged",
         "topk_tagged(item, score, payload, k) - topk_scores with an opaque bigint payload per entry"),

@@ -13,16 +13,23 @@ object DedupQueries {
   type Q = (SparkSession, String) => DataFrame
 
   /** Gram-packing gate for the chargram verify stage: packed-int gram
-    * arrays are only bijective (hence bit-exact) when every text char
-    * is Latin-1 in [0x01, 0xFF] — NUL excluded so the packer's
-    * zero-padding of sub-4-char grams can't alias a real char. The
-    * probe is one early-exit scan per JVM + dir + file-listing
-    * fingerprint (the CountMemo staleness model); any probe failure
-    * counts as "wide" (onError = 1) and fails CLOSED onto the
-    * always-correct string path. `graft.dedup.packGrams` overrides:
+    * arrays are only bijective (hence bit-exact) when every char of
+    * the NORMALIZED text is Latin-1 in [0x01, 0xFF] — NUL excluded so
+    * the packer's zero-padding of sub-4-char grams can't alias a real
+    * char. The probe runs over normText(text), NOT the raw column,
+    * because grams are built from the normalized form and lower() can
+    * move characters across the Latin-1 boundary (a locale-sensitive
+    * JVM lowers ASCII 'I' to U+0131 inside non-ASCII strings) — the
+    * gate must certify exactly the domain that gets packed. One
+    * early-exit scan per JVM + dir + file-listing fingerprint; shared
+    * CountMemo sentinel convention (see Similarity/Reco): the result
+    * here is a FOUND-WIDE-CHARS count (0 = packable, 1 = wide — both
+    * legitimate, both memoized), and Long.MaxValue marks a FAILED
+    * probe, which fails CLOSED onto the always-correct string path
+    * and re-probes next call. `graft.dedup.packGrams` overrides:
     * on / off / auto (default). */
   private val wideCharDocs =
-    new graft.core.GraftSession.CountMemo(onError = 1L)
+    new graft.core.GraftSession.CountMemo(onError = Long.MaxValue)
   private def packableCorpus(s: SparkSession, dir: String): Boolean =
     s.conf.getOption("graft.dedup.packGrams").getOrElse("auto") match {
       case "on" => true
@@ -30,7 +37,8 @@ object DedupQueries {
       case _ =>
         wideCharDocs(s, s"$dir/documents.parquet")(
           Tables(s, dir).documents
-            .filter(col("text").rlike("[^\\x01-\\xff]"))
+            .filter(graft.functions.TextFunctions.normText(col("text"))
+              .rlike("[^\\x01-\\xff]"))
             .limit(1).count()) == 0L
     }
 

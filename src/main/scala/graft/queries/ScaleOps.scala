@@ -481,19 +481,24 @@ object ScaleOps {
       // content-equality check; row count is oracle-exact.
       val out = graft.core.GraftSession.scratchDir(s, "compact", dir)
       val src = Tables(s, dir).orders
-      src.repartition(64).write.mode("overwrite").parquet(s"$out/small")
+      // one constant for BOTH the staged fan-out and the law's
+      // saturation cap below — desyncing them would silently flip
+      // files_match_target red (or vacuous) for a correct compaction
+      val smallFiles = 64
+      src.repartition(smallFiles).write.mode("overwrite").parquet(s"$out/small")
       val small = s.read.parquet(s"$out/small")
       val fs = new org.apache.hadoop.fs.Path(out)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       def dataFiles(p: String) = fs.listStatus(new org.apache.hadoop.fs.Path(p))
         .filter(_.getPath.getName.endsWith(".parquet"))
       val bytes = dataFiles(s"$out/small").map(_.getLen).sum
-      // capped at the 64 source files: coalesce is a NARROW merge and
-      // cannot INCREASE partition count, so past 64×128 MB the law
-      // must saturate at 64 (compaction to fewer-or-equal files is
-      // still the operator's contract; an uncapped ceil would flag a
-      // correct compaction as a miss once the table outgrows 8 GB)
-      val target = math.min(64,
+      // capped at the source file count: coalesce is a NARROW merge
+      // and cannot INCREASE partition count, so past smallFiles×128 MB
+      // the law must saturate there (compaction to fewer-or-equal
+      // files is still the operator's contract; an uncapped ceil would
+      // flag a correct compaction as a miss once the table outgrows
+      // smallFiles × 128 MB)
+      val target = math.min(smallFiles,
         math.max(1, math.ceil(bytes / (128.0 * 1024 * 1024)).toInt))
       small.coalesce(target).write.mode("overwrite").parquet(s"$out/compact")
       val compacted = s.read.parquet(s"$out/compact")

@@ -15,6 +15,12 @@ object Diag {
     names.foreach { n =>
       val c = graft.SparkEntry.queries(n)(spark, dir).count()
       println(s"[diag] $n @ $dir rows = $c")
+      // which pair path the item-item kernel took (the AQE-skew guard
+      // evidence): false = locality proven, no safety exchange;
+      // true = guard refused the executed plan, explicit exchange paid
+      if (n == "reco_item_item")
+        println(s"[diag] reco_item_item pairSrcRepartitioned = " +
+          s"${graft.ml.ItemItem.lastPairSrcRepartitioned}")
     }
     graft.core.GraftSession.dropScratch(spark)
     spark.stop()

@@ -32,12 +32,16 @@ object GenScale {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   /** Deterministic fingerprint of a generated corpus: the generator is
-    * seed-fixed, so (source, factor, per-table row counts) identifies
-    * the byte content — two corpora with equal hashes came from the
-    * same generator inputs and are byte-for-byte reproducible. */
+    * seed-fixed, so (source, factor, skew knob, per-table row counts)
+    * identifies the byte content — two corpora with equal hashes came
+    * from the same generator inputs and are byte-for-byte
+    * reproducible. skewOneIn = 0 (the default) contributes nothing to
+    * the canonical string, so every pre-skew-knob manifest hash is
+    * unchanged. */
   def manifestHash(source: String, factor: Int,
-                   rows: Seq[(String, Long)]): String = {
+                   rows: Seq[(String, Long)], skewOneIn: Int = 0): String = {
     val canonical = s"$source|$factor|" +
+      (if (skewOneIn > 0) s"skew=$skewOneIn|" else "") +
       rows.sortBy(_._1).map { case (t, n) => s"$t=$n" }.mkString(",")
     java.security.MessageDigest.getInstance("MD5")
       .digest(canonical.getBytes("UTF-8"))
@@ -45,11 +49,13 @@ object GenScale {
   }
 
   private def writeManifest(spark: SparkSession, out: String, source: String,
-                            factor: Int, rows: Seq[(String, Long)]): Unit = {
+                            factor: Int, rows: Seq[(String, Long)],
+                            skewOneIn: Int): Unit = {
     val rowsJson = rows.map { case (t, n) => s""""$t":$n""" }
       .mkString("{", ",", "}")
-    val h = manifestHash(source, factor, rows)
-    val json = s"""{"source":"$source","factor":$factor,""" +
+    val h = manifestHash(source, factor, rows, skewOneIn)
+    val skewJson = if (skewOneIn > 0) s""""skew_one_in":$skewOneIn,""" else ""
+    val json = s"""{"source":"$source","factor":$factor,$skewJson""" +
       s""""text_seed":1000003,"embed_seed":999983,""" +
       s""""rows":$rowsJson,"manifest_hash":"$h"}"""
     val p = new org.apache.hadoop.fs.Path(s"$out/MANIFEST.json")
@@ -84,6 +90,8 @@ object GenScale {
     val declaredHash = """"manifest_hash"\s*:\s*"([0-9a-f]+)"""".r
       .findFirstMatchIn(txt).map(_.group(1))
       .getOrElse(sys.error(s"[genscale] $dir/MANIFEST.json: no hash"))
+    val skewOneIn = """"skew_one_in"\s*:\s*(\d+)""".r
+      .findFirstMatchIn(txt).map(_.group(1).toInt).getOrElse(0)
     val rowsBlock = txt.substring(txt.indexOf("\"rows\""))
     val declaredRows = """"([a-z]+)"\s*:\s*(\d+)""".r
       .findAllMatchIn(rowsBlock)
@@ -91,7 +99,7 @@ object GenScale {
       .filter(kv => tables.contains(kv._1))
     require(declaredRows.map(_._1).toSet == tables.toSet,
       s"[genscale] $dir/MANIFEST.json: incomplete rows block")
-    val recomputed = manifestHash(source, factor, declaredRows)
+    val recomputed = manifestHash(source, factor, declaredRows, skewOneIn)
     require(recomputed == declaredHash,
       s"[genscale] $dir manifest self-hash mismatch: " +
         s"declared $declaredHash, content hashes to $recomputed")
@@ -133,10 +141,11 @@ object GenScale {
     val out = args.lift(1).getOrElse(
       s"${System.getProperty("java.io.tmpdir")}/graft_sf_scaled")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val skewOneIn = args.lift(3).map(_.toInt).getOrElse(0)
     // getOrCreate may return a PRE-EXISTING session (tests); only the
     // main owns the stop, and run() owns nothing
     val spark = graft.core.GraftSession.local("graft-genscale")
-    run(spark, src, out, factor)
+    run(spark, src, out, factor, skewOneIn)
     spark.stop()
   }
 
@@ -160,7 +169,19 @@ object GenScale {
     fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
   }
 
-  def run(spark: SparkSession, src: String, out: String, factor: Int): Unit = {
+  /** skewOneIn > 0 injects ORDER-OWNERSHIP SKEW on top of the faithful
+    * replication: every skewOneIn-th order (o_orderkey % skewOneIn ==
+    * 0 — deterministic, seedless) is reassigned to the single mega
+    * customer c_custkey = 1, concentrating ~1/skewOneIn of orders
+    * (and with them that share of lineitems) on one user. This is the
+    * power-law fixture for skew-sensitive plans (the item-item pair
+    * kernel's AQE-skew-split guard, salted joins): the per-replica
+    * join STRUCTURE elsewhere stays faithful, only the user-degree
+    * distribution grows the heavy head a real marketplace corpus has.
+    * The knob participates in the manifest hash (0 = legacy hashes
+    * unchanged). */
+  def run(spark: SparkSession, src: String, out: String, factor: Int,
+          skewOneIn: Int = 0): Unit = {
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
 
     def writeOne(df: DataFrame, t: String): Unit = {
@@ -202,7 +223,12 @@ object GenScale {
       d.withColumn("s_name",
         concat(lit("Supplier#"), lpad(col("s_suppkey").cast("string"), 9, "0"))))
     replicate("part", Map("p_partkey" -> partSpan))
-    replicate("orders", Map("o_orderkey" -> orderSpan, "o_custkey" -> custSpan))
+    replicate("orders", Map("o_orderkey" -> orderSpan, "o_custkey" -> custSpan),
+      (d, _) =>
+        if (skewOneIn <= 0) d
+        else d.withColumn("o_custkey",
+          when(pmod(col("o_orderkey"), lit(skewOneIn)) === 0, lit(1L))
+            .otherwise(col("o_custkey"))))
     replicate("lineitem", Map("l_orderkey" -> orderSpan,
       "l_partkey" -> partSpan, "l_suppkey" -> suppSpan))
     // FOREIGN-key columns shift by the REFERENCED table's span, even
@@ -228,6 +254,6 @@ object GenScale {
     // unmanifested-but-expected or mismatched corpus)
     val rows = tables.map(t =>
       t -> spark.read.parquet(s"$out/$t.parquet").count())
-    writeManifest(spark, out, src, factor, rows)
+    writeManifest(spark, out, src, factor, rows, skewOneIn)
   }
 }

@@ -151,6 +151,34 @@ class GenScaleSpec extends SparkSpec {
     } finally java.nio.file.Files.write(mPath, orig.getBytes("UTF-8"))
   }
 
+  test("skew knob reassigns exactly the o_orderkey % N orders to customer 1") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_genscale_skew_" +
+      java.util.UUID.randomUUID().toString.take(8)
+    try {
+      graft.tools.GenScale.run(spark, "/root/testdata/sf0.001", dir,
+        factor = 1, skewOneIn = 5)
+      val src = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey").as("c0"))
+      val skewed = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey").as("c1"))
+      val j = src.join(skewed, "o_orderkey").persist()
+      // hit set → mega customer 1; everything else byte-unchanged
+      assert(j.filter(pmod(col("o_orderkey"), lit(5)) === 0 &&
+        col("c1") =!= 1L).count() == 0)
+      assert(j.filter(pmod(col("o_orderkey"), lit(5)) =!= 0 &&
+        col("c1") =!= col("c0")).count() == 0)
+      // the mega user really is heavy: ≥ ~1/5 of orders
+      val mega = skewed.filter(col("c1") === 1L).count()
+      assert(mega * 5 >= src.count(), s"mega user owns only $mega orders")
+      j.unpersist()
+      // manifest round-trips with the skew field in the hash
+      assert(graft.tools.GenScale.verifyManifest(spark, dir).isDefined)
+    } finally scala.util.Try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   override def afterAll(): Unit = {
     scala.util.Try {
       val p = new org.apache.hadoop.fs.Path(out)

@@ -22,11 +22,14 @@ def main():
     timeout = None
     tmpdir = os.environ.get("CHECK_FAST_TMPDIR")
     memlimit = os.environ.get("CHECK_FAST_MEMLIMIT")
-    while args and args[0] in ("--timeout", "--tmp", "--mem"):
+    tmpcap = os.environ.get("CHECK_FAST_TMPCAP")
+    while args and args[0] in ("--timeout", "--tmp", "--mem", "--tmpcap"):
         if args[0] == "--timeout":
             timeout = float(args[1])
         elif args[0] == "--tmp":      # DuckDB spill dir (default: cwd/.tmp
             tmpdir = args[1]          # — round 14 filled the root fs there)
+        elif args[0] == "--tmpcap":
+            tmpcap = args[1]          # e.g. "40GB"
         else:
             memlimit = args[1]        # e.g. "48GB"
         args = args[2:]
@@ -38,8 +41,15 @@ def main():
         con.sql(f"SET temp_directory='{tmpdir}'")
         # DuckDB snapshots the dir's free space at connect time as the
         # temp cap — a transiently-full disk silently pins the cap low
-        # (seen: 17.5 GiB on a 118 GiB tmpfs); set it explicitly
-        con.sql("SET max_temp_directory_size='90GB'")
+        # (seen: 17.5 GiB on a 118 GiB tmpfs). Default the explicit cap
+        # to 90% of the temp filesystem's TOTAL size (not a constant —
+        # a hardcoded 90GB on a smaller volume would DISABLE the
+        # disk-safety cap and let a big spill fill the disk);
+        # --tmpcap / CHECK_FAST_TMPCAP override.
+        if not tmpcap:
+            st = os.statvfs(tmpdir)
+            tmpcap = f"{int(st.f_frsize * st.f_blocks * 0.9 / 2**30)}GB"
+        con.sql(f"SET max_temp_directory_size='{tmpcap}'")
     if memlimit:
         con.sql(f"SET memory_limit='{memlimit}'")
     for t in ["region", "nation", "customer", "supplier", "part", "orders",
