@@ -418,22 +418,8 @@ object ItemItem {
               .toInternalRdd(pairSrc)
               .mapPartitions(pairGenRows),
             pkSchema)
-        // partition count from the metadata-cheap pair-volume estimate
-        // L·(L/C): ~16M packed longs (~128 MB) per task slice at any
-        // scale. Failed probes (MaxValue) estimate huge and just take
-        // the upper clamp — oversplitting is safe, a task OOM is not.
         val defaultP = s.conf.get("spark.sql.shuffle.partitions").toInt
-        // multiplyExact: a plain * can overflow NEGATIVE at extreme row
-        // counts, which would collapse p to defaultP exactly where the
-        // upper clamp matters — overflow must saturate to MaxValue
-        val pairsEst =
-          if (lineitemCount == Long.MaxValue || customerCount == Long.MaxValue
-              || customerCount == 0L) Long.MaxValue
-          else scala.util.Try(Math.multiplyExact(lineitemCount,
-            math.max(1L, lineitemCount / customerCount)))
-            .getOrElse(Long.MaxValue)
-        val p = math.max(defaultP,
-          math.min(1024L, pairsEst / 16000000L).toInt)
+        val p = pairPartitions(defaultP, lineitemCount, customerCount)
         val repart = pairs.repartition(p, shiftright(col("pk"), 32))
         val rdd = org.apache.spark.sql.graftbridge.RowBridge
           .toInternalRdd(repart)
@@ -442,6 +428,29 @@ object ItemItem {
           .ofInternalRows(s, rdd, outputSchema)
       }
     } else legacyNeighbors(t, capped, ni, k, niBroadcastLimit, partCount)
+  }
+
+  /** Kernel-exchange partition count from the metadata-cheap pair
+    * volume estimate L·(L/C): ~16M packed longs (~128 MB) per task
+    * slice at any scale, floored at the session default and clamped
+    * at 1024 (the upper clamp first binds around 16.4G directed pairs
+    * ≈ a ~sf63 corpus of this shape — past it, slices grow beyond
+    * 128 MB by design rather than fan the exchange out without
+    * bound). Failed probes (MaxValue) and an empty customer count
+    * estimate huge and take the upper clamp — oversplitting is safe,
+    * a task OOM is not. multiplyExact: a plain * can overflow
+    * NEGATIVE at extreme row counts, which would collapse p to
+    * defaultP exactly where the clamp matters — overflow saturates
+    * to MaxValue instead (law pinned in ItemItemSpec). */
+  private[graft] def pairPartitions(defaultP: Int, lineitemCount: Long,
+                                    customerCount: Long): Int = {
+    val pairsEst =
+      if (lineitemCount == Long.MaxValue || customerCount == Long.MaxValue
+          || customerCount == 0L) Long.MaxValue
+      else scala.util.Try(Math.multiplyExact(lineitemCount,
+        math.max(1L, lineitemCount / customerCount)))
+        .getOrElse(Long.MaxValue)
+    math.max(defaultP, math.min(1024L, pairsEst / 16000000L).toInt)
   }
 
   /** The shuffle-plan form — kept verbatim for catalogs past the

@@ -54,6 +54,22 @@ class ItemItemSpec extends AnyFunSuite {
     }
   }
 
+  test("pairPartitions law: floor, 128MB-slice growth, 1024 clamp, overflow saturation") {
+    // floor: tiny estimates stay at the session default
+    assert(ItemItem.pairPartitions(32, 600_000L, 15_000L) == 32)
+    // sf10 shape: 60M lineitems / 1.5M customers → 2.4G est → 150 slices
+    assert(ItemItem.pairPartitions(32, 60_000_000L, 1_500_000L) == 150)
+    // sf100 shape: 600M / 15M → 24G est → upper clamp binds at 1024
+    assert(ItemItem.pairPartitions(32, 600_000_000L, 15_000_000L) == 1024)
+    // failed probes and empty customers fail CLOSED onto the clamp
+    assert(ItemItem.pairPartitions(32, Long.MaxValue, 15_000L) == 1024)
+    assert(ItemItem.pairPartitions(32, 600_000L, Long.MaxValue) == 1024)
+    assert(ItemItem.pairPartitions(32, 600_000L, 0L) == 1024)
+    // overflow saturates (never collapses to the floor): L ~ 2^40 rows
+    // of a dense corpus would overflow L·(L/C) as a plain multiply
+    assert(ItemItem.pairPartitions(32, 1L << 40, 4L) == 1024)
+  }
+
   test("scanSorted tie-break: equal cosine prefers the smaller neighbor") {
     // items 1..3 each with n_i = 4; pairs (0,1),(0,2),(0,3) each once:
     // identical cosines — top-2 must be neighbors 1 and 2
