@@ -408,17 +408,36 @@ object ItemItem {
         val pairSrc0 = cappedCp.select(col("user"), col("item"))
         val userLocal =
           !forceExchange && pairLocalityHolds(capped.queryExecution)
-        lastPairSrcRepartitioned = Some(!userLocal)
+        val defaultP = s.conf.get("spark.sql.shuffle.partitions").toInt
+        // the EMIT side must scale with pair volume too: the emit
+        // stage's task count is otherwise pinned at the cap
+        // semi-join's partition count (spark.sql.shuffle.partitions,
+        // or fewer after AQE coalescing), so pairs per map task grow
+        // linearly with data and the shuffle sorter falls off a
+        // memory cliff — measured at the sf20 rehearsal: sf10 82M
+        // pairs/task = zero spill, sf20 164M pairs/task = 139 GB
+        // memory / 27 GB disk spill and the emit stage 2.05× the
+        // linear expectation. emitPartitions sizes the map side from
+        // the same pairsEst (budget ~32M pairs/task); when the
+        // source's ACTUAL partition count already meets the budget —
+        // every gate-scale corpus — nothing engages and the
+        // guard-proven no-exchange path is untouched. Widening pays
+        // one slim (user, item) hash exchange whose locality
+        // pairGenRows needs holds by construction.
+        val actualParts = cappedCp.rdd.getNumPartitions
+        val emitNeed = emitPartitions(lineitemCount, customerCount)
+        val widenEmit = emitNeed > actualParts
+        lastPairSrcRepartitioned = Some(!userLocal || widenEmit)
         val pairSrc =
-          if (userLocal) pairSrc0
-          else pairSrc0.repartition(col("user"))
+          if (!userLocal || widenEmit)
+            pairSrc0.repartition(math.max(emitNeed, defaultP), col("user"))
+          else pairSrc0
         val pairs = org.apache.spark.sql.graftbridge.RowBridge
           .ofInternalRows(s,
             org.apache.spark.sql.graftbridge.RowBridge
               .toInternalRdd(pairSrc)
               .mapPartitions(pairGenRows),
             pkSchema)
-        val defaultP = s.conf.get("spark.sql.shuffle.partitions").toInt
         val p = pairPartitions(defaultP, lineitemCount, customerCount)
         val repart = pairs.repartition(p, shiftright(col("pk"), 32))
         val rdd = org.apache.spark.sql.graftbridge.RowBridge
@@ -451,6 +470,36 @@ object ItemItem {
         math.max(1L, lineitemCount / customerCount)))
         .getOrElse(Long.MaxValue)
     math.max(defaultP, math.min(1024L, pairsEst / 16000000L).toInt)
+  }
+
+  /** Map-side (pair-EMIT) partition NEED, same pairsEst estimate as
+    * pairPartitions but budgeted at ~32M pairs per map task: the emit
+    * stage's shuffle sorter buffers Θ(pairs/task), and the measured
+    * zero-spill regime ends between 82M (sf10, clean, 30g heap) and
+    * 164M (sf20, 139 GB mem-spill, 40g) pairs per task — 32M is the
+    * measured sweet spot: the residual spill is ONE disk pass of the
+    * exchange payload no matter how the map side splits (the unified
+    * pool's storage-protected half holds the checkpoint blocks, so
+    * the sorter always round-trips what exceeds its share), and the
+    * wall win comes from parallel slices — sf20 measured 303 s at 32
+    * tasks, 162.6 s at 150 (this budget), 184.5 s at 300 (finer
+    * splits just add task overhead). UNfloored
+    * (unlike pairPartitions): the caller widens only when this need
+    * exceeds the source's ACTUAL partition count, so gate-scale and
+    * AQE-coalesced tiny corpora never pay the exchange. Fail-closed
+    * probes (MaxValue) and zero customers take the 1024 clamp —
+    * oversplitting is safe, a sorter OOM is not; a zero-lineitem
+    * corpus with live customers estimates 0 and never widens. Law
+    * pinned in ItemItemSpec. */
+  private[graft] def emitPartitions(lineitemCount: Long,
+                                    customerCount: Long): Int = {
+    val pairsEst =
+      if (lineitemCount == Long.MaxValue || customerCount == Long.MaxValue
+          || customerCount == 0L) Long.MaxValue
+      else scala.util.Try(Math.multiplyExact(lineitemCount,
+        math.max(1L, lineitemCount / customerCount)))
+        .getOrElse(Long.MaxValue)
+    math.min(1024L, pairsEst / 32000000L).toInt
   }
 
   /** The shuffle-plan form — kept verbatim for catalogs past the

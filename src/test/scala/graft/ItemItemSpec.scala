@@ -70,6 +70,25 @@ class ItemItemSpec extends AnyFunSuite {
     assert(ItemItem.pairPartitions(32, 1L << 40, 4L) == 1024)
   }
 
+  test("emitPartitions law: unfloored need, engages past gate scale, clamps") {
+    // gate scale: sf0.1 shape 6M/150k → 240M est → need 7 (< 32 actual
+    // partitions → caller never widens)
+    assert(ItemItem.emitPartitions(6_000_000L, 150_000L) == 7)
+    // sf10 shape: 2.4G est → 75 — the first scale that widens
+    assert(ItemItem.emitPartitions(60_000_000L, 1_500_000L) == 75)
+    // sf20 shape (the measured spill cliff): 4.8G est → 150, the
+    // measured wall sweet spot (~32M pairs/task)
+    assert(ItemItem.emitPartitions(120_000_000L, 3_000_000L) == 150)
+    // clamped at 1024 like the reduce side
+    assert(ItemItem.emitPartitions(6_000_000_000L, 15_000_000L) == 1024)
+    // fail-closed probes take the clamp; an empty-lineitem corpus
+    // with live customers estimates 0 and never widens
+    assert(ItemItem.emitPartitions(Long.MaxValue, 15_000L) == 1024)
+    assert(ItemItem.emitPartitions(600_000L, 0L) == 1024)
+    assert(ItemItem.emitPartitions(0L, 15_000L) == 0)
+    assert(ItemItem.emitPartitions(1L << 40, 4L) == 1024)
+  }
+
   test("scanSorted tie-break: equal cosine prefers the smaller neighbor") {
     // items 1..3 each with n_i = 4; pairs (0,1),(0,2),(0,3) each once:
     // identical cosines — top-2 must be neighbors 1 and 2
