@@ -24,22 +24,38 @@ import graft.core.Tables
   * denominator joins): the directed pair stream (a≠b, both directions
   * — emitting both directions out of the self-join costs nothing,
   * the join materializes d(u)² rows either way) is packed into ONE
-  * long per row ((a<<32)|b; gated on ids in [0, 2³¹)), shuffled once
-  * hash-partitioned BY SOURCE ITEM, and each partition sorts its
-  * packed longs and run-length-scans them: a run of equal values IS
-  * (a, b, n_ab), runs of one item are consecutive and already
-  * neighbor-ordered, so exact counts, the cosine against the
-  * broadcast n_i table and the bounded top-k selection all happen in
-  * one primitive-array pass that emits FINAL rows (item, rank,
-  * neighbor, n_ab, cosine). Replaces the legacy tail — a 10⁹-key
-  * final hash aggregate that spilled ~37 GB at the 100× rehearsal,
-  * two denominator joins and a mirror union re-streaming every pair,
-  * and a top-k heap aggregate with its own exchange — with one
-  * exchange of 8-byte rows and an O(m log m) per-partition scan.
-  * Per-task memory is the packed pair slice (pairs/P × 8 B); the
-  * partition count derives from a metadata-cheap pair-volume estimate
-  * so the slice stays ~128 MB at any scale, the analog of one
-  * executor core's shuffle slice on a real cluster.
+  * long per pair ((a<<32)|b; gated on ids in [0, 2³¹)), routed once
+  * BY SOURCE ITEM, and each reduce partition sorts its packed longs
+  * and run-length-scans them: a run of equal values IS (a, b, n_ab),
+  * runs of one item are consecutive and already neighbor-ordered, so
+  * exact counts, the cosine against the broadcast n_i table and the
+  * bounded top-k selection all happen in one primitive-array pass
+  * that emits FINAL rows (item, rank, neighbor, n_ab, cosine).
+  * Replaces the legacy tail — a 10⁹-key final hash aggregate that
+  * spilled ~37 GB at the 100× rehearsal, two denominator joins and a
+  * mirror union re-streaming every pair, and a top-k heap aggregate
+  * with its own exchange — with one exchange and an O(m log m)
+  * per-partition scan.
+  *
+  * The exchange itself ships DELTA+VARINT BLOBS, not rows: each map
+  * task batches its pairs into per-reduce-partition chunks, sorts
+  * each chunk, and LEB128-encodes first-pk + gaps (a duplicate pk —
+  * the same pair seen via two users in one chunk — is one 0x00
+  * byte). On this corpus shape consecutive sorted pks within one
+  * source item differ by ~catalog/d(i), so a pair costs ~2 B on the
+  * wire vs 8 B packed + UnsafeRow/serializer overhead as rows — the
+  * shuffle-disk term that ENOSPC'd the sf30 rehearsal and spilled
+  * one bounded pass at sf20 (measured numbers in BASELINE.md). The reduce side decodes (multiset-exact
+  * by construction), re-sorts, and scans as before, so the result is
+  * bit-identical to the row exchange. Map-side memory is bounded by
+  * the chunk budget (≤ 64M longs = 512 MB across all targets, and in
+  * practice the emit-widening law keeps a task's whole pair slice
+  * near ~32M pairs); the shuffle sorter itself sees only a few
+  * hundred small records per task, so the sorter's buffer-then-merge
+  * double-write of the raw-row layout is gone entirely. The reduce
+  * partition count derives from a metadata-cheap pair-volume
+  * estimate so the decoded slice stays ~128 MB at any scale, the
+  * analog of one executor core's shuffle slice on a real cluster.
   *
   * LEGACY (ids outside [0, 2³¹) or a catalog past the broadcast
   * ceiling): canonical a<b half-pair aggregation + dual-path
@@ -71,11 +87,18 @@ object ItemItem {
       : Option[org.apache.spark.sql.execution.QueryExecution] = None
 
   /** Whether the most recent kernel invocation had to repartition the
-    * checkpointed frame by user (the AQE-skew-split safety exchange)
-    * instead of trusting its reported hash(user) partitioning. TEST
-    * HOOK ONLY (ItemItemSpec pins that the normal path does NOT pay
-    * the exchange and that the guard logic itself discriminates). */
+    * checkpointed frame by user — for EITHER reason (the AQE-skew
+    * guard refusing the executed plan, or routine emit widening past
+    * gate scale). TEST HOOK ONLY (PlanSpec pins that the normal path
+    * does NOT pay the exchange and that the guard logic itself
+    * discriminates). */
   @volatile private[graft] var lastPairSrcRepartitioned: Option[Boolean] = None
+
+  /** The two exchange causes SEPARATELY — (guardRefused, widened) —
+    * so scale evidence can distinguish "locality proof failed" from
+    * "pair volume widened the map side" (they coincide in the boolean
+    * above for any corpus past ~sf10). TEST/DIAG HOOK ONLY. */
+  @volatile private[graft] var lastPairExchangeCause: Option[(Boolean, Boolean)] = None
 
   /** n_i lookup shipped to the kernel: dense direct-indexed array when
     * the id space is compact (TPC-H partkeys are 1..P — one DRAM touch
@@ -180,8 +203,70 @@ object ItemItem {
     "item BIGINT NOT NULL, rank INT NOT NULL, neighbor BIGINT NOT NULL, " +
       "n_ab BIGINT NOT NULL, cosine DOUBLE NOT NULL")
 
-  private val pkSchema =
-    org.apache.spark.sql.types.StructType.fromDDL("pk BIGINT NOT NULL")
+  /** Deterministic reduce-partition of a source item. A mixed hash,
+    * not bare `a % p`: sequential id spaces (TPC-H partkeys) modulo a
+    * small p would alias any id-assignment periodicity straight into
+    * partition skew. Content-defined, so the exchange layout is
+    * deterministic; changing it is a repartitioning, never a semantic
+    * change (the reduce side re-sorts whatever multiset it receives). */
+  private[graft] def targetOf(a: Int, p: Int): Int = {
+    var h = a * 0x9E3779B9
+    h ^= h >>> 16
+    (h & 0x7FFFFFFF) % p
+  }
+
+  private final class ByteVec(initial: Int) {
+    var a = new Array[Byte](math.max(16, initial))
+    var n = 0
+    def add(b: Byte): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n << 1)
+      a(n) = b; n += 1
+    }
+    def toArray: Array[Byte] = java.util.Arrays.copyOf(a, n)
+  }
+
+  /** Sort buf[0..n) in place and delta+LEB128 encode it: the first pk
+    * absolute, every later pk as its gap to the previous one (sorted ⇒
+    * nonnegative ⇒ no zigzag; pks are < 2⁶³ by the id gate so the
+    * absolute head fits 9 bytes). A duplicate pk — the same (a, b)
+    * co-occurring via two users in this chunk — is gap 0, one byte:
+    * the map-side combining the raw-row exchange lacked, for free. */
+  private[graft] def encodeChunk(buf: Array[Long], n: Int): Array[Byte] = {
+    java.util.Arrays.sort(buf, 0, n)
+    val out = new ByteVec(n * 3)
+    var prev = 0L
+    var i = 0
+    while (i < n) {
+      var x = if (i == 0) buf(0) else buf(i) - prev
+      prev = buf(i)
+      while ((x & ~0x7FL) != 0) { out.add(((x & 0x7FL) | 0x80L).toByte); x >>>= 7 }
+      out.add(x.toByte)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Decode one chunk into (a possibly-regrown) buf, returning the new
+    * (buf, n). Exact inverse of encodeChunk up to order — the caller
+    * re-sorts the union of all chunks, so per-chunk sortedness is an
+    * encoding detail, not a decode contract. */
+  private[graft] def decodeChunk(bytes: Array[Byte], buf0: Array[Long],
+                                 n0: Int): (Array[Long], Int) = {
+    var buf = buf0; var n = n0
+    var pos = 0; var prev = 0L; var first = true
+    while (pos < bytes.length) {
+      var x = 0L; var shift = 0; var b = 0
+      do {
+        b = bytes(pos) & 0xFF; pos += 1
+        x |= (b & 0x7FL) << shift; shift += 7
+      } while ((b & 0x80) != 0)
+      val pk = if (first) { first = false; x } else prev + x
+      prev = pk
+      if (n == buf.length) buf = java.util.Arrays.copyOf(buf, n << 1)
+      buf(n) = pk; n += 1
+    }
+    (buf, n)
+  }
 
   /** True iff the EXECUTED (post-AQE-finalization) plan of the capped
     * purchases proves pairGenRows' invariant — every user's rows in
@@ -221,21 +306,34 @@ object ItemItem {
     }
   }
 
-  /** Directed-pair generator over one partition of the CAPPED
-    * purchases (which are hash-partitioned by user — the cap
-    * semi-join's exchange — so every user's items are local): group
-    * items per user in a small map, then lazily emit every ordered
-    * pair (i≠j) as a packed (a<<32)|b single-long UnsafeRow. This
-    * replaces a d(u)²-row self-JOIN: the join's per-output-row probe
-    * machinery and its two extra checkpoint scans measured ~30% of
-    * the whole entry at the 100× rehearsal, while this loop's emit
-    * cost is the shuffle write it feeds. The one reused UnsafeRow is
-    * safe because the exchange writer copies each row's bytes before
-    * next() is called again. Null items (kept upstream for the degree
-    * count, exactly like the legacy plan) never pair. */
-  private[graft] def pairGenRows(
-      it: Iterator[org.apache.spark.sql.catalyst.InternalRow])
-      : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+  /** Directed-pair ENCODER over one partition of the CAPPED purchases
+    * (which are hash-partitioned by user — the cap semi-join's
+    * exchange — so every user's items are local): group items per
+    * user in a small map, then generate every ordered pair (i≠j) as a
+    * packed (a<<32)|b long, batched into per-reduce-target buffers
+    * and emitted as sorted delta+varint chunks keyed by target. This
+    * replaces both a d(u)²-row self-JOIN (the join's per-output-row
+    * probe machinery and its two extra checkpoint scans measured ~30%
+    * of the whole entry at the 100× rehearsal) and the raw-row pair
+    * exchange (8 B + row overhead per pair; the encoded chunk is
+    * ~2 B/pair on this corpus shape, and the shuffle sorter sees a
+    * few hundred chunk records instead of tens of millions of rows —
+    * its spill-then-merge double-write is gone).
+    *
+    * Memory law: all p target buffers fill in near-lockstep (targetOf
+    * spreads source items uniformly), so the task's peak pair buffer
+    * is ≤ p·chunkLongs longs — chunkLongs is sized so that product
+    * never exceeds 64M longs (512 MB) however large p gets, and the
+    * emit-widening law already bounds a task's WHOLE pair slice near
+    * ~32M pairs (256 MB) whenever the metadata estimate is real.
+    * Chunks are emitted the moment they fill, interleaved with
+    * generation, so encoded bytes stream to the shuffle writer
+    * instead of accumulating. Null items (kept upstream for the
+    * degree count, exactly like the legacy plan) never pair. */
+  private[graft] def encodePairBlobs(
+      it: Iterator[org.apache.spark.sql.catalyst.InternalRow], p: Int)
+      : Iterator[(Int, Array[Byte])] = {
+    val chunkLongs = math.max(1 << 16, (1 << 26) / p)
     final class IntVec {
       var a = new Array[Int](8)
       var n = 0
@@ -254,32 +352,56 @@ object ItemItem {
         vec.add(r.getLong(1).toInt)
       }
     }
-    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
-      .create(pkSchema)
-    val row = proj(new org.apache.spark.sql.catalyst.expressions
-      .GenericInternalRow(Array[Any](0L)))
     val users = byUser.entrySet().iterator()
-    new Iterator[org.apache.spark.sql.catalyst.InternalRow] {
+    new Iterator[(Int, Array[Byte])] {
+      private val bufs = new Array[Array[Long]](p)
+      private val lens = new Array[Int](p)
       private var items: Array[Int] = _
       private var n = 0
       private var i = 0
-      private var j = 0
+      private var j = -1
+      private var flushT = 0 // end-of-input drain cursor
+      private var pending: (Int, Array[Byte]) = _
       private def advance(): Boolean = {
         while (true) {
           if (items != null) {
             // next (i, j) with i ≠ j
             j += 1
             if (j == i) j += 1
-            if (j < n) return true
-            j = -1; i += 1
-            if (i >= n) items = null
+            if (j >= n) { j = -1; i += 1; if (i >= n) items = null }
+            else {
+              val a = items(i)
+              val t = targetOf(a, p)
+              var buf = bufs(t)
+              if (buf == null) { buf = new Array[Long](1 << 10); bufs(t) = buf }
+              else if (lens(t) == buf.length) {
+                buf = java.util.Arrays.copyOf(buf, buf.length << 1); bufs(t) = buf
+              }
+              buf(lens(t)) = (a.toLong << 32) | items(j).toLong
+              lens(t) += 1
+              if (lens(t) >= chunkLongs) {
+                pending = (t, encodeChunk(buf, lens(t)))
+                lens(t) = 0
+                return true
+              }
+            }
           } else if (users.hasNext) {
             val vec = users.next().getValue
             items = vec.a
             n = vec.n
             i = 0; j = -1
             if (n < 2) items = null // single purchase: no pairs
-          } else return false
+          } else {
+            while (flushT < p) {
+              val t = flushT; flushT += 1
+              if (lens(t) > 0) {
+                pending = (t, encodeChunk(bufs(t), lens(t)))
+                lens(t) = 0; bufs(t) = null
+                return true
+              }
+            }
+            return false
+          }
         }
         false
       }
@@ -288,29 +410,41 @@ object ItemItem {
         if (!ready) ready = advance()
         ready
       }
-      override def next(): org.apache.spark.sql.catalyst.InternalRow = {
+      override def next(): (Int, Array[Byte]) = {
         if (!hasNext) throw new NoSuchElementException
         ready = false
-        row.setLong(0, (items(i).toLong << 32) | items(j).toLong)
-        row
+        pending
       }
     }
   }
 
-  /** One partition of the kernel, on the allocation-free InternalRow
-    * path (RowBridge): drain the single-long-column shuffle slice into
-    * a primitive array (no boxing — `Dataset[Long].mapPartitions`
-    * boxes every element, measured as the dominant cost of this stage
-    * at sf1), sort, scan, emit UnsafeRows. */
-  private[graft] def scanPartitionRows(
-      it: Iterator[org.apache.spark.sql.catalyst.InternalRow],
-      ni: NiLookup, k: Int)
+  /** Identity partitioner for the chunk exchange: the encoder already
+    * computed each chunk's reduce partition (targetOf), so the key IS
+    * the partition — re-hashing it would alias p targets into ~0.63p
+    * occupied partitions and reintroduce avoidable skew. */
+  private final class IdPartitioner(override val numPartitions: Int)
+      extends org.apache.spark.Partitioner {
+    def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    override def equals(o: Any): Boolean = o match {
+      case x: IdPartitioner => x.numPartitions == numPartitions
+      case _                => false
+    }
+    override def hashCode: Int = numPartitions
+  }
+
+  /** One reduce partition of the kernel: decode every incoming chunk
+    * into one primitive long array, sort, run-length scan, emit
+    * UnsafeRows. Bit-identical to the raw-row layout's result — the
+    * decoded union is the same pk multiset the rows carried, and the
+    * sort+scan is unchanged. */
+  private[graft] def decodeScanPartition(
+      blobs: Iterator[Array[Byte]], ni: NiLookup, k: Int)
       : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
     var buf = new Array[Long](1 << 13)
     var n = 0
-    while (it.hasNext) {
-      if (n == buf.length) buf = java.util.Arrays.copyOf(buf, n << 1)
-      buf(n) = it.next().getLong(0); n += 1
+    while (blobs.hasNext) {
+      val r = decodeChunk(blobs.next(), buf, n)
+      buf = r._1; n = r._2
     }
     java.util.Arrays.sort(buf, 0, n)
     val out = scanSorted(buf, n, ni, k)
@@ -413,94 +547,106 @@ object ItemItem {
         // stage's task count is otherwise pinned at the cap
         // semi-join's partition count (spark.sql.shuffle.partitions,
         // or fewer after AQE coalescing), so pairs per map task grow
-        // linearly with data and the shuffle sorter falls off a
-        // memory cliff — measured at the sf20 rehearsal: sf10 82M
-        // pairs/task = zero spill, sf20 164M pairs/task = 139 GB
-        // memory / 27 GB disk spill and the emit stage 2.05× the
-        // linear expectation. emitPartitions sizes the map side from
-        // the same pairsEst (budget ~32M pairs/task); when the
-        // source's ACTUAL partition count already meets the budget —
-        // every gate-scale corpus — nothing engages and the
-        // guard-proven no-exchange path is untouched. Widening pays
-        // one slim (user, item) hash exchange whose locality
-        // pairGenRows needs holds by construction.
+        // linearly with data — measured at the sf20 rehearsal: sf10
+        // 82M pairs/task ran clean, sf20 164M pairs/task hit a
+        // 139 GB-memory-spill cliff on the old raw-row sorter and,
+        // on the chunk encoder, would hold the whole slice's pair
+        // buffer on heap. emitPartitions sizes the map side from the
+        // same pairsEst (budget ~32M pairs/task ≈ 256 MB of packed
+        // longs); when the source's ACTUAL partition count already
+        // meets the budget — every gate-scale corpus — nothing
+        // engages and the guard-proven no-exchange path is untouched.
+        // Widening pays one slim (user, item) hash exchange whose
+        // locality encodePairBlobs needs holds by construction. A
+        // FAILED estimate (fail-closed sentinel, not a measurement)
+        // never converts the guard-proven no-exchange path into a
+        // wide shuffle (round-16 advice): sentinel + userLocal skips
+        // widening, sentinel + guard-refused caps the width at a
+        // small multiple of the session default.
         val actualParts = cappedCp.rdd.getNumPartitions
-        val emitNeed = emitPartitions(lineitemCount, customerCount)
+        val emitNeed = emitPartitions(
+          pairsEstimate(lineitemCount, customerCount), userLocal, defaultP)
         val widenEmit = emitNeed > actualParts
         lastPairSrcRepartitioned = Some(!userLocal || widenEmit)
+        lastPairExchangeCause = Some((!userLocal, widenEmit))
         val pairSrc =
           if (!userLocal || widenEmit)
             pairSrc0.repartition(math.max(emitNeed, defaultP), col("user"))
           else pairSrc0
-        val pairs = org.apache.spark.sql.graftbridge.RowBridge
-          .ofInternalRows(s,
-            org.apache.spark.sql.graftbridge.RowBridge
-              .toInternalRdd(pairSrc)
-              .mapPartitions(pairGenRows),
-            pkSchema)
         val p = pairPartitions(defaultP, lineitemCount, customerCount)
-        val repart = pairs.repartition(p, shiftright(col("pk"), 32))
         val rdd = org.apache.spark.sql.graftbridge.RowBridge
-          .toInternalRdd(repart)
-          .mapPartitions(it => scanPartitionRows(it, bc.value, k))
+          .toInternalRdd(pairSrc)
+          .mapPartitions(rows => encodePairBlobs(rows, p))
+          .partitionBy(new IdPartitioner(p))
+          .mapPartitions(chunks =>
+            decodeScanPartition(chunks.map(_._2), bc.value, k))
         org.apache.spark.sql.graftbridge.RowBridge
           .ofInternalRows(s, rdd, outputSchema)
       }
     } else legacyNeighbors(t, capped, ni, k, niBroadcastLimit, partCount)
   }
 
-  /** Kernel-exchange partition count from the metadata-cheap pair
-    * volume estimate L·(L/C): ~16M packed longs (~128 MB) per task
-    * slice at any scale, floored at the session default and clamped
-    * at 1024 (the upper clamp first binds around 16.4G directed pairs
-    * ≈ a ~sf63 corpus of this shape — past it, slices grow beyond
-    * 128 MB by design rather than fan the exchange out without
-    * bound). Failed probes (MaxValue) and an empty customer count
-    * estimate huge and take the upper clamp — oversplitting is safe,
-    * a task OOM is not. multiplyExact: a plain * can overflow
-    * NEGATIVE at extreme row counts, which would collapse p to
-    * defaultP exactly where the clamp matters — overflow saturates
-    * to MaxValue instead (law pinned in ItemItemSpec). */
-  private[graft] def pairPartitions(defaultP: Int, lineitemCount: Long,
-                                    customerCount: Long): Int = {
-    val pairsEst =
-      if (lineitemCount == Long.MaxValue || customerCount == Long.MaxValue
-          || customerCount == 0L) Long.MaxValue
-      else scala.util.Try(Math.multiplyExact(lineitemCount,
-        math.max(1L, lineitemCount / customerCount)))
-        .getOrElse(Long.MaxValue)
-    math.max(defaultP, math.min(1024L, pairsEst / 16000000L).toInt)
-  }
+  /** The metadata-cheap directed-pair volume estimate L·(L/C) both
+    * partition laws derive from — ONE definition so they can never
+    * diverge silently (they duplicated it verbatim through round 16).
+    * Long.MaxValue is the fail-closed SENTINEL — failed probes or an
+    * empty customer count, i.e. "no measurement exists" — and each
+    * law chooses its own sentinel posture. A REAL estimate that
+    * overflows multiplyExact (a plain * can overflow NEGATIVE at
+    * extreme row counts, which would collapse partition counts to the
+    * floor exactly where the clamps matter) saturates to
+    * MaxValue − 1: still "astronomically large" for the division
+    * laws, but never aliased with "unknown". */
+  private[graft] def pairsEstimate(lineitemCount: Long,
+                                   customerCount: Long): Long =
+    if (lineitemCount == Long.MaxValue || customerCount == Long.MaxValue
+        || customerCount == 0L) Long.MaxValue
+    else scala.util.Try(Math.multiplyExact(lineitemCount,
+      math.max(1L, lineitemCount / customerCount)))
+      .getOrElse(Long.MaxValue - 1)
 
-  /** Map-side (pair-EMIT) partition NEED, same pairsEst estimate as
-    * pairPartitions but budgeted at ~32M pairs per map task: the emit
-    * stage's shuffle sorter buffers Θ(pairs/task), and the measured
-    * zero-spill regime ends between 82M (sf10, clean, 30g heap) and
-    * 164M (sf20, 139 GB mem-spill, 40g) pairs per task — 32M is the
-    * measured sweet spot: the residual spill is ONE disk pass of the
-    * exchange payload no matter how the map side splits (the unified
-    * pool's storage-protected half holds the checkpoint blocks, so
-    * the sorter always round-trips what exceeds its share), and the
-    * wall win comes from parallel slices — sf20 measured 303 s at 32
-    * tasks, 162.6 s at 150 (this budget), 184.5 s at 300 (finer
-    * splits just add task overhead). UNfloored
-    * (unlike pairPartitions): the caller widens only when this need
-    * exceeds the source's ACTUAL partition count, so gate-scale and
-    * AQE-coalesced tiny corpora never pay the exchange. Fail-closed
-    * probes (MaxValue) and zero customers take the 1024 clamp —
-    * oversplitting is safe, a sorter OOM is not; a zero-lineitem
-    * corpus with live customers estimates 0 and never widens. Law
-    * pinned in ItemItemSpec. */
-  private[graft] def emitPartitions(lineitemCount: Long,
-                                    customerCount: Long): Int = {
-    val pairsEst =
-      if (lineitemCount == Long.MaxValue || customerCount == Long.MaxValue
-          || customerCount == 0L) Long.MaxValue
-      else scala.util.Try(Math.multiplyExact(lineitemCount,
-        math.max(1L, lineitemCount / customerCount)))
-        .getOrElse(Long.MaxValue)
-    math.min(1024L, pairsEst / 32000000L).toInt
-  }
+  /** Kernel reduce-exchange partition count: ~16M packed longs
+    * (~128 MB decoded) per task slice at any scale, floored at the
+    * session default and clamped at 1024 (the upper clamp first binds
+    * around 16.4G directed pairs ≈ a ~sf63 corpus of this shape —
+    * past it, slices grow beyond 128 MB by design rather than fan the
+    * exchange out without bound). The sentinel takes the upper clamp:
+    * on the REDUCE side oversplitting is safe and a decoded-slice OOM
+    * is not. Law pinned in ItemItemSpec. */
+  private[graft] def pairPartitions(defaultP: Int, lineitemCount: Long,
+                                    customerCount: Long): Int =
+    math.max(defaultP, math.min(1024L,
+      pairsEstimate(lineitemCount, customerCount) / 16000000L).toInt)
+
+  /** Map-side (pair-EMIT) partition NEED, same estimate but budgeted
+    * at ~32M pairs per map task: the emit task buffers Θ(pairs/task)
+    * (chunk buffers now, the raw-row shuffle sorter before round 17),
+    * and the measured zero-spill regime ended between 82M (sf10,
+    * clean, 30g heap) and 164M (sf20, 139 GB mem-spill, 40g) pairs
+    * per task — 32M is the measured sweet spot: sf20 measured 303 s
+    * at 32 tasks, 162.6 s at 150 (this budget), 184.5 s at 300 (finer
+    * splits just add task overhead). UNfloored (unlike
+    * pairPartitions): the caller widens only when this need exceeds
+    * the source's ACTUAL partition count, so gate-scale and
+    * AQE-coalesced tiny corpora never pay the exchange.
+    *
+    * Sentinel posture (round-16 advice): the sentinel is NOT a
+    * measurement, so it must never convert the guard-PROVEN
+    * no-exchange fast path into a 1024-wide shuffle on a corpus that
+    * may be tiny — with `userLocal` the need is 0 (no widening; a
+    * genuinely huge corpus with failed probes degrades to the
+    * bounded-spill behavior the sf20 rehearsal measured, slow but
+    * correct). When the guard already refused (`!userLocal`) the
+    * exchange is paid regardless, so the width is capped at a small
+    * multiple of the session default instead of the 1024 clamp,
+    * which stays reduce-side-only. A zero-lineitem corpus with live
+    * customers estimates 0 and never widens. Law pinned in
+    * ItemItemSpec. */
+  private[graft] def emitPartitions(pairsEst: Long, userLocal: Boolean,
+                                    defaultP: Int): Int =
+    if (pairsEst == Long.MaxValue) {
+      if (userLocal) 0 else math.min(1024, 4 * math.max(1, defaultP))
+    } else math.min(1024L, pairsEst / 32000000L).toInt
 
   /** The shuffle-plan form — kept verbatim for catalogs past the
     * driver ceiling or ids the packed-long kernel can't represent. */

@@ -15,12 +15,18 @@ object Diag {
     names.foreach { n =>
       val c = graft.SparkEntry.queries(n)(spark, dir).count()
       println(s"[diag] $n @ $dir rows = $c")
-      // which pair path the item-item kernel took (the AQE-skew guard
-      // evidence): false = locality proven, no safety exchange;
-      // true = guard refused the executed plan, explicit exchange paid
+      // which pair path the item-item kernel took, with the CAUSE
+      // split (round-16 advice: the boolean alone stopped
+      // distinguishing AQE-skew-guard refusal from routine emit
+      // widening once widening engages on every corpus past ~sf10):
+      // guardRefused = locality proof failed on the executed plan;
+      // widened = pair volume demanded a wider emit side. Either one
+      // means the explicit user exchange was paid.
       if (n == "reco_item_item")
         println(s"[diag] reco_item_item pairSrcRepartitioned = " +
-          s"${graft.ml.ItemItem.lastPairSrcRepartitioned}")
+          s"${graft.ml.ItemItem.lastPairSrcRepartitioned} " +
+          s"(guardRefused, widened) = " +
+          s"${graft.ml.ItemItem.lastPairExchangeCause}")
     }
     graft.core.GraftSession.dropScratch(spark)
     spark.stop()

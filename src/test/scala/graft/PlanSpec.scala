@@ -308,7 +308,7 @@ class PlanSpec extends SparkSpec {
 
   test("reco_item_item: kernel trusts the reported hash(user) partitioning " +
       "— no safety exchange on the normal path") {
-    // pairGenRows requires every user's items partition-local; the
+    // encodePairBlobs requires every user's items partition-local; the
     // kernel VERIFIES the checkpoint's reported partitioning instead
     // of assuming the semi-join's plan shape (AQE's skew-join split
     // breaks it and reports Unknown). Pin both directions: the normal
