@@ -225,12 +225,16 @@ object ItemItem {
     def toArray: Array[Byte] = java.util.Arrays.copyOf(a, n)
   }
 
-  /** Sort buf[0..n) in place and delta+LEB128 encode it: the first pk
-    * absolute, every later pk as its gap to the previous one (sorted ⇒
-    * nonnegative ⇒ no zigzag; pks are < 2⁶³ by the id gate so the
-    * absolute head fits 9 bytes). A duplicate pk — the same (a, b)
-    * co-occurring via two users in this chunk — is gap 0, one byte:
-    * the map-side combining the raw-row exchange lacked, for free. */
+  /** REFERENCE encoder for the wire format (the production emit path
+    * is encodePairBlobs' sorted walk, which streams the same format
+    * without materializing per-target long buffers; the spec
+    * roundtrips both through decodeChunk): sort buf[0..n) in place
+    * and delta+LEB128 encode it — the first pk absolute, every later
+    * pk as its gap to the previous one (sorted ⇒ nonnegative ⇒ no
+    * zigzag; pks are < 2⁶³ by the id gate so the absolute head fits
+    * 9 bytes). A duplicate pk — the same (a, b) co-occurring via two
+    * users in this chunk — is gap 0, one byte: the map-side combining
+    * the raw-row exchange lacked, for free. */
   private[graft] def encodeChunk(buf: Array[Long], n: Int): Array[Byte] = {
     java.util.Arrays.sort(buf, 0, n)
     val out = new ByteVec(n * 3)
@@ -310,30 +314,55 @@ object ItemItem {
     * (which are hash-partitioned by user — the cap semi-join's
     * exchange — so every user's items are local): group items per
     * user in a small map, then generate every ordered pair (i≠j) as a
-    * packed (a<<32)|b long, batched into per-reduce-target buffers
-    * and emitted as sorted delta+varint chunks keyed by target. This
-    * replaces both a d(u)²-row self-JOIN (the join's per-output-row
-    * probe machinery and its two extra checkpoint scans measured ~30%
-    * of the whole entry at the 100× rehearsal) and the raw-row pair
-    * exchange (8 B + row overhead per pair; the encoded chunk is
-    * ~2 B/pair on this corpus shape, and the shuffle sorter sees a
-    * few hundred chunk records instead of tens of millions of rows —
-    * its spill-then-merge double-write is gone).
+    * packed (a<<32)|b long APPENDED to one contiguous batch array,
+    * sort the batch once, and walk it in ascending pk order streaming
+    * LEB128 deltas into one small byte encoder per reduce target.
+    * This replaces both a d(u)²-row self-JOIN (the join's
+    * per-output-row probe machinery and its two extra checkpoint
+    * scans measured ~30% of the whole entry at the 100× rehearsal)
+    * and the raw-row pair exchange (8 B + row overhead per pair; the
+    * encoded stream is ~1.7 B/pair measured on this corpus shape, and
+    * the shuffle sorter sees a few hundred blob records instead of
+    * tens of millions of rows — its spill-then-merge double-write is
+    * gone).
     *
-    * Memory law: all p target buffers fill in near-lockstep (targetOf
-    * spreads source items uniformly), so the task's peak pair buffer
-    * is ≤ p·chunkLongs longs — chunkLongs is sized so that product
-    * never exceeds 64M longs (512 MB) however large p gets, and the
-    * emit-widening law already bounds a task's WHOLE pair slice near
-    * ~32M pairs (256 MB) whenever the metadata estimate is real.
-    * Chunks are emitted the moment they fill, interleaved with
-    * generation, so encoded bytes stream to the shuffle writer
-    * instead of accumulating. Null items (kept upstream for the
-    * degree count, exactly like the legacy plan) never pair. */
+    * Why ONE array + ONE sort, not per-target chunk buffers: the
+    * first shipped layout kept p growing long buffers per task and
+    * sorted each ~chunk as it filled — at sf10 that is ~150 × 3.6 MB
+    * live arrays per task (~17 GB across 32 local threads), every one
+    * a G1 humongous object churning per chunk cycle, and the emit
+    * stage measured 5220 task-s against the raw-row layout's 863.
+    * The batch layout generates sequentially into one allocation,
+    * sorts once (the per-chunk sorts did the same O(n log n) compares
+    * with worse locality), and the ascending walk hands each target
+    * an ASCENDING pk subsequence — so per-target delta encoding needs
+    * only (prev, started) per target, no long buffering at all, and
+    * duplicates land adjacent GLOBALLY (strictly no-worse compression
+    * than per-chunk sorting). Wire format unchanged: decodeChunk
+    * reads every blob either layout writes.
+    *
+    * Memory law: the batch is min(task's total pairs, 8M) longs —
+    * 64 MB at the cap, ONE allocation reused across however many
+    * batches the task needs, so emit memory is bounded at 64 MB per
+    * task AT ANY CORPUS SIZE, independent of the emit-widening law's
+    * ~32M-pairs-per-task CPU/slice budget (a first cut sized the
+    * batch to that whole budget — 256 MB × 32 local threads of
+    * G1-humongous arrays alongside the 5 GB checkpoint blocks OOM'd a
+    * 30 g heap at sf10; decoupling the two bounds is the point). A
+    * task processes whole users in batch-sized groups — each batch
+    * closes its targets' streams and emits, so peak memory stays at
+    * the cap however many pairs the task holds (the degree cap bounds
+    * one user's pairs at ~1M, far under the cap, so a batch always
+    * makes progress; a cap-dodging user larger than the whole batch
+    * grows it rather than corrupt it). Cross-batch duplicate pairs no
+    * longer merge to a 1-byte gap and each batch re-pays one absolute
+    * head per target (~p·9 B) — measured ~1.7 B/pair either way. Null
+    * items (kept upstream for the degree count, exactly like the
+    * legacy plan) never pair. `batchCap` is a law parameter for the
+    * spec's multi-batch exercise, never overridden in production. */
   private[graft] def encodePairBlobs(
-      it: Iterator[org.apache.spark.sql.catalyst.InternalRow], p: Int)
-      : Iterator[(Int, Array[Byte])] = {
-    val chunkLongs = math.max(1 << 16, (1 << 26) / p)
+      it: Iterator[org.apache.spark.sql.catalyst.InternalRow], p: Int,
+      batchCap: Long = 1L << 23): Iterator[(Int, Array[Byte])] = {
     final class IntVec {
       var a = new Array[Int](8)
       var n = 0
@@ -343,6 +372,7 @@ object ItemItem {
       }
     }
     val byUser = new java.util.HashMap[Long, IntVec]()
+    var totalPairs = 0L
     while (it.hasNext) {
       val r = it.next()
       if (!r.isNullAt(1)) {
@@ -350,70 +380,93 @@ object ItemItem {
         var vec = byUser.get(u)
         if (vec == null) { vec = new IntVec; byUser.put(u, vec) }
         vec.add(r.getLong(1).toInt)
+        // n items so far: the new item pairs with the n-1 before it,
+        // in both directions
+        totalPairs += 2L * (vec.n - 1)
       }
     }
+    if (totalPairs == 0L) return Iterator.empty
     val users = byUser.entrySet().iterator()
     new Iterator[(Int, Array[Byte])] {
-      private val bufs = new Array[Array[Long]](p)
-      private val lens = new Array[Int](p)
-      private var items: Array[Int] = _
-      private var n = 0
-      private var i = 0
-      private var j = -1
-      private var flushT = 0 // end-of-input drain cursor
-      private var pending: (Int, Array[Byte]) = _
-      private def advance(): Boolean = {
-        while (true) {
-          if (items != null) {
-            // next (i, j) with i ≠ j
-            j += 1
-            if (j == i) j += 1
-            if (j >= n) { j = -1; i += 1; if (i >= n) items = null }
-            else {
-              val a = items(i)
-              val t = targetOf(a, p)
-              var buf = bufs(t)
-              if (buf == null) { buf = new Array[Long](1 << 10); bufs(t) = buf }
-              else if (lens(t) == buf.length) {
-                buf = java.util.Arrays.copyOf(buf, buf.length << 1); bufs(t) = buf
-              }
-              buf(lens(t)) = (a.toLong << 32) | items(j).toLong
-              lens(t) += 1
-              if (lens(t) >= chunkLongs) {
-                pending = (t, encodeChunk(buf, lens(t)))
-                lens(t) = 0
-                return true
-              }
-            }
-          } else if (users.hasNext) {
-            val vec = users.next().getValue
-            items = vec.a
-            n = vec.n
-            i = 0; j = -1
-            if (n < 2) items = null // single purchase: no pairs
-          } else {
-            while (flushT < p) {
-              val t = flushT; flushT += 1
-              if (lens(t) > 0) {
-                pending = (t, encodeChunk(bufs(t), lens(t)))
-                lens(t) = 0; bufs(t) = null
-                return true
+      private var batch =
+        new Array[Long](math.max(1L, math.min(totalPairs, batchCap)).toInt)
+      private var carried: IntVec = null
+      private var out: Iterator[(Int, Array[Byte])] = Iterator.empty
+      /** Fill one batch with WHOLE users' pair sets, sort, walk-encode.
+        * False when no users remain. */
+      private def nextBatch(): Boolean = {
+        var n = 0
+        var go = true
+        while (go) {
+          val vec =
+            if (carried != null) carried
+            else if (users.hasNext) users.next().getValue
+            else null
+          if (vec == null) go = false
+          else {
+            val m = vec.n
+            val pairsU = m.toLong * (m - 1)
+            if (pairsU == 0) carried = null // single purchase: no pairs
+            else if (n > 0 && n + pairsU > batch.length) {
+              carried = vec; go = false // close the batch, user intact
+            } else {
+              // a single user larger than the whole batch (only
+              // reachable if the degree cap is lifted or a spec
+              // shrinks batchCap): grow rather than write past the end
+              if (pairsU > batch.length)
+                batch = new Array[Long](pairsU.toInt)
+              carried = null
+              val items = vec.a
+              var i = 0
+              while (i < m) {
+                val hi = items(i).toLong << 32
+                var j = 0
+                while (j < m) {
+                  if (j != i) { batch(n) = hi | items(j).toLong; n += 1 }
+                  j += 1
+                }
+                i += 1
               }
             }
-            return false
           }
         }
-        false
+        if (n == 0) return false
+        java.util.Arrays.sort(batch, 0, n)
+        // ascending walk: each target receives an ascending pk
+        // subsequence, so a (prev, started) pair per target is the
+        // whole encoder state; the target only changes when the
+        // source item does (runs are contiguous after the sort)
+        val vecs = new Array[ByteVec](p)
+        val prev = new Array[Long](p)
+        val live = new Array[Boolean](p)
+        var curA = -1L
+        var t = 0
+        var i = 0
+        while (i < n) {
+          val pk = batch(i)
+          val a = pk >>> 32
+          if (a != curA) { curA = a; t = targetOf(a.toInt, p) }
+          var bv = vecs(t)
+          if (bv == null) { bv = new ByteVec(64); vecs(t) = bv }
+          var x = if (live(t)) pk - prev(t) else { live(t) = true; pk }
+          prev(t) = pk
+          while ((x & ~0x7FL) != 0) {
+            bv.add(((x & 0x7FL) | 0x80L).toByte); x >>>= 7
+          }
+          bv.add(x.toByte)
+          i += 1
+        }
+        out = (0 until p).iterator
+          .filter(vecs(_) != null).map(t => (t, vecs(t).toArray))
+        true
       }
-      private var ready = false
       override def hasNext: Boolean = {
-        if (!ready) ready = advance()
-        ready
+        while (!out.hasNext) if (!nextBatch()) return false
+        true
       }
       override def next(): (Int, Array[Byte]) = {
         if (!hasNext) throw new NoSuchElementException
-        ready = false
-        pending
+        out.next()
       }
     }
   }

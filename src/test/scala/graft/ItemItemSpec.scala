@@ -174,6 +174,31 @@ class ItemItemSpec extends AnyFunSuite {
       } yield (a << 32) | b).sorted
       assert(decoded.sorted == want.toList, s"p=$p multiset")
     }
+    // MULTI-BATCH law: a batchCap smaller than the total pair volume
+    // forces the encoder to close and re-open per-target streams
+    // across whole-user batches — the decoded multiset must be
+    // unchanged (each blob restarts its absolute head, so batching is
+    // an encoding detail). batchCap 4 < user 1's 6 pairs also
+    // exercises the grow-don't-corrupt path for an over-cap user.
+    for (p <- Seq(1, 3)) {
+      val chunks = ItemItem.encodePairBlobs(rows.iterator, p, batchCap = 4L).toList
+      val decoded = chunks.flatMap { case (t, bytes) =>
+        val (buf, n) = ItemItem.decodeChunk(bytes, new Array[Long](4), 0)
+        buf.take(n).toList.map { pk =>
+          assert(ItemItem.targetOf((pk >>> 32).toInt, p) == t, s"p=$p key")
+          pk
+        }
+      }
+      val want = (for {
+        (u, items) <- purchases.filter(_._2 != null).groupBy(_._1).toSeq
+        a <- items.map(_._2.longValue); b <- items.map(_._2.longValue)
+        if a != b
+      } yield (a << 32) | b).sorted
+      assert(decoded.sorted == want.toList, s"p=$p multi-batch multiset")
+      // at least two batches actually happened for p=1 (6+2+2 pairs,
+      // cap 4 → ≥ 2 blobs on the single target)
+      if (p == 1) assert(chunks.size >= 2, "batching engaged")
+    }
   }
 
   test("scanSorted tie-break: equal cosine prefers the smaller neighbor") {
