@@ -69,6 +69,50 @@ object Bench {
       scala.io.Source.fromFile("/proc/loadavg").mkString.trim
         .split(" ")(0).toDouble).getOrElse(-1.0)
 
+  /** Host-speed calibration probe: a FIXED, data-free CPU kernel (an
+    * xorshift/popcount integer mix plus one sqrt per step — roughly
+    * the arithmetic shape of codegen'd expression work) timed once
+    * single-threaded and once across every core. The two numbers ride
+    * every bench JSON so a reader can normalize entry times across
+    * host epochs MECHANICALLY — the r15 "13% suite drift" cost a
+    * worktree binary A/B to attribute to the box; with the probe in
+    * the file, epoch speed is `probe_then / probe_now` by division.
+    * Iteration counts are constants (never scaled to the host) so the
+    * measured seconds are comparable across any two runs of any
+    * binary that carries the probe; the checksum is printed to stderr
+    * so the JIT cannot dead-code the loop. ~1.5 s total, run once
+    * before the suite (after its own untimed JIT warmup). */
+  private def hostProbe(): (Double, Double) = {
+    def kernel(seed: Long, iters: Long): Long = {
+      var x = seed; var acc = 0L; var i = 0L
+      while (i < iters) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        acc += java.lang.Long.bitCount(x) +
+          java.lang.Double.doubleToRawLongBits(
+            math.sqrt((x & 0xFFFFFFL).toDouble))
+        i += 1
+      }
+      acc
+    }
+    val Iters = 150000000L
+    var sink = kernel(42L, Iters / 8) // JIT warmup, untimed
+    val t1 = System.nanoTime()
+    sink ^= kernel(0x9E3779B97F4A7C15L, Iters)
+    val single = (System.nanoTime() - t1) / 1e9
+    val n = Runtime.getRuntime.availableProcessors()
+    val accs = new Array[Long](n)
+    val threads = (0 until n).map { t =>
+      new Thread(() => accs(t) = kernel(0x100001L + t, Iters))
+    }
+    val t2 = System.nanoTime()
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val multi = (System.nanoTime() - t2) / 1e9
+    sink ^= accs.sum
+    System.err.println(f"[bench] host probe: st $single%.3f s, " +
+      f"mt($n) $multi%.3f s (checksum ${sink}%x)")
+    (single, multi)
+  }
+
   /** Prior-round per-query baseline minimums (seconds) from
     * bench_baseline.json at the repo root. Flat {"name": sec} map
     * parsed with a regex — no JSON library on the classpath, and the
@@ -117,6 +161,8 @@ object Bench {
       if (sfDir.split('/').contains("sf0.1")) baselines()
       else Map.empty[String, Double]
     System.err.println(s"[bench] baseline entries loaded: ${baseline.size}")
+    val (probeSt, probeMt) = hostProbe()
+    val probeJson = f""""probe":{"st":$probeSt%.3f,"mt":$probeMt%.3f}"""
     val loadBefore = loadavg()
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
@@ -234,7 +280,7 @@ object Bench {
     val suspectJson = results.collect { case (k, _, _, _, true, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.flatMap(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","load":[$loadBefore%.2f,$loadAfter%.2f],"queries":$qs,"runs":$runsJson,"cold_warm":$coldJson,"failed":$failed,"retried":$retriedJson,"suspect":$suspectJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","load":[$loadBefore%.2f,$loadAfter%.2f],$probeJson,"queries":$qs,"runs":$runsJson,"cold_warm":$coldJson,"failed":$failed,"retried":$retriedJson,"suspect":$suspectJson,"sf":"$sfDir"}""")
     // truncation-proof FINAL line: the driver captures a bounded TAIL
     // of the output, and the full line above (with per-run arrays and
     // cold/warm pairs) overflowed it in round 11, cutting the first ~6
@@ -246,7 +292,7 @@ object Bench {
     val qsSorted = results.sortBy(_._1).map { case (k, v, _, _, _, _, _) =>
       "\"" + k + "\":" + v.map(s => f"$s%.3f").getOrElse("null")
     }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qsSorted,"failed":$failed,"retried":$retriedJson,"suspect":$suspectJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",$probeJson,"queries":$qsSorted,"failed":$failed,"retried":$retriedJson,"suspect":$suspectJson,"sf":"$sfDir"}""")
     graft.core.GraftSession.dropScratch(spark)
     spark.stop()
   }
