@@ -31,11 +31,21 @@ import org.apache.spark.sql.types._
   * cross-multiplication rounding argument).
   *
   * Contract (the caller guarantees, the engine's operators do):
-  *  - both arrays sorted ascending with distinct non-null elements
-  *    (array_sort over packGram output — packing is bijective on its
-  *    gated domain, so sorted-distinct ints ⟺ distinct string grams);
+  *  - both arrays sorted ascending with distinct elements (array_sort
+  *    over packGram output — packing is bijective on its gated
+  *    domain, so sorted-distinct ints ⟺ distinct string grams);
+  *    unsorted or duplicated input yields an UNSPECIFIED result (the
+  *    merge never errors, it just counts wrong) — stated in the
+  *    registered usage string, enforceable only by the caller;
   *  - tau > 0 (a non-positive tau would make -1.0 collide with
   *    legitimately-kept values).
+  * NULL ELEMENTS are handled, not assumed away (the function is on
+  * the public SQL surface, where ArrayData.getInt on a null slot
+  * would read garbage silently): when either input's TYPE admits
+  * null elements (containsNull — a static property, so the check
+  * costs nothing on the engine's own containsNull=false columns), a
+  * pre-scan returns SQL NULL for any row actually holding one — the
+  * set-jaccard of a set with an unknown member is unknown.
   * Survivors return the bit-identical jaccard of the portable
   * formulation; non-survivors return -1.0 and are dropped by the same
   * `>= tau` filter, so swapping this kernel in is invisible to the
@@ -45,6 +55,18 @@ case class SortedJaccardGe(left: Expression, right: Expression, tau: Double)
     extends BinaryExpression {
   override def prettyName: String = "jaccard_sorted_ge"
   override def dataType: DataType = DoubleType
+
+  /** Static per-plan fact: may either input hold null ELEMENTS? False
+    * for every internal call site (packGram arrays), so the hot path
+    * compiles with no null machinery at all. */
+  private def elemNullable(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _                => false
+  }
+  private lazy val nullScanNeeded: Boolean =
+    elemNullable(left) || elemNullable(right)
+  override def nullable: Boolean =
+    left.nullable || right.nullable || nullScanNeeded
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
@@ -63,6 +85,12 @@ case class SortedJaccardGe(left: Expression, right: Expression, tau: Double)
     val y = b.asInstanceOf[ArrayData]
     val na = x.numElements()
     val nb = y.numElements()
+    if (nullScanNeeded) {
+      var t = 0
+      while (t < na) { if (x.isNullAt(t)) return null; t += 1 }
+      t = 0
+      while (t < nb) { if (y.isNullAt(t)) return null; t += 1 }
+    }
     var i = 0; var j = 0; var inter = 0
     while (i < na && j < nb) {
       val xa = x.getInt(i); val yb = y.getInt(j)
@@ -87,14 +115,29 @@ case class SortedJaccardGe(left: Expression, right: Expression, tau: Double)
       val inter = ctx.freshName("inter"); val best = ctx.freshName("best")
       val xa = ctx.freshName("xa"); val yb = ctx.freshName("yb")
       val jac = ctx.freshName("jac"); val out = ctx.freshName("out")
-      val cut = ctx.freshName("cut")
+      val cut = ctx.freshName("cut"); val t = ctx.freshName("t")
+      // static gate: the null-element pre-scan is compiled in only
+      // when a type admits null elements — internal columns
+      // (containsNull=false) get byte-identical code to before
+      val nullScan = if (!nullScanNeeded) "" else
+        s"""
+           |int $t = 0;
+           |while ($t < $na) {
+           |  if ($a.isNullAt($t)) { ${ev.isNull} = true; break; } $t++;
+           |}
+           |$t = 0;
+           |while (!${ev.isNull} && $t < $nb) {
+           |  if ($b.isNullAt($t)) { ${ev.isNull} = true; break; } $t++;
+           |}
+         """.stripMargin
       s"""
          |final int $na = $a.numElements();
          |final int $nb = $b.numElements();
          |int $i = 0; int $j = 0; int $inter = 0;
          |double $out = -1.0;
          |boolean $cut = false;
-         |while ($i < $na && $j < $nb) {
+         |$nullScan
+         |while (!${ev.isNull} && $i < $na && $j < $nb) {
          |  final int $xa = $a.getInt($i);
          |  final int $yb = $b.getInt($j);
          |  if ($xa == $yb) { $inter++; $i++; $j++; }

@@ -49,7 +49,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaccard_sorted_ge"),
       info("jaccard_sorted_ge",
         "jaccard_sorted_ge(a, b, tau) - exact Jaccard of two sorted-distinct " +
-          "int arrays when >= tau, else -1.0 (early-exit merge; tau a literal > 0)"),
+          "int arrays when >= tau, else -1.0 (early-exit merge; tau a literal > 0). " +
+          "CALLER CONTRACT: arrays must be sorted ascending with distinct " +
+          "elements - unsorted or duplicated input yields an unspecified " +
+          "result. A null element yields NULL."),
       (args: Seq[Expression]) => {
         require(args.length == 3,
           s"jaccard_sorted_ge requires 3 arguments (a, b, tau); got ${args.length}")

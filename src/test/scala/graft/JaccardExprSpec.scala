@@ -60,6 +60,30 @@ class JaccardExprSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("a null ELEMENT yields NULL (public SQL surface; both codegen and eval)") {
+    // SQL arrays holding NULL type as containsNull=true — the static
+    // gate compiles the pre-scan in; a raw getInt on the null slot
+    // would silently read garbage instead
+    val r = spark.sql(
+      """SELECT jaccard_sorted_ge(array(1, CAST(NULL AS INT), 3), array(1,3), 0.1) AS a,
+        |       jaccard_sorted_ge(array(1,3), array(CAST(NULL AS INT)), 0.1) AS b,
+        |       jaccard_sorted_ge(array(1,3), array(1,3), 0.1) AS c""".stripMargin)
+      .first()
+    assert(r.isNullAt(0), "null element on the left")
+    assert(r.isNullAt(1), "null element on the right")
+    assert(r.getDouble(2) == 1.0,
+      "null-free rows of a containsNull-typed column still compute")
+    // interpreted path, same contract
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, IntegerType}
+    val got = graft.functions.SortedJaccardGe(
+      Literal.create(Array[java.lang.Integer](1, null, 3),
+        ArrayType(IntegerType, containsNull = true)),
+      Literal.create(Array(1, 3), ArrayType(IntegerType, containsNull = false)),
+      0.1).eval(null)
+    assert(got == null)
+  }
+
   test("randomized agreement with the reference over 300 set pairs x 3 taus") {
     val rnd = new scala.util.Random(42)
     val pairs = (1 to 300).map { _ =>
