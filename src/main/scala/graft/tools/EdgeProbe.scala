@@ -64,12 +64,13 @@ object EdgeProbe {
     }.toIndexedSeq: _*)
   }
 
-  def main(args: Array[String]): Unit = {
-    val src = args(0)
-    val work = args(1)
-    val modes = if (args.length > 2) args.drop(2).toSeq else Seq("empty", "one")
-    val spark = graft.core.GraftSession.local("graft-edgeprobe")
-
+  /** The sweep core, callable from BOTH the hand-run main and the CI
+    * spec (EdgeSweepSpec) — one definition so the pinned-in-CI sweep
+    * can never drift from the tool's. Returns the failure list
+    * ((mode, name, message) per query that threw), empty when clean. */
+  private[graft] def sweep(spark: org.apache.spark.sql.SparkSession,
+                           src: String, work: String,
+                           modes: Seq[String]): List[(String, String, String)] = {
     var failures = List.empty[(String, String, String)]
     for (mode <- modes) {
       val dataDir = s"$work/$mode"
@@ -109,8 +110,17 @@ object EdgeProbe {
         System.gc()
       }
     }
+    failures.reverse
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val work = args(1)
+    val modes = if (args.length > 2) args.drop(2).toSeq else Seq("empty", "one")
+    val spark = graft.core.GraftSession.local("graft-edgeprobe")
+    val failures = sweep(spark, src, work, modes)
     println(s"\n[probe] ${failures.size} failures over ${modes.size} mode(s)")
-    failures.reverse.foreach { case (m, n, _) => println(s"[probe]   $m/$n") }
+    failures.foreach { case (m, n, _) => println(s"[probe]   $m/$n") }
     graft.core.GraftSession.dropScratch(spark)
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
