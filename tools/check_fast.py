@@ -42,13 +42,21 @@ def main():
         # DuckDB snapshots the dir's free space at connect time as the
         # temp cap — a transiently-full disk silently pins the cap low
         # (seen: 17.5 GiB on a 118 GiB tmpfs). Default the explicit cap
-        # to 90% of the temp filesystem's TOTAL size (not a constant —
+        # to min(90% of the temp filesystem's TOTAL size, free space at
+        # connect + 2 GiB slack): the total-size term alone would, on a
+        # volume already substantially occupied by durable data, still
+        # let a big spill fill the disk — the free-space term bounds the
+        # cap by what the volume can actually absorb, and the slack only
+        # covers transient dips at the statvfs instant (not a constant —
         # a hardcoded 90GB on a smaller volume would DISABLE the
-        # disk-safety cap and let a big spill fill the disk);
-        # --tmpcap / CHECK_FAST_TMPCAP override.
+        # disk-safety cap entirely); --tmpcap / CHECK_FAST_TMPCAP
+        # override for shared volumes where even this is too generous.
         if not tmpcap:
             st = os.statvfs(tmpdir)
-            tmpcap = f"{int(st.f_frsize * st.f_blocks * 0.9 / 2**30)}GB"
+            total = st.f_frsize * st.f_blocks
+            free = st.f_frsize * st.f_bavail
+            cap = min(0.9 * total, free + 2 * 2**30)
+            tmpcap = f"{int(cap / 2**30)}GB"
         con.sql(f"SET max_temp_directory_size='{tmpcap}'")
     if memlimit:
         con.sql(f"SET memory_limit='{memlimit}'")
