@@ -328,11 +328,18 @@ object Relational {
         .select("customer_key", "c_custkey", "c_name")),
     "w2_dense_code" -> ((s, dir) =>
       // categorical dense coding (W2): alphabetical dense_rank, the exact
-      // semantics of pandas .astype('category').cat.codes + 1.
+      // semantics of pandas .astype('category').cat.codes + 1. The
+      // distinct runs BEFORE the unpartitioned window: dense_rank over
+      // the distinct values assigns the same (value, code) pairs as
+      // dense_rank over every row (ties share a rank; distinct-after
+      // kept one pair per value anyway), but the single-partition
+      // window then sees one row per category instead of the whole
+      // orders table — the map-side partial distinct is what crosses
+      // the exchange. Same rows, same schema, oracle untouched.
       Tables(s, dir).orders
+        .select("o_orderpriority").distinct()
         .withColumn("priority_key", dense_rank().over(Window.orderBy(col("o_orderpriority"))))
-        .select("o_orderpriority", "priority_key")
-        .distinct()),
+        .select("o_orderpriority", "priority_key")),
     "w5_distribution" -> ((s, dir) => {
       // distribution analytics: quartile bucketing + cumulative/percent
       // rank over account balance (deterministic tie-break on key).

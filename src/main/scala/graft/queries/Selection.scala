@@ -114,7 +114,14 @@ object Selection {
       // one partial-agg groupBy per doc summing precomputed ints, and
       // a distributed TakeOrdered for the top-K cut joined back as a
       // flag — no window over the corpus, no driver-side data.
-      val perDoc = dsirPerDoc(s, dir)
+      // the scored frame feeds BOTH the top-K cut and the final flag
+      // join; without the eager checkpoint the whole scan → explode →
+      // model-join → per-doc agg pipeline executed twice (the plan
+      // held two full copies of the subtree). One row per doc — slim
+      // at any corpus size — and the lineage cut releases the
+      // pipeline; Bench/Verify's inter-query hygiene reclaims the
+      // blocks.
+      val perDoc = dsirPerDoc(s, dir).localCheckpoint(true)
       val top = perDoc.orderBy(col("dsir_fp").desc, col("doc_id"))
         .limit(DsirK).select(col("doc_id"), lit(1).as("_sel"))
       perDoc.join(broadcast(top), Seq("doc_id"), "left")
@@ -357,20 +364,35 @@ object Selection {
     * dsirPerDoc (batch join) and dsirCompiled (online array) both
     * read it, so a smoothing/target tweak cannot desynchronize the
     * batch scores from the streaming gate. */
-  private def dsirModelDf(words: DataFrame): DataFrame =
+  /** Per-bucket raw counts (b, n_r, n_t) — ≤ Buckets rows, the ONE
+    * corpus-tokenizing aggregation the model family shares. Both
+    * dsirModelDf and dsirDenomDf build on this exact subplan, so
+    * within one executed query Spark's ReuseExchange collapses their
+    * two scans into one: the denominator's totals are the column sums
+    * of the bucket counts (Σ n_r over buckets IS the corpus token
+    * count), which used to be a SECOND full scan + explode + md5 pass
+    * over the corpus aggregated to one row. */
+  private def dsirBucketCounts(words: DataFrame): DataFrame =
     words.groupBy("b").agg(
       count(lit(1)).as("n_r"),
       sum(when(col("lang") === "en", 1).otherwise(0)).as("n_t"))
+
+  private def dsirModelDf(words: DataFrame): DataFrame =
+    dsirBucketCounts(words)
       .withColumn("w_b", expr(
         s"${FixedLog.spark("n_t + 1")} - ${FixedLog.spark("n_r + 1")}"))
       .select("b", "w_b")
 
   /** The constant smoothing-denominator term, one row: d_fp =
-    * llog(R + Buckets) - llog(T + Buckets). */
+    * llog(R + Buckets) - llog(T + Buckets). Identical values to the
+    * direct corpus aggregate (empty corpus included: the sums over
+    * zero bucket rows are NULL, and the direct form's t_tot was
+    * already NULL there, so d_fp is NULL either way and dsirCompiled's
+    * null guard behaves the same). */
   private def dsirDenomDf(words: DataFrame): DataFrame =
-    words.agg(
-      count(lit(1)).as("r_tot"),
-      sum(when(col("lang") === "en", 1).otherwise(0)).as("t_tot"))
+    dsirBucketCounts(words).agg(
+      sum(col("n_r")).as("r_tot"),
+      sum(col("n_t")).as("t_tot"))
       .withColumn("d_fp", expr(
         s"${FixedLog.spark(s"r_tot + $Buckets")} - ${FixedLog.spark(s"t_tot + $Buckets")}"))
       .select("d_fp")
