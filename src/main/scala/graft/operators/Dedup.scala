@@ -384,10 +384,15 @@ object Dedup {
     // mirrored byte-for-byte by the DuckDB oracle and must not move.
     val gramsOf = (gs: Column) =>
       if (packVerify) array_sort(transform(gs, packGram(_))) else gs
+    // gram generation is the native one-pass window expression (same
+    // output strings as the old transform/substr HOF, minus its
+    // O(len²) per-window code-point re-scan — CharNgrams.scala)
+    val charNgrams = (t: Column) =>
+      org.apache.spark.sql.graftbridge.ColumnBridge.column(
+        graft.functions.CharNgrams(
+          org.apache.spark.sql.graftbridge.ColumnBridge.expression(t), n))
     val packed = element_at(transform(array(normText(col("text"))), t =>
-      element_at(transform(array(array_distinct(
-          transform(sequence(lit(1), greatest(length(t) - (n - 1), lit(1))),
-            i => t.substr(i, lit(n))))), gs =>
+      element_at(transform(array(array_distinct(charNgrams(t))), gs =>
         struct(gramsOf(gs).as("grams"),
           // length div 64; exact as floor(x/64.0) — 64 is a power of
           // two, the division is lossless in double

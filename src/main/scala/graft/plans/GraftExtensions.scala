@@ -71,6 +71,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.SortedJaccardGe(args(0), args(1), tau)
       }))
     ext.injectFunction((
+      FunctionIdentifier("char_ngrams"),
+      info("char_ngrams",
+        "char_ngrams(t, n) - all length-n character windows of t in position " +
+          "order (one O(len) pass; a string shorter than n chars yields one " +
+          "element holding the whole string, matching substr(t, 1, n)); n a " +
+          "positive integer literal"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"char_ngrams requires 2 arguments (t, n); got ${args.length}")
+        val n = args(1) match {
+          case e if e.foldable => e.eval().asInstanceOf[Number].intValue
+          case other => throw new IllegalArgumentException(
+            s"char_ngrams: n must be an integer literal, got ${other.sql}")
+        }
+        graft.functions.CharNgrams(args(0), n)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("topk_tagged"),
       info("topk_tagged",
         "topk_tagged(item, score, payload, k) - topk_scores with an opaque bigint payload per entry"),

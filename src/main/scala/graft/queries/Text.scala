@@ -95,8 +95,9 @@ object Text {
       val tri = Tables(s, dir).documents
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .withColumn("t", normText(col("text")))
-        .select(col("lang"), explode(expr(
-          "transform(sequence(1, greatest(length(t) - 2, 1)), i -> substr(t, i, 3))")).as("tri"))
+        // char_ngrams = the old transform/substr HOF minus its O(len²)
+        // per-window re-scan (see CharNgrams.scala); windows identical
+        .select(col("lang"), explode(expr("char_ngrams(t, 3)")).as("tri"))
       val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("tri"))
       tri.groupBy("lang", "tri").agg(count(lit(1)).as("n"))
         .withColumn("rk", row_number().over(w))
@@ -309,8 +310,8 @@ object Text {
       val spread = Tables(s, dir).documents
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .withColumn("t", normText(col("text")))
-      val tris = spread.select(col("doc_id"), explode(expr(
-          "transform(sequence(1, greatest(length(t) - 2, 1)), i -> substr(t, i, 3))")).as("tri"))
+      val tris = spread.select(col("doc_id"), explode(
+          expr("char_ngrams(t, 3)")).as("tri"))
         .withColumn("big", substring(col("tri"), 1, 2))
       val n3 = tris.groupBy(col("tri")).agg(count(lit(1)).as("n3"))
       val n2 = n3.groupBy(substring(col("tri"), 1, 2).as("big"))
@@ -442,6 +443,14 @@ object Text {
       // condition requires i >= 8 so the substr window never starts
       // below position 1 (engines disagree on non-positive substr
       // starts).
+      // NOTE (round 17): a char_ngrams(t, 8)-bound variant of this
+      // filter (element_at over a pre-built window array instead of
+      // the per-position substr re-scan) was MEASURED and rejected —
+      // the per-position md5 is the rolling hash's intrinsic dominant
+      // cost (definitional, oracle-mirrored), and materializing the
+      // O(len) gram array made 8k-char docs ~2× SLOWER (11-17 s vs
+      // 5.6-6.4 s per 256 docs) for a ~20% edge only at 32k chars.
+      // The substr form stays.
       Tables(s, dir).documents
         .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .withColumn("t", normText(col("text")))

@@ -580,21 +580,37 @@ class PlanSpec extends SparkSpec {
   }
 
   test("sel_dsir: model and top-K cut broadcast; corpus shuffles stay bounded") {
-    // the 100 TB-relevant property: the only shuffles touching corpus
-    // volume are the spread repartition and the per-doc aggregation —
-    // the 256-row model, the 1-row denominator and the K-row selection
-    // set all reach the corpus as broadcasts, never as shuffle joins
+    // served plan (round 17): the scored frame is checkpointed once
+    // and feeds BOTH consumers, so the serving side holds NO corpus
+    // shuffle at all — just the checkpoint read, the TakeOrdered cut
+    // and the broadcast flag join
     val plan = finalPlan("sel_dsir")
     assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("Scan ExistingRDD"), plan) // the checkpointed frame
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
     // count REAL exchanges only: a ReusedExchange line repeats the
     // referenced exchange's description, so a plain substring count
     // over the plan string double-counts every reuse
-    val shuffles = plan.linesIterator.count(l =>
+    def shuffles(p: String) = p.linesIterator.count(l =>
       l.contains("Exchange hashpartitioning") && !l.contains("ReusedExchange"))
-    assert(shuffles >= 1, s"sel_dsir pin went vacuous:\n$plan")
-    assert(shuffles <= 3, s"sel_dsir gained a corpus shuffle: $shuffles\n$plan")
+    assert(shuffles(plan) == 0, s"sel_dsir serving gained a shuffle:\n$plan")
+    // the 100 TB-relevant pipeline property moved INSIDE the
+    // checkpoint: the 256-row model and the 1-row denominator reach
+    // the corpus as broadcasts, never shuffle joins, and the only hash
+    // exchanges are the spread repartition, the shared bucket-count
+    // aggregation (reused by the denominator — NOT a second pass) and
+    // the per-doc aggregation
+    val pd = graft.queries.Selection.dsirPerDoc(spark, dir)
+    pd.collect()
+    val pipe = pd.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(pipe.contains("BroadcastHashJoin"), pipe)
+    assert(!pipe.contains("CartesianProduct") ||
+      pipe.contains("BroadcastNestedLoopJoin"), pipe) // 1-row denom crossJoin is BNLJ
+    assert(!pipe.contains("SortMergeJoin"), pipe)
+    assert(shuffles(pipe) >= 1, s"sel_dsir pipeline pin went vacuous:\n$pipe")
+    assert(shuffles(pipe) <= 3, s"sel_dsir pipeline gained a corpus shuffle:\n$pipe")
   }
 
   test("sel_nb_langid: scoring joins the model by broadcast only") {
