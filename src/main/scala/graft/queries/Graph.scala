@@ -59,12 +59,16 @@ object Graph {
       // +1.2 s) and the original edges-side groupBy. Counting nodes
       // here also yields n BEFORE the edge layout is chosen, which the
       // layout depends on.
+      // nodes, edges and ranks all key on ONE packed long (2·id, +1
+      // for suppliers — the g_label_propagation encoding): per edge
+      // per iteration that replaces a string hash + compare with a
+      // long's and narrows every broadcast entry. Bijective on the
+      // two non-negative key spaces, decoded once at the end, so the
+      // fixed-point arithmetic — and the oracle rows — are untouched.
       val nodes = pairs
-        .groupBy(col("ck").as("node_id")).agg(count(lit(1)).as("outdeg"))
-        .select(lit("c").as("node_type"), col("node_id"), col("outdeg"))
+        .groupBy((col("ck") * 2).as("node")).agg(count(lit(1)).as("outdeg"))
         .unionByName(pairs
-          .groupBy(col("sk").as("node_id")).agg(count(lit(1)).as("outdeg"))
-          .select(lit("s").as("node_type"), col("node_id"), col("outdeg")))
+          .groupBy((col("sk") * 2 + 1).as("node")).agg(count(lit(1)).as("outdeg")))
         .persist()
       val n = nodes.count() // bounded: one row per distinct node key
       // broadcast ceiling for the O(n)-row rank frame: below it, each
@@ -83,12 +87,12 @@ object Graph {
       // iterations); shuffled path by SOURCE (the per-iteration
       // ranks join reuses it, so only the O(n) rank frame moves)
       val edges = {
-        val e = pairs.select(lit("c").as("src_t"), col("ck").as("src"),
-            lit("s").as("dst_t"), col("sk").as("dst"))
-          .unionByName(pairs.select(lit("s").as("src_t"), col("sk").as("src"),
-            lit("c").as("dst_t"), col("ck").as("dst")))
-        (if (useBroadcast) e.repartition(col("dst_t"), col("dst"))
-         else e.repartition(col("src_t"), col("src"))).persist()
+        val e = pairs.select((col("ck") * 2).as("src"),
+            (col("sk") * 2 + 1).as("dst"))
+          .unionByName(pairs.select((col("sk") * 2 + 1).as("src"),
+            (col("ck") * 2).as("dst")))
+        (if (useBroadcast) e.repartition(col("dst"))
+         else e.repartition(col("src"))).persist()
       }
       // force-materialize the edge layout before the timed iteration
       // chain (nodes already materialized by the count above, pulling
@@ -103,7 +107,7 @@ object Graph {
       // the driver-side division.
       val base = if (n == 0) 0L else Scale / n
       val teleport = (15L * base) / 100L
-      var ranks = nodes.select(col("node_type"), col("node_id"), col("outdeg"),
+      var ranks = nodes.select(col("node"), col("outdeg"),
         lit(base).as("rank"))
       // ONE copy of the iteration arithmetic (PageRankSpec pins the two
       // paths bit-identical — duplicated loops would let a future
@@ -122,20 +126,18 @@ object Graph {
         if (useBroadcast) broadcast(_) else _.hint("shuffle_merge")
       for (_ <- 1 to Iters) {
         val contribs = edges
-          .join(meet(ranks), col("src_t") === col("node_type") &&
-            col("src") === col("node_id"))
-          .select(col("dst_t"), col("dst"),
-            expr("rank div outdeg").as("c"))
-          .groupBy(col("dst_t"), col("dst"))
+          .join(meet(ranks), col("src") === col("node"))
+          .select(col("dst"), expr("rank div outdeg").as("c"))
+          .groupBy(col("dst"))
           .agg(sum(col("c")).as("csum"))
         ranks = contribs
-          .join(meet(nodes), col("node_type") === col("dst_t") &&
-            col("node_id") === col("dst"))
-          .select(col("node_type"), col("node_id"), col("outdeg"),
+          .join(meet(nodes), col("node") === col("dst"))
+          .select(col("node"), col("outdeg"),
             (lit(teleport) + expr("(85 * csum) div 100")).as("rank"))
       }
-      ranks.select(col("node_type"), col("node_id"),
-        col("rank").as("rank_scaled"))
+      ranks.select(
+        when(col("node") % 2 === 1, "s").otherwise("c").as("node_type"),
+        expr("node div 2").as("node_id"), col("rank").as("rank_scaled"))
     }),
     "g_reachability" -> ((s, dir) => {
       // multi-source BFS: exact min hop distance (≤ MaxHops) from the
@@ -147,32 +149,34 @@ object Graph {
       // one row per reached node and is lineage-truncated per hop
       // (eager localCheckpoint) so driver planning stays O(1) per
       // iteration — the ss_knn_graph lesson applied from the start.
+      // packed-long node keys per the g_pagerank / LP argument: every
+      // hop's frontier join and min-agg key on one long instead of a
+      // (string, long) pair; decoded once at the end, rows identical.
       val t = Tables(s, dir)
       val pairs = t.orders.select(col("o_orderkey"), col("o_custkey"))
         .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
         .distinct()
-      val edges = pairs.select(lit("c").as("src_t"), col("ck").as("src"),
-          lit("s").as("dst_t"), col("sk").as("dst"))
-        .unionByName(pairs.select(lit("s").as("src_t"), col("sk").as("src"),
-          lit("c").as("dst_t"), col("ck").as("dst")))
+      val edges = pairs.select((col("ck") * 2).as("src"),
+          (col("sk") * 2 + 1).as("dst"))
+        .unionByName(pairs.select((col("sk") * 2 + 1).as("src"),
+          (col("ck") * 2).as("dst")))
         .persist()
       val seeds = t.supplier.filter(col("s_nationkey") === 0)
-        .select(lit("s").as("node_type"), col("s_suppkey").as("node_id"),
-          lit(0).as("hops"))
+        .select((col("s_suppkey") * 2 + 1).as("node"), lit(0).as("hops"))
       var dist = seeds.localCheckpoint(true)
       for (h <- 1 to MaxHops) {
-        val next = dist.join(edges, col("node_type") === col("src_t") &&
-            col("node_id") === col("src"))
-          .select(col("dst_t").as("node_type"), col("dst").as("node_id"),
-            lit(h).as("hops"))
+        val next = dist.join(edges, col("node") === col("src"))
+          .select(col("dst").as("node"), lit(h).as("hops"))
         dist = dist.unionByName(next)
-          .groupBy(col("node_type"), col("node_id"))
+          .groupBy(col("node"))
           .agg(min(col("hops")).as("hops"))
           .localCheckpoint(true)
       }
-      dist
+      dist.select(
+        when(col("node") % 2 === 1, "s").otherwise("c").as("node_type"),
+        expr("node div 2").as("node_id"), col("hops"))
     }),
     "g_label_propagation" -> ((s, dir) => {
       // community detection by SYNCHRONOUS label propagation, fixed 5
@@ -195,41 +199,49 @@ object Graph {
       // lineage-truncated per round (the ss_knn_graph lesson).
       import org.apache.spark.sql.expressions.Window
       val t = Tables(s, dir)
+      // every per-round join and aggregation keys on a SINGLE packed
+      // long (2·id, +1 for suppliers — exactly the label encoding, so
+      // a node's initial label IS its packed key) instead of the
+      // (node_type STRING, node_id) pair: per edge per round that
+      // replaces a string hash + compare with a long's, and halves
+      // the broadcast entry width. The packing is bijective on the
+      // two non-negative key spaces, so group sets, counts and
+      // tie-breaks are untouched; node_type/node_id are decoded once
+      // at the end and the oracle sees identical rows.
       val pairs = t.orders.select(col("o_orderkey"), col("o_custkey"))
         .join(t.lineitem.select(col("l_orderkey"), col("l_suppkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
         .distinct()
-      val edges = pairs.select(lit("c").as("src_t"), col("ck").as("src"),
-          lit("s").as("dst_t"), col("sk").as("dst"))
-        .unionByName(pairs.select(lit("s").as("src_t"), col("sk").as("src"),
-          lit("c").as("dst_t"), col("ck").as("dst")))
-        .repartition(col("dst_t"), col("dst"))
+      val edges = pairs.select((col("ck") * 2).as("src"),
+          (col("sk") * 2 + 1).as("dst"))
+        .unionByName(pairs.select((col("sk") * 2 + 1).as("src"),
+          (col("ck") * 2).as("dst")))
+        .repartition(col("dst"))
         .persist()
       var labels = edges
-        .select(col("src_t").as("node_type"), col("src").as("node_id")).distinct()
-        .select(col("node_type"), col("node_id"),
-          (col("node_id") * 2 + when(col("node_type") === "s", 1).otherwise(0))
-            .as("label"))
+        .select(col("src")).distinct()
+        .select(col("src").as("node"), col("src").as("label"))
         .localCheckpoint(true)
-      val w = Window.partitionBy(col("node_type"), col("node_id"))
-        .orderBy(col("c").desc, col("label"))
       for (_ <- 1 to Iters) {
         // shuffle-free round (the g_pagerank layout argument): the
         // O(N) label frame broadcasts into the edge join, the count
-        // agg groups on (dst_t, dst, label) whose clustering the
-        // edges' (dst_t, dst) pre-partitioning already satisfies, and
-        // the argmax window partitions on the same prefix — so the
-        // only per-round exchange is the broadcast itself
+        // agg groups on (dst, label) whose clustering the edges' dst
+        // pre-partitioning already satisfies, and the per-node argmax
+        // is a SECOND hash aggregate on the same prefix — so the only
+        // per-round exchange is the broadcast itself. The argmax used
+        // to be a row_number window (sort per round); max_by with the
+        // (c, -label) tie-break struct is order-free and hash-based.
+        // The key is unique per (node, label) group, so max_by's
+        // tie-nondeterminism can never engage: highest count wins,
+        // then the SMALLEST label (largest -label) — exactly the
+        // window's (c DESC, label ASC) first row.
         labels = edges
-          .join(broadcast(labels.withColumnRenamed("node_type", "src_t")
-            .withColumnRenamed("node_id", "src")), Seq("src_t", "src"))
-          .groupBy(col("dst_t").as("node_type"), col("dst").as("node_id"),
-            col("label"))
+          .join(broadcast(labels.withColumnRenamed("node", "src")), Seq("src"))
+          .groupBy(col("dst").as("node"), col("label"))
           .agg(count(lit(1)).as("c"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select("node_type", "node_id", "label")
+          .groupBy(col("node"))
+          .agg(expr("max_by(label, named_struct('c', c, 'nl', -label))").as("label"))
           .localCheckpoint(true)
       }
       // the final labels localCheckpoint is eager, so the edge cache
@@ -237,7 +249,9 @@ object Graph {
       // rather than leaving session-lifetime blocks to embedding
       // callers (Verify/Bench clearCache between queries, specs don't)
       edges.unpersist()
-      labels
+      labels.select(
+        when(col("node") % 2 === 1, "s").otherwise("c").as("node_type"),
+        expr("node div 2").as("node_id"), col("label"))
     }),
     "g_common_neighbors" -> ((s, dir) => {
       // link prediction on the part co-order graph: for non-adjacent
