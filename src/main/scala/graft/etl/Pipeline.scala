@@ -42,7 +42,19 @@ object Pipeline {
     val futures = stages(t).map { case (name, build) =>
       Future {
         try {
-          val df = build()
+          // the row count rides the WRITE action as an observed metric
+          // instead of a read-back count() of the fresh output — at
+          // bench scale that deletes one job launch per stage, at
+          // warehouse scale a full second scan of the fact table. The
+          // metric event is asynchronous (and AQE can elide observed
+          // metrics on statically-empty plans), so the read is a
+          // bounded wait with the old read-back count as the fallback,
+          // never a hang. Row values are identical by definition:
+          // rows observed entering the writer = rows in the output.
+          val obs = org.apache.spark.sql.Observation(s"etl_rows_$name")
+          val df = build().observe(obs,
+            org.apache.spark.sql.functions.count(
+              org.apache.spark.sql.functions.lit(1)).as("n"))
           // the fact table is partitioned by order year: time-range
           // queries then prune whole partitions at the file-index
           // level (year cardinality ~ handful of dirs — never the
@@ -64,7 +76,11 @@ object Pipeline {
                 .write.partitionBy("order_year")
             } else df.write
           writer.mode("overwrite").parquet(s"$outDir/$name")
-          val n = spark.read.parquet(s"$outDir/$name").count()
+          val n = scala.util.Try(
+            scala.concurrent.Await.result(obs.future,
+              scala.concurrent.duration.Duration(10, "s"))
+              .getAs[Long]("n"))
+            .getOrElse(spark.read.parquet(s"$outDir/$name").count())
           StageResult(name, n, ok = true, None)
         } catch {
           case e: Throwable => StageResult(name, -1, ok = false, Some(e.getMessage))

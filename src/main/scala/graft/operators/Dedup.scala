@@ -28,10 +28,26 @@ object Dedup {
     * one input split) would otherwise run the whole signature build
     * on a single core. At warehouse scale the source's own splits
     * already provide parallelism and the exchange is one narrow
-    * hash pass; locally it is the difference between 1 and 32 cores. */
+    * hash pass; locally it is the difference between 1 and 32 cores.
+    *
+    * The small/large decision reads the optimizer's SIZE ESTIMATE —
+    * driver-side metadata, never an execution. The previous probe
+    * (`docs.rdd.getNumPartitions`) looked exact but under AQE `.rdd`
+    * materializes every upstream query stage just to report a
+    * partition count, so each spread() of a post-join frame silently
+    * re-executed its whole subtree once (three serialized ~2.3 s
+    * single-task jobs per llm_corpus_build at sf0.1 — and a full
+    * extra pipeline pass at any scale). Below the threshold
+    * (defaultParallelism input splits' worth of bytes) the repartition
+    * is a KB-to-MB exchange that buys full-cluster parallelism for
+    * the signature build; above it the source's own splits already
+    * parallelize and big corpora skip the exchange exactly as before. */
   private def spread(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val parts = docs.sparkSession.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions < parts) docs.repartition(parts, col(idCol))
+    val estBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val splitBytes =
+      docs.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    if (estBytes < BigInt(splitBytes) * parts) docs.repartition(parts, col(idCol))
     else docs
   }
 
@@ -73,15 +89,24 @@ object Dedup {
     * projection-collapsing can never duplicate the md5 work. */
   def minhashSignatures(shingled: DataFrame, k: Int = 16): DataFrame = {
     require(k % 4 == 0, s"k must be a multiple of 4, got $k")
-    shingled.withColumn("sig", expr(sigExpr("shingles", k)))
+    shingled.withColumn("sig", minhashSig(col("shingles"), k))
   }
+
+  /** The native one-pass signature expression (same slots, same bytes
+    * as sigExpr — MinhashSigSpec pins bit-equality; sigExpr below
+    * stays as the REFERENCE formulation the spec and the DuckDB
+    * oracle rendering are written against). */
+  private[graft] def minhashSig(arr: Column, k: Int): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.MinhashSig(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(arr), k))
 
   /** k-slot min-hash signature expression over an array column: for
     * each salt p in 0..k/4-1, digest every element once, then take
     * the array_min of each of the 4 digest slices. Slot order is
     * p-major: sig[j] = min over elements of slice (j%4) of
     * md5(concat(j div 4, ':', element)). */
-  private[operators] def sigExpr(arrCol: String, k: Int): String =
+  private[graft] def sigExpr(arrCol: String, k: Int): String =
     s"""flatten(transform(
        |  transform(sequence(0, ${k / 4 - 1}),
        |    p -> transform($arrCol, g -> md5(concat(CAST(p AS STRING), ':', g)))),
@@ -366,11 +391,9 @@ object Dedup {
     // perf-neutral here (1.2 s sf0.1 / ~24 s sf1 both forms). The
     // persisted frame carries the packed struct so the cache build
     // evaluates it once.
-    val sigOf = (arr: Column) => flatten(transform(
-      transform(sequence(lit(0), lit(k / 4 - 1)),
-        p => transform(arr, g => md5(concat(p.cast("string"), lit(":"), g)))),
-      hp => transform(sequence(lit(0), lit(3)),
-        s => array_min(transform(hp, h => h.substr(s * 8 + 1, lit(8)))))))
+    // same one-pass native signature as minhashSignatures (bit-equal
+    // to the old per-salt HOF chain — MinhashSigSpec)
+    val sigOf = (arr: Column) => minhashSig(arr, k)
     // the persisted verify arrays: packed ints (8→4 B/gram of array
     // payload vs 16 B/gram for 4-char strings — the gram arrays are
     // what every candidate pair ships through the verify exchange, so

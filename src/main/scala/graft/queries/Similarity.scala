@@ -220,7 +220,12 @@ object Similarity {
     * scale the source's own splits already parallelize. */
   private def spread(e: DataFrame): DataFrame = {
     val parts = e.sparkSession.sparkContext.defaultParallelism
-    if (e.rdd.getNumPartitions < parts) e.repartition(parts, col("vec_id"))
+    // size-estimate gate, not `.rdd.getNumPartitions`: under AQE the
+    // rdd probe MATERIALIZES every upstream stage to learn a partition
+    // count (see Dedup.spread) — the estimate is driver-side metadata
+    val estBytes = e.queryExecution.optimizedPlan.stats.sizeInBytes
+    val splitBytes = e.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    if (estBytes < BigInt(splitBytes) * parts) e.repartition(parts, col("vec_id"))
     else e
   }
 
