@@ -141,12 +141,16 @@ object Dedup {
       .distinct()
     val sa = sigs.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
     val sb = sigs.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
-    // hash-hinted: never sort-merge the wide shingle arrays
+    // hash-hinted: never sort-merge the wide shingle arrays.
+    // |A∪B| = |A|+|B|−|A∩B| for the distinct shingle sets — same
+    // integer, same IEEE division, HALF the per-pair set work (the
+    // union hash set was built per candidate just to be counted)
     cands.join(sa.hint("shuffle_hash"), "id_a")
       .join(sb.hint("shuffle_hash"), "id_b")
+      .withColumn("_i", size(array_intersect(col("sh_a"), col("sh_b"))))
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+        (col("_i").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("_i"))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 
@@ -242,9 +246,17 @@ object Dedup {
     // doubling loop below takes over; ClustersSpec pins both paths to
     // identical results.
     val slim = pairs.select(col("id_a"), col("id_b")).persist()
-    val nPairs = slim.count()
-    if (nPairs <= driverMaxEdges) {
-      val arr = slim.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ONE bounded action decides the path AND fetches the fast-path
+    // edges (the old count-then-collect paid two full-pipeline jobs):
+    // collecting at most cap+1 rows either returns everything (≤ cap:
+    // these ARE the edges, and union-find is edge-order-independent,
+    // so limit's nondeterministic row order is harmless) or proves the
+    // graph is over the bound and early-stops, leaving the distributed
+    // fixpoint to reuse the persisted frame.
+    val cap = math.min(driverMaxEdges, (Int.MaxValue - 2).toLong).toInt
+    val probe = slim.limit(cap + 1).collect()
+    if (probe.length <= cap) {
+      val arr = probe.map(r => (r.getLong(0), r.getLong(1)))
       slim.unpersist()
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -458,9 +470,12 @@ object Dedup {
             org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("g_a")),
             org.apache.spark.sql.graftbridge.ColumnBridge.expression(col("g_b")),
             minJaccard))
-      else
-        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-          size(array_union(col("g_a"), col("g_b")))
+      else {
+        // |A∪B| = |A|+|B|−|A∩B| over the distinct gram sets (same
+        // integer, same division — see the minhash verify above)
+        val i = size(array_intersect(col("g_a"), col("g_b")))
+        i.cast("double") / (size(col("g_a")) + size(col("g_b")) - i)
+      }
     cands.join(ga.hint("shuffle_hash"), "id_a")
       .join(gb.hint("shuffle_hash"), "id_b")
       .select(col("id_a"), col("id_b"), jaccard.as("jaccard"))

@@ -149,9 +149,12 @@ object DedupQueries {
       // hash-hinted: never sort-merge the wide shingle arrays
       cands.join(sa.hint("shuffle_hash"), "new_id")
         .join(sb.hint("shuffle_hash"), "match_id")
+        // |A∪B| = |A|+|B|−|A∩B| over distinct shingle sets — same
+        // integer, same division, half the per-pair set work
+        .withColumn("_i", size(array_intersect(col("sh_a"), col("sh_b"))))
         .select(col("new_id"), col("match_id"),
-          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+          (col("_i").cast("double") /
+            (size(col("sh_a")) + size(col("sh_b")) - col("_i"))).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
     }),
     // asymmetric containment — doc-IN-doc detection, the case Jaccard
