@@ -963,24 +963,26 @@ object Similarity {
         candRows += obsExp.get("c").asInstanceOf[Long]
       }
       lap("descent")
-      // one action for both stats — a count and a distinct-count ride
-      // the same aggregation job
-      val statRow = graph.agg(count(lit(1)), countDistinct(col("src"))).first()
-      val (nEdges, nSrc) = (statRow.getLong(0), statRow.getLong(1))
-      // recall audit in ONE job: outer-join truth against the graph's
-      // sampled adjacency, then count queries and hits in the same agg
-      // (nq = distinct truth qids ≡ the every-100th query count when
-      // n ≥ 2, since every query has n-1 truth candidates)
+      // ALL the audit scalars ride ONE action: the graph stats agg,
+      // the recall join-agg and the banding-occupancy agg are
+      // independent single-row subtrees, so a crossJoin of the three
+      // executes them as one job instead of three serialized
+      // job-launch barriers (the checkpointed graph and persisted
+      // banding make each branch cheap; the barriers were the cost).
+      val statAgg = graph.agg(count(lit(1)).as("n_edges"),
+        countDistinct(col("src")).as("n_src"))
+      // recall audit: outer-join truth against the graph's sampled
+      // adjacency, count queries and hits in the same agg (nq =
+      // distinct truth qids ≡ the every-100th query count when n ≥ 2,
+      // since every query has n-1 truth candidates)
       val truth = bruteTopK(e, n / 100 + 1)
-      val hitRow = truth.select(col("qid"), col("vec_id"))
+      val hitAgg = truth.select(col("qid"), col("vec_id"))
         .join(graph.filter(col("src") % 100 === 0)
           .select(col("src").as("qid"), col("dst").as("vec_id"),
             lit(1L).as("hit")),
           Seq("qid", "vec_id"), "left_outer")
-        .agg(countDistinct(col("qid")), coalesce(sum(col("hit")), lit(0L)))
-        .first()
-      val (nq, hits) = (hitRow.getLong(0), hitRow.getLong(1))
-      lap("truth-stats")
+        .agg(countDistinct(col("qid")).as("nq"),
+          coalesce(sum(col("hit")), lit(0L)).as("hits"))
       // density-adaptive candidate budget, DERIVED not fitted: each
       // (band, bucket) of size c emits exactly c·(c−1) ordered seed
       // pairs, so Σ c·(c−1) over the banding table — one cheap agg on
@@ -1000,12 +1002,17 @@ object Similarity {
       // rehearsal corpus, 5 orders below n² at that scale), so it
       // still trips instantly. Decimal sum (not Long): at 100 TB a
       // single degenerate bucket's c·(c−1) can pass 2⁶³.
+      val occAgg = banded.groupBy(col("band"), col("bk"))
+        .agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum((col("c") * (col("c") - 1))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))), lit(0))
+          .as("occ"))
+      val auditRow = statAgg.crossJoin(hitAgg).crossJoin(occAgg).first()
+      val (nEdges, nSrc) = (auditRow.getLong(0), auditRow.getLong(1))
+      val (nq, hits) = (auditRow.getLong(2), auditRow.getLong(3))
+      lap("audit-stats")
       val occPairs = {
-        val d = banded.groupBy(col("band"), col("bk"))
-          .agg(count(lit(1)).as("c"))
-          .agg(coalesce(sum((col("c") * (col("c") - 1))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 0))), lit(0)))
-          .first().getDecimal(0)
+        val d = auditRow.getDecimal(4)
         if (d.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) >= 0)
           Long.MaxValue else d.longValue()
       }
